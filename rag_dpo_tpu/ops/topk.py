@@ -1,0 +1,315 @@
+"""Fused similarity scoring + streaming top-k — the HNSW replacement.
+
+The reference delegates every dense search to hnswlib's C++ graph walk inside
+ChromaDB (`src/rag/retriever.py:215-220`, index built with `hnsw:space=cosine`
+in `create_chromadb_index.py:100-106`). On TPU the idiomatic design is *exact*
+brute-force: a [Q, D] × [D, N] matmul rides the MXU at speed of light, and at
+corpus scales (16.9k → 10M chunks) beats a graph traversal that would be all
+scalar control flow. Recall is exact by construction — better than HNSW.
+
+Three implementations:
+
+* `cosine_topk_reference` — one jnp matmul + `lax.top_k`; materializes the
+  full [Q, N] score matrix. Correctness oracle and fine for small N.
+* `blocked_topk` — XLA `lax.scan` over N-blocks with a running top-k merge;
+  never materializes more than [Q, block_n] scores. Memory-bounded, pure XLA.
+* `fused_topk` — Pallas kernel: grid over (Q tiles, N blocks), block scores
+  computed on the MXU in VMEM and immediately reduced into a running top-k
+  scratch, so block scores never touch HBM. HBM traffic = the embedding
+  matrix itself (unavoidable) + [Q, k] outputs.
+
+All score in float32 accumulation regardless of input dtype (bf16 embeddings
+recommended: halves HBM traffic, MXU-native).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import interpret_default
+
+NEG_INF = -1e30  # python float: safe to close over inside Pallas kernels
+
+
+# ---------------------------------------------------------------- reference
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk_reference(queries, embs, k: int):
+    """[Q, D], [N, D] → ([Q, k] scores, [Q, k] int32 ids). Full materialize."""
+    scores = jnp.dot(
+        queries.astype(jnp.float32),
+        embs.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    top, ids = jax.lax.top_k(scores, k)
+    return top, ids.astype(jnp.int32)
+
+
+# ------------------------------------------------------------- blocked XLA
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n"))
+def blocked_topk(queries, embs, k: int, block_n: int = 4096):
+    """Memory-bounded exact top-k: scan over row blocks with running merge."""
+    n, d = embs.shape
+    q = queries.shape[0]
+    nb = -(-n // block_n)
+    n_pad = nb * block_n
+    if n_pad != n:
+        embs = jnp.pad(embs, ((0, n_pad - n), (0, 0)))
+    embs_b = embs.reshape(nb, block_n, d)
+    qf = queries.astype(jnp.float32)
+
+    def step(carry, xs):
+        run_s, run_i = carry
+        block, j = xs
+        s = jnp.dot(qf, block.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        base = j * block_n
+        valid = (base + jnp.arange(block_n)) < n
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        bs, bi = jax.lax.top_k(s, min(k, block_n))
+        bi = bi + base
+        cs = jnp.concatenate([run_s, bs], axis=1)
+        ci = jnp.concatenate([run_i, bi.astype(jnp.int32)], axis=1)
+        ms, mp = jax.lax.top_k(cs, k)
+        mi = jnp.take_along_axis(ci, mp, axis=1)
+        return (ms, mi), None
+
+    init = (jnp.full((q, k), NEG_INF), jnp.zeros((q, k), jnp.int32))
+    (scores, ids), _ = jax.lax.scan(
+        step, init, (embs_b, jnp.arange(nb, dtype=jnp.int32))
+    )
+    return scores, ids
+
+
+# ------------------------------------------------------------ Pallas fused
+
+def _rank_merge(run_s, run_i, cand_s, cand_i, k: int):
+    """Merge sorted-desc run [TQ, K] with unsorted candidates [TQ, C] → top-k.
+
+    Fully vectorized (no sequential loop): each element's output position is
+    its *rank* in the union, computed by pairwise comparisons, and elements
+    are placed with one-hot sums. Ties break run-first, then by candidate
+    slot index, so ranks are unique. O(TQ·(K+C)²) VPU ops on tiny tiles.
+    """
+    tq, kk = run_s.shape
+    c = cand_s.shape[1]
+    # rank of run[j] in union = j + #candidates strictly greater
+    gt = cand_s[:, None, :] > run_s[:, :, None]  # [TQ, K, C]
+    rank_run = (
+        jax.lax.broadcasted_iota(jnp.int32, (tq, kk), 1)
+        + jnp.sum(gt.astype(jnp.int32), axis=2)
+    )
+    # rank of cand[l] = #run ≥ it + #cands greater + #earlier equal cands
+    ge_run = run_s[:, :, None] >= cand_s[:, None, :]  # [TQ, K, C]
+    gt_cand = cand_s[:, :, None] > cand_s[:, None, :]  # [TQ, C, C] (l', l)
+    eq_cand = cand_s[:, :, None] == cand_s[:, None, :]
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    )  # l' < l
+    rank_cand = (
+        jnp.sum(ge_run.astype(jnp.int32), axis=1)
+        + jnp.sum(gt_cand.astype(jnp.int32), axis=1)
+        + jnp.sum((eq_cand & earlier[None]).astype(jnp.int32), axis=1)
+    )  # [TQ, C]
+
+    slots = jax.lax.broadcasted_iota(jnp.int32, (tq, kk), 1)
+    place_run = slots[:, :, None] == rank_run[:, None, :]  # [TQ, K, K]
+    place_cand = slots[:, :, None] == rank_cand[:, None, :]  # [TQ, K, C]
+    out_s = (
+        jnp.sum(jnp.where(place_run, run_s[:, None, :], 0.0), axis=2)
+        + jnp.sum(jnp.where(place_cand, cand_s[:, None, :], 0.0), axis=2)
+    )
+    out_i = (
+        jnp.sum(jnp.where(place_run, run_i[:, None, :], 0), axis=2)
+        + jnp.sum(jnp.where(place_cand, cand_i[:, None, :], 0), axis=2)
+    )
+    # slots receiving nothing (all ranks ≥ k shifted away) keep NEG_INF/-1
+    filled = (
+        jnp.any(place_run, axis=2) | jnp.any(place_cand, axis=2)
+    )
+    out_s = jnp.where(filled, out_s, NEG_INF)
+    out_i = jnp.where(filled, out_i, -1)
+    return out_s, out_i
+
+
+def _merge_topk(scores, ids, k: int):
+    """Exact top-k of [TQ, M] via rank selection (vectorized, loop-free)."""
+    empty_s = jnp.full((scores.shape[0], k), NEG_INF, jnp.float32)
+    empty_i = jnp.full((scores.shape[0], k), -1, jnp.int32)
+    return _rank_merge(empty_s, empty_i, scores, ids, k)
+
+
+def streaming_topk_update(s, col, run_s, run_i, *, k: int, is_first,
+                          seg: int = 128):
+    """Merge a block of scores into running top-k scratch refs.
+
+    s: [TQ, BN] f32 block scores; col: [TQ, BN] i32 global ids (-1 invalid).
+    run_s/run_i: [TQ, k] VMEM scratch refs holding the sorted-descending
+    running top-k. `is_first` (traced bool) resets the scratch.
+
+    Algorithm per block (all chosen to avoid long sequential loops, which
+    dominate Mosaic kernel time):
+      1. threshold skip — if the running k-th best beats every block score,
+         the whole merge is predicated out (one reduce per block);
+      2. segment-max extraction — each round takes the max of every
+         `seg`-wide column segment (BN/seg candidates in ~4 VPU sweeps),
+         rank-merges them into the running top-k, masks them out, and
+         repeats only while some row still has candidates above its
+         threshold. Rounds ≈ max candidates a single segment contributes.
+    Shared by the dense (matmul) and sparse (lexical) fused kernels.
+    """
+    tq, bn = s.shape
+    seg = min(seg, bn)
+    nseg = bn // seg
+    assert nseg * seg == bn, f"block width {bn} not divisible by {seg}"
+
+    @pl.when(is_first)
+    def _():
+        run_s[:] = jnp.full_like(run_s, NEG_INF)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    thresh = run_s[:, k - 1 : k]  # [TQ, 1] — sorted-desc invariant
+    row_max = jnp.max(s, axis=1, keepdims=True)
+    needed = jnp.any(row_max > thresh) | is_first
+
+    @pl.when(needed)
+    def _():
+        s3 = s.reshape(tq, nseg, seg)
+        col3 = col.reshape(tq, nseg, seg)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, nseg, seg), 2)
+
+        def cond(carry):
+            cur, rs, _ = carry
+            th = rs[:, k - 1 : k]
+            return jnp.any(jnp.max(jnp.max(cur, axis=2), axis=1) > th[:, 0])
+
+        def body(carry):
+            cur, rs, ri = carry
+            seg_max = jnp.max(cur, axis=2)  # [TQ, nseg]
+            pos = jnp.min(
+                jnp.where(cur == seg_max[:, :, None], lane, seg), axis=2
+            )  # [TQ, nseg] — first argmax lane per segment
+            sel = lane == pos[:, :, None]
+            cand_i = jnp.sum(jnp.where(sel, col3, 0), axis=2)
+            rs, ri = _rank_merge(rs, ri, seg_max, cand_i, k)
+            cur = jnp.where(sel, NEG_INF, cur)
+            return cur, rs, ri
+
+        _, rs, ri = jax.lax.while_loop(
+            cond, body, (s3, run_s[:], run_i[:])
+        )
+        run_s[:] = rs
+        run_i[:] = ri
+
+
+def _fused_topk_kernel(q_ref, e_ref, out_s_ref, out_i_ref, run_s, run_i,
+                       *, k: int, block_n: int, n_valid: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    s = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, BN]
+
+    base = j * block_n
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
+    valid = col < n_valid
+    s = jnp.where(valid, s, NEG_INF)
+    col = jnp.where(valid, col, -1)
+
+    streaming_topk_update(s, col, run_s, run_i, k=k, is_first=j == 0)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_n", "tile_q", "interpret")
+)
+def fused_topk(
+    queries,
+    embs,
+    k: int,
+    *,
+    block_n: int = 2048,
+    tile_q: int = 128,
+    interpret: bool | None = None,
+):
+    """Pallas fused matmul + streaming top-k.
+
+    queries: [Q, D]; embs: [N, D] (row-major chunk embeddings, any float
+    dtype — bf16 recommended). Returns ([Q, k] f32 scores, [Q, k] i32 ids).
+    Scores are raw dot products; normalize inputs upstream for cosine.
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    q, d = queries.shape
+    n = embs.shape[0]
+    k_eff = min(k, n)
+
+    # Pad shapes so the grid tiles exactly; padding rows are masked by
+    # n_valid inside the kernel, padded queries are dropped on return.
+    tq = min(tile_q, max(8, q))
+    q_pad = -(-q // tq) * tq
+    n_pad = -(-n // block_n) * block_n
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    if n_pad != n:
+        embs = jnp.pad(embs, ((0, n_pad - n), (0, 0)))
+
+    grid = (q_pad // tq, n_pad // block_n)
+    kernel = functools.partial(
+        _fused_topk_kernel, k=k_eff, block_n=block_n, n_valid=n
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, k_eff), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k_eff), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, k_eff), jnp.float32),
+            pltpu.VMEM((tq, k_eff), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d,
+            bytes_accessed=(
+                n_pad * d * embs.dtype.itemsize
+                + q_pad * d * queries.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, embs)
+
+    out_s, out_i = out_s[:q], out_i[:q]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)),
+                        constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)),
+                        constant_values=-1)
+    return out_s, out_i

@@ -1,0 +1,14 @@
+from .mesh import (  # noqa: F401
+    AXIS_DATA,
+    AXIS_MODEL,
+    AXIS_SHARD,
+    MeshSpec,
+    create_mesh,
+    local_device_count,
+    shard_leading_axis,
+    replicated,
+)
+from .collectives import (  # noqa: F401
+    merge_sharded_topk,
+    sharded_topk,
+)

@@ -1,0 +1,89 @@
+"""Device mesh and sharding helpers — the framework's topology layer.
+
+The reference is single-process/single-GPU with no distributed backend at all
+(SURVEY.md §2.5; its only "comm layer" is HTTP to Ollama). The TPU-native
+equivalent of NCCL/MPI is a `jax.sharding.Mesh` plus `jax.lax` collectives
+over ICI — declared through sharding annotations, with XLA inserting the
+actual all-gathers/psums. This module owns the axis-name vocabulary used
+everywhere else:
+
+* ``data``  — batch/data parallelism (corpus encode, multi-query encode)
+* ``model`` — tensor parallelism inside an encoder (MLP/attention shards)
+* ``shard`` — index sharding: the corpus embedding matrix is split along its
+  row (chunk) axis; each device scores its shard and top-k results are merged
+  with an all-gather (see parallel.collectives).
+
+The same code runs on a CPU fake-mesh (``--xla_force_host_platform_device_count``)
+and on a real TPU pod slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+AXIS_SHARD = "shard"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Logical mesh shape. Any axis may be 1 (strategy disabled)."""
+
+    data: int = 1
+    model: int = 1
+    shard: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.data * self.model * self.shard
+
+    @classmethod
+    def for_devices(cls, n: int, *, model: int = 1) -> "MeshSpec":
+        """Default layout: give everything not used by TP to index sharding."""
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        return cls(data=1, model=model, shard=n // model)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def create_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
+    """Build a named mesh over the available devices.
+
+    Axis order is (data, model, shard): `shard` is innermost so that the
+    top-k merge all-gather between index shards rides the fastest (most
+    contiguous) ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if spec is None:
+        spec = MeshSpec.for_devices(len(devices))
+    if spec.n_devices > len(devices):
+        raise ValueError(
+            f"mesh {spec} needs {spec.n_devices} devices, have {len(devices)}"
+        )
+    devs = np.asarray(devices[: spec.n_devices]).reshape(
+        spec.data, spec.model, spec.shard
+    )
+    return Mesh(devs, (AXIS_DATA, AXIS_MODEL, AXIS_SHARD))
+
+
+def shard_leading_axis(mesh: Mesh, axis: str = AXIS_SHARD) -> NamedSharding:
+    """Sharding for a [N, ...] array split along its leading axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m)
