@@ -1,0 +1,367 @@
+"""Device-resident sharded vector index — the ChromaDB replacement.
+
+The reference persists 16,919 BGE-M3 vectors in ChromaDB (hnswlib graph +
+SQLite, `create_chromadb_index.py:100-130`) and queries it per-arm from
+Python (`src/rag/retriever.py:215-220`). Here the index is:
+
+* a canonical host store (numpy: f16 dense matrix, ELL sparse arrays,
+  optional ColBERT token vectors, columnar metadata, string chunk ids);
+* a device image: bf16 embedding matrix padded to block multiples, living
+  in HBM — single-chip or row-sharded over the mesh `shard` axis — plus
+  the ELL arrays for the lexical arm;
+* search = fused Pallas matmul+top-k (dense), ELL kernel (sparse), with
+  optional metadata filter masks applied on device before selection;
+* add / update / delete(tombstone) mirror the reference's reset/append/
+  update indexing modes (`create_chromadb_index.py:70-130`); checkpointing
+  (the `package_cnil_db.py` analog) is plain npz + json shards.
+
+Exact brute-force scoring means recall is 1.0 by construction (vs HNSW's
+approximate recall) — see ops/topk.py for the bandwidth math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from typing import Any, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import blocked_topk, fused_topk, on_tpu
+from ..ops.sparse import ell_topk
+from ..parallel.mesh import AXIS_SHARD, create_mesh, MeshSpec
+from ..parallel.collectives import sharded_topk
+from .metadata import MetadataStore, compile_filter
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    dim: int = 1024
+    ell_width: int = 32          # sparse terms stored per chunk
+    colbert_dim: int = 0         # 0 = no multi-vector storage
+    colbert_len: int = 0
+    row_block: int = 1024        # device padding granularity
+    device_dtype: Any = jnp.bfloat16
+
+
+class DeviceIndex:
+    def __init__(self, config: IndexConfig, mesh=None):
+        self.config = config
+        self.mesh = mesh
+        self.ids: list[str] = []
+        self._id_pos: dict[str, int] = {}
+        self.meta = MetadataStore()
+        self._dense = np.zeros((0, config.dim), np.float16)
+        self._terms = np.full((0, config.ell_width), -1, np.int32)
+        self._impacts = np.zeros((0, config.ell_width), np.float32)
+        self._colbert = (
+            np.zeros((0, config.colbert_len, config.colbert_dim), np.float16)
+            if config.colbert_dim
+            else None
+        )
+        self._alive = np.zeros((0,), bool)
+        self._device = None  # (embs, terms, impacts, alive, n_pad)
+        self._searchers: dict = {}
+
+    # ------------------------------------------------------------ basics
+    def __len__(self) -> int:
+        return int(self._alive.sum())
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.ids)
+
+    def __contains__(self, chunk_id: str) -> bool:
+        pos = self._id_pos.get(chunk_id)
+        return pos is not None and bool(self._alive[pos])
+
+    # ------------------------------------------------------------- write
+    def add(
+        self,
+        chunk_ids: Sequence[str],
+        dense: np.ndarray,
+        metadatas: Sequence[Mapping[str, Any]] | None = None,
+        terms: np.ndarray | None = None,
+        impacts: np.ndarray | None = None,
+        colbert: np.ndarray | None = None,
+    ):
+        """Append rows. Existing ids are updated in place (upsert)."""
+        cfg = self.config
+        dense = np.asarray(dense, np.float16)
+        assert dense.shape == (len(chunk_ids), cfg.dim), dense.shape
+        metadatas = metadatas or [{} for _ in chunk_ids]
+        if terms is None:
+            terms = np.full((len(chunk_ids), cfg.ell_width), -1, np.int32)
+            impacts = np.zeros((len(chunk_ids), cfg.ell_width), np.float32)
+        terms = np.asarray(terms, np.int32)
+        impacts = np.asarray(impacts, np.float32)
+
+        fresh_rows, fresh_meta = [], []
+        for row, cid in enumerate(chunk_ids):
+            pos = self._id_pos.get(cid)
+            if pos is not None:  # in-place update
+                self._dense[pos] = dense[row]
+                self._terms[pos] = terms[row]
+                self._impacts[pos] = impacts[row]
+                if self._colbert is not None and colbert is not None:
+                    self._colbert[pos] = colbert[row]
+                self._alive[pos] = True
+                self.meta._docs[pos] = dict(metadatas[row])
+            else:
+                fresh_rows.append(row)
+                fresh_meta.append(metadatas[row])
+
+        if fresh_rows:
+            sel = np.asarray(fresh_rows)
+            base = len(self.ids)
+            for row in fresh_rows:
+                self._id_pos[chunk_ids[row]] = base
+                self.ids.append(chunk_ids[row])
+                base += 1
+            self._dense = np.concatenate([self._dense, dense[sel]])
+            self._terms = np.concatenate([self._terms, terms[sel]])
+            self._impacts = np.concatenate([self._impacts, impacts[sel]])
+            if self._colbert is not None:
+                cb = (
+                    np.asarray(colbert, np.float16)[sel]
+                    if colbert is not None
+                    else np.zeros(
+                        (len(sel), cfg.colbert_len, cfg.colbert_dim),
+                        np.float16,
+                    )
+                )
+                self._colbert = np.concatenate([self._colbert, cb])
+            self._alive = np.concatenate(
+                [self._alive, np.ones((len(sel),), bool)]
+            )
+            self.meta.append(fresh_meta)
+        self._device = None  # invalidate device image
+        self._searchers.clear()
+
+    def delete(self, chunk_ids: Sequence[str]):
+        """Tombstone rows (device mask; storage reclaimed on compact())."""
+        for cid in chunk_ids:
+            pos = self._id_pos.get(cid)
+            if pos is not None:
+                self._alive[pos] = False
+        self._device = None
+
+    def compact(self):
+        keep = np.nonzero(self._alive)[0]
+        self._dense = self._dense[keep]
+        self._terms = self._terms[keep]
+        self._impacts = self._impacts[keep]
+        if self._colbert is not None:
+            self._colbert = self._colbert[keep]
+        kept_ids = [self.ids[i] for i in keep]
+        kept_docs = [self.meta._docs[i] for i in keep]
+        self.ids = kept_ids
+        self._id_pos = {cid: i for i, cid in enumerate(kept_ids)}
+        meta = MetadataStore()
+        meta.append(kept_docs)
+        self.meta = meta
+        self._alive = np.ones((len(keep),), bool)
+        self._device = None
+        self._searchers.clear()
+
+    # ------------------------------------------------------------ device
+    def _n_pad(self) -> int:
+        blk = self.config.row_block
+        if self.mesh is not None:
+            blk *= self.mesh.shape[AXIS_SHARD]
+        return max(blk, -(-self.n_rows // blk) * blk)
+
+    def device_image(self):
+        if self._device is not None:
+            return self._device
+        cfg = self.config
+        n, n_pad = self.n_rows, self._n_pad()
+        embs = np.zeros((n_pad, cfg.dim), np.float32)
+        embs[:n] = self._dense.astype(np.float32)
+        terms = np.full((n_pad, cfg.ell_width), -1, np.int32)
+        terms[:n] = self._terms
+        impacts = np.zeros((n_pad, cfg.ell_width), np.float32)
+        impacts[:n] = self._impacts
+        alive = np.zeros((n_pad,), np.float32)
+        alive[:n] = self._alive.astype(np.float32)
+
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_leading_axis
+
+            sh = shard_leading_axis(self.mesh)
+            put = lambda x: jax.device_put(jnp.asarray(x), sh)
+        else:
+            put = lambda x: jax.device_put(jnp.asarray(x))
+        embs_d = put(embs)
+        embs_d = jax.jit(
+            lambda x: x.astype(cfg.device_dtype),
+            out_shardings=embs_d.sharding if self.mesh is not None else None,
+        )(embs_d)
+        self._device = {
+            "embs": embs_d,
+            "terms": put(terms),
+            "impacts": put(impacts),
+            "alive": put(alive),
+            "row_ids": put(np.arange(n_pad, dtype=np.int32)),
+            "n_pad": n_pad,
+        }
+        return self._device
+
+    # ------------------------------------------------------------ search
+    def _mask_vector(self, where) -> np.ndarray | None:
+        mask = compile_filter(self.meta, where)
+        alive = self._alive
+        if mask is None:
+            if alive.all():
+                return None
+            mask = alive.copy()
+        else:
+            mask = mask & alive
+        return mask
+
+    def search_dense(self, queries: np.ndarray, k: int, where=None):
+        """queries [Q, D] (L2-normalized) → (scores [Q,k], ids [Q,k] int
+        rows; -1 = empty). Filter `where` is a ChromaDB-style tree."""
+        dev = self.device_image()
+        q = jnp.asarray(np.asarray(queries, np.float32)).astype(
+            self.config.device_dtype
+        )
+        mask = self._mask_vector(where)
+        if self.mesh is not None:
+            key = ("sharded_dense", k)
+            if key not in self._searchers:
+                def scores_fn(qs, shard_embs):
+                    return jnp.dot(
+                        qs, shard_embs.T, preferred_element_type=jnp.float32
+                    )
+                self._searchers[key] = sharded_topk(self.mesh, scores_fn, k)
+            if mask is not None:
+                # masked path: fold mask into scores via a penalty column
+                return self._masked_dense(q, k, mask)
+            s, i = self._searchers[key](q, dev["embs"], dev["row_ids"])
+        elif mask is not None:
+            return self._masked_dense(q, k, mask)
+        else:
+            s, i = fused_topk(q, dev["embs"], k)
+        s, i = np.asarray(s), np.asarray(i)
+        i = np.where((i >= 0) & (i < self.n_rows), i, -1)
+        return self._strip_dead(s, i, k)
+
+    def _masked_dense(self, q, k: int, mask: np.ndarray):
+        dev = self.device_image()
+        m = np.zeros((dev["n_pad"],), np.float32)
+        m[: len(mask)] = mask.astype(np.float32)
+        penalty = jnp.asarray((1.0 - m) * NEG_INF)
+
+        @jax.jit
+        def run(qq, embs, pen):
+            s = jnp.dot(
+                qq.astype(jnp.float32), embs.astype(jnp.float32).T,
+                preferred_element_type=jnp.float32,
+            )
+            s = s + pen[None, :]
+            return jax.lax.top_k(s, k)
+
+        s, i = run(q, dev["embs"], penalty)
+        s, i = np.asarray(s), np.asarray(i).astype(np.int32)
+        i = np.where(s > NEG_INF / 2, i, -1)
+        return s, i
+
+    def search_sparse(self, q_terms: np.ndarray, q_weights: np.ndarray,
+                      k: int, where=None):
+        """ELL lexical top-k (BM25 / learned sparse). q padding id: -2."""
+        dev = self.device_image()
+        mask = self._mask_vector(where)
+        if mask is None:
+            s, i = ell_topk(
+                dev["terms"], dev["impacts"],
+                jnp.asarray(q_terms), jnp.asarray(q_weights), k=k,
+            )
+            s, i = np.asarray(s), np.asarray(i)
+            i = np.where((i >= 0) & (i < self.n_rows), i, -1)
+            return self._strip_dead(s, i, k)
+        # masked: full scores then mask+topk (filtered queries are rare)
+        from ..ops.sparse import ell_scores
+
+        s = ell_scores(
+            dev["terms"], dev["impacts"],
+            jnp.asarray(q_terms), jnp.asarray(q_weights),
+        )
+        s = np.asarray(s)[:, : self.n_rows]
+        s = np.where(mask[None, :], s, NEG_INF)
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        top = np.take_along_axis(s, idx, axis=1)
+        idx = np.where(top > NEG_INF / 2, idx, -1).astype(np.int32)
+        return top.astype(np.float32), idx
+
+    def _strip_dead(self, s, i, k):
+        """Drop tombstoned rows from (already unfiltered) results."""
+        if self._alive.all():
+            return s, i
+        dead = ~self._alive
+        bad = (i >= 0) & dead[np.clip(i, 0, self.n_rows - 1)]
+        s = np.where(bad, NEG_INF, s)
+        i = np.where(bad, -1, i)
+        order = np.argsort(-s, axis=1, kind="stable")
+        return np.take_along_axis(s, order, axis=1), np.take_along_axis(
+            i, order, axis=1
+        )
+
+    def colbert_vectors(self, rows: Sequence[int]):
+        assert self._colbert is not None, "index built without colbert"
+        return self._colbert[np.asarray(rows)]
+
+    def dense_vectors(self, rows: Sequence[int]) -> np.ndarray:
+        return self._dense[np.asarray(rows)].astype(np.float32)
+
+    def chunk_ids(self, rows) -> list[str | None]:
+        return [self.ids[r] if r >= 0 else None for r in np.asarray(rows)]
+
+    # -------------------------------------------------------- checkpoint
+    def save(self, directory):
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            d / "arrays.npz",
+            dense=self._dense,
+            terms=self._terms,
+            impacts=self._impacts,
+            alive=self._alive,
+            **({"colbert": self._colbert} if self._colbert is not None else {}),
+        )
+        manifest = {
+            "config": {
+                "dim": self.config.dim,
+                "ell_width": self.config.ell_width,
+                "colbert_dim": self.config.colbert_dim,
+                "colbert_len": self.config.colbert_len,
+                "row_block": self.config.row_block,
+            },
+            "ids": self.ids,
+            "n_rows": self.n_rows,
+        }
+        (d / "manifest.json").write_text(json.dumps(manifest))
+        self.meta.save(d / "metadata.json")
+
+    @classmethod
+    def load(cls, directory, mesh=None) -> "DeviceIndex":
+        d = pathlib.Path(directory)
+        manifest = json.loads((d / "manifest.json").read_text())
+        cfg = IndexConfig(**manifest["config"])
+        idx = cls(cfg, mesh=mesh)
+        arrays = np.load(d / "arrays.npz")
+        idx._dense = arrays["dense"]
+        idx._terms = arrays["terms"]
+        idx._impacts = arrays["impacts"]
+        idx._alive = arrays["alive"]
+        if "colbert" in arrays:
+            idx._colbert = arrays["colbert"]
+        idx.ids = list(manifest["ids"])
+        idx._id_pos = {cid: i for i, cid in enumerate(idx.ids)}
+        idx.meta = MetadataStore.load(d / "metadata.json")
+        return idx

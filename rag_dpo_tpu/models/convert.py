@@ -1,0 +1,125 @@
+"""HF checkpoint → Flax param conversion for the encoder family.
+
+Maps `XLMRobertaModel` torch state dicts (the backbone of BAAI/bge-m3 and
+of Jina-reranker-v2-class cross-encoders) onto this package's module tree.
+The environment here is zero-egress with no HF cache, so production
+checkpoints can't be fetched — conversion is exercised in tests against a
+randomly-initialized tiny torch XLMRobertaModel (torch-cpu is available)
+to lock in numerical parity of the architecture.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _set(tree: dict, path: tuple[str, ...], value):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def convert_xlmr_state_dict(state: dict, prefix: str = "") -> dict:
+    """torch state-dict (name → np.ndarray) → Flax param tree for
+    `TransformerEncoder` (call with scope name 'encoder' stripped off by
+    the caller's module nesting).
+
+    Handles both bare `XLMRobertaModel` keys and `roberta.`-prefixed ones.
+    Linear weights are transposed ([out,in] → [in,out]).
+    """
+    params: dict = {}
+
+    def arr(name):
+        v = state[prefix + name]
+        return np.asarray(v)
+
+    def has(name):
+        return (prefix + name) in state
+
+    # --- embeddings
+    _set(params, ("word_embeddings", "embedding"),
+         arr("embeddings.word_embeddings.weight"))
+    _set(params, ("position_embeddings", "embedding"),
+         arr("embeddings.position_embeddings.weight"))
+    if has("embeddings.token_type_embeddings.weight"):
+        _set(params, ("token_type_embeddings", "embedding"),
+             arr("embeddings.token_type_embeddings.weight"))
+    _set(params, ("embeddings_norm", "scale"),
+         arr("embeddings.LayerNorm.weight"))
+    _set(params, ("embeddings_norm", "bias"),
+         arr("embeddings.LayerNorm.bias"))
+
+    # --- layers
+    layer_ids = sorted({
+        int(m.group(1))
+        for k in state
+        if (m := re.search(r"encoder\.layer\.(\d+)\.", k))
+    })
+    for i in layer_ids:
+        base = f"encoder.layer.{i}."
+        lname = f"layer_{i}"
+        for src, dst in (
+            ("attention.self.query", ("attention", "query")),
+            ("attention.self.key", ("attention", "key")),
+            ("attention.self.value", ("attention", "value")),
+            ("attention.output.dense", ("attention", "output")),
+            ("intermediate.dense", ("intermediate",)),
+            ("output.dense", ("mlp_output",)),
+        ):
+            _set(params, (lname, *dst, "kernel"),
+                 arr(base + src + ".weight").T)
+            _set(params, (lname, *dst, "bias"), arr(base + src + ".bias"))
+        _set(params, (lname, "attention_norm", "scale"),
+             arr(base + "attention.output.LayerNorm.weight"))
+        _set(params, (lname, "attention_norm", "bias"),
+             arr(base + "attention.output.LayerNorm.bias"))
+        _set(params, (lname, "output_norm", "scale"),
+             arr(base + "output.LayerNorm.weight"))
+        _set(params, (lname, "output_norm", "bias"),
+             arr(base + "output.LayerNorm.bias"))
+    return params
+
+
+def convert_bge_m3_state_dict(state: dict) -> dict:
+    """Full BGE-M3 export (backbone + sparse/colbert heads) → BgeM3Model
+    params. Head weights are published by FlagEmbedding as
+    `sparse_linear.pt` / `colbert_linear.pt` alongside the backbone; pass
+    them merged into `state` under 'sparse_linear.*' / 'colbert_linear.*'.
+    """
+    prefix = "roberta." if any(k.startswith("roberta.") for k in state) else ""
+    params = {"encoder": convert_xlmr_state_dict(state, prefix)}
+    if "sparse_linear.weight" in state:
+        params["sparse_head"] = {
+            "kernel": np.asarray(state["sparse_linear.weight"]).T,
+            "bias": np.asarray(state["sparse_linear.bias"]),
+        }
+    if "colbert_linear.weight" in state:
+        params["colbert_head"] = {
+            "kernel": np.asarray(state["colbert_linear.weight"]).T,
+            "bias": np.asarray(state["colbert_linear.bias"]),
+        }
+    return params
+
+
+def convert_cross_encoder_state_dict(state: dict) -> dict:
+    """Sequence-classification export (backbone + scalar classifier)."""
+    prefix = "roberta." if any(k.startswith("roberta.") for k in state) else ""
+    params = {"encoder": convert_xlmr_state_dict(state, prefix)}
+    if "classifier.dense.weight" in state:  # RoBERTa-style two-layer head
+        params["head_dense"] = {
+            "kernel": np.asarray(state["classifier.dense.weight"]).T,
+            "bias": np.asarray(state["classifier.dense.bias"]),
+        }
+        params["classifier"] = {
+            "kernel": np.asarray(state["classifier.out_proj.weight"]).T,
+            "bias": np.asarray(state["classifier.out_proj.bias"]),
+        }
+    elif "classifier.weight" in state:  # bare scalar head
+        params["classifier"] = {
+            "kernel": np.asarray(state["classifier.weight"]).T,
+            "bias": np.asarray(state["classifier.bias"]),
+        }
+    return params

@@ -69,13 +69,10 @@ def _ell_topk_kernel(qt_ref, qw_ref, dt_ref, di_ref, out_s_ref, out_i_ref,
 
     s = _ell_score_block(dt_ref[:], di_ref[:], qt_ref[:], qw_ref[:])
 
-    base = j * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    valid = col < n_valid
-    s = jnp.where(valid, s, NEG_INF)
-    col = jnp.where(valid, col, -1)
-
-    streaming_topk_update(s, col, run_s, run_i, k=k, is_first=j == 0)
+    streaming_topk_update(
+        s, run_s, run_i, k=k, is_first=j == 0, base=j * block_n,
+        n_valid=n_valid,
+    )
 
     @pl.when(j == nj - 1)
     def _():

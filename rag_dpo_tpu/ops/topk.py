@@ -146,13 +146,14 @@ def _merge_topk(scores, ids, k: int):
     return _rank_merge(empty_s, empty_i, scores, ids, k)
 
 
-def streaming_topk_update(s, col, run_s, run_i, *, k: int, is_first,
-                          seg: int = 128):
+def streaming_topk_update(s, run_s, run_i, *, k: int, is_first, base,
+                          n_valid: int, seg: int = 128):
     """Merge a block of scores into running top-k scratch refs.
 
-    s: [TQ, BN] f32 block scores; col: [TQ, BN] i32 global ids (-1 invalid).
-    run_s/run_i: [TQ, k] VMEM scratch refs holding the sorted-descending
-    running top-k. `is_first` (traced bool) resets the scratch.
+    s: [TQ, BN] f32 block scores (column c is corpus row `base + c`; columns
+    at or beyond `n_valid - base` are treated as invalid). run_s/run_i:
+    [TQ, k] VMEM scratch refs holding the sorted-descending running top-k.
+    `is_first` (traced bool) resets the scratch.
 
     Algorithm per block (all chosen to avoid long sequential loops, which
     dominate Mosaic kernel time):
@@ -163,7 +164,8 @@ def streaming_topk_update(s, col, run_s, run_i, *, k: int, is_first,
          rank-merges them into the running top-k, masks them out, and
          repeats only while some row still has candidates above its
          threshold. Rounds ≈ max candidates a single segment contributes.
-    Shared by the dense (matmul) and sparse (lexical) fused kernels.
+    Ids are recomputed from iota (never materialized at block width) to
+    keep VMEM pressure low. Shared by the dense and sparse fused kernels.
     """
     tq, bn = s.shape
     seg = min(seg, bn)
@@ -175,16 +177,17 @@ def streaming_topk_update(s, col, run_s, run_i, *, k: int, is_first,
         run_s[:] = jnp.full_like(run_s, NEG_INF)
         run_i[:] = jnp.full_like(run_i, -1)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, nseg, seg), 2)
+    seg_id = jax.lax.broadcasted_iota(jnp.int32, (tq, nseg, seg), 1)
+    col3 = base + seg_id * seg + lane
+    s3 = jnp.where(col3 < n_valid, s.reshape(tq, nseg, seg), NEG_INF)
+
     thresh = run_s[:, k - 1 : k]  # [TQ, 1] — sorted-desc invariant
-    row_max = jnp.max(s, axis=1, keepdims=True)
-    needed = jnp.any(row_max > thresh) | is_first
+    row_max = jnp.max(jnp.max(s3, axis=2), axis=1)
+    needed = jnp.any(row_max > thresh[:, 0]) | is_first
 
     @pl.when(needed)
     def _():
-        s3 = s.reshape(tq, nseg, seg)
-        col3 = col.reshape(tq, nseg, seg)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, nseg, seg), 2)
-
         def cond(carry):
             cur, rs, _ = carry
             th = rs[:, k - 1 : k]
@@ -198,6 +201,7 @@ def streaming_topk_update(s, col, run_s, run_i, *, k: int, is_first,
             )  # [TQ, nseg] — first argmax lane per segment
             sel = lane == pos[:, :, None]
             cand_i = jnp.sum(jnp.where(sel, col3, 0), axis=2)
+            cand_i = jnp.where(seg_max > NEG_INF / 2, cand_i, -1)
             rs, ri = _rank_merge(rs, ri, seg_max, cand_i, k)
             cur = jnp.where(sel, NEG_INF, cur)
             return cur, rs, ri
@@ -220,13 +224,10 @@ def _fused_topk_kernel(q_ref, e_ref, out_s_ref, out_i_ref, run_s, run_i,
         preferred_element_type=jnp.float32,
     )  # [TQ, BN]
 
-    base = j * block_n
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    valid = col < n_valid
-    s = jnp.where(valid, s, NEG_INF)
-    col = jnp.where(valid, col, -1)
-
-    streaming_topk_update(s, col, run_s, run_i, k=k, is_first=j == 0)
+    streaming_topk_update(
+        s, run_s, run_i, k=k, is_first=j == 0, base=j * block_n,
+        n_valid=n_valid,
+    )
 
     @pl.when(j == nj - 1)
     def _():
@@ -242,7 +243,7 @@ def fused_topk(
     embs,
     k: int,
     *,
-    block_n: int = 2048,
+    block_n: int = 1024,
     tile_q: int = 128,
     interpret: bool | None = None,
 ):
