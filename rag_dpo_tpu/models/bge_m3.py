@@ -22,6 +22,7 @@ import dataclasses
 from typing import Any
 
 import flax.linen as nn
+import flax.struct
 import jax.numpy as jnp
 
 from .encoder import EncoderConfig, TransformerEncoder
@@ -39,7 +40,7 @@ class BgeM3Config:
         return cls(encoder=EncoderConfig.tiny(), colbert_dim=32, **kw)
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class M3Output:
     dense: Any          # [B, H]  L2-normalized
     sparse: Any | None  # [B, S]  ≥0 token weights (0 at padding)

@@ -20,5 +20,10 @@ def interpret_default() -> bool:
     return not on_tpu()
 
 
-from .topk import cosine_topk_reference, fused_topk, blocked_topk  # noqa: E402,F401
+from .topk import (  # noqa: E402,F401
+    approx_topk,
+    blocked_topk,
+    cosine_topk_reference,
+    fused_topk,
+)
 from .fusion import rrf_fuse, rrf_fuse_reference  # noqa: E402,F401

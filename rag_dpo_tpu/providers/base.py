@@ -1,0 +1,76 @@
+"""LLM provider abstraction.
+
+Generation is not a TPU-retrieval workload: like the reference (OllamaProvider
+HTTP client, `src/utils/llm_provider.py:34-241`), the generator LLM lives
+behind a provider interface — any OpenAI/Ollama-style endpoint, or the
+deterministic fake used by tests (the reference has no fake; SURVEY.md §4
+calls this gap out explicitly).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+import time
+from typing import Any, Mapping, Sequence
+
+
+@dataclasses.dataclass
+class LLMResponse:
+    text: str
+    model: str = ""
+    duration: float = 0.0
+    error: str | None = None
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+
+class BaseLLMProvider(abc.ABC):
+    model_name: str = "unknown"
+
+    @abc.abstractmethod
+    def generate(
+        self,
+        prompt: str,
+        system: str | None = None,
+        temperature: float = 0.0,
+        json_mode: bool = False,
+        max_tokens: int | None = None,
+    ) -> LLMResponse: ...
+
+    def chat(
+        self,
+        messages: Sequence[Mapping[str, str]],
+        temperature: float = 0.0,
+        max_tokens: int | None = None,
+    ) -> LLMResponse:
+        """Default chat = flatten messages into a generate call."""
+        system = None
+        parts = []
+        for m in messages:
+            if m["role"] == "system":
+                system = m["content"]
+            else:
+                parts.append(f"{m['role']}: {m['content']}")
+        return self.generate("\n\n".join(parts), system=system,
+                             temperature=temperature)
+
+    def generate_with_image(
+        self, prompt: str, image_bytes: bytes, temperature: float = 0.0
+    ) -> LLMResponse:
+        return LLMResponse(text="", error="vision not supported")
+
+    def is_available(self) -> bool:
+        return True
+
+
+class timed_call:
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *a):
+        self.duration = time.time() - self.t0
+        return False

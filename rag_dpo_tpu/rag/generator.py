@@ -1,0 +1,81 @@
+"""Thin generation wrapper over the LLM provider.
+
+Role parity with `src/rag/generator.py` (:50-170): system+user → provider
+chat; errors surfaced in-band (never raised) so the pipeline's degradation
+ladder can act on them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+from ..providers.base import BaseLLMProvider
+
+
+@dataclasses.dataclass
+class GeneratedResponse:
+    text: str
+    model: str
+    generation_time: float
+    error: str | None = None
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None and bool(self.text.strip())
+
+
+class Generator:
+    def __init__(self, llm: BaseLLMProvider, temperature: float = 0.1,
+                 max_tokens: int | None = None):
+        self.llm = llm
+        self.temperature = temperature
+        self.max_tokens = max_tokens
+
+    def generate(self, system_prompt: str, user_prompt: str,
+                 temperature: float | None = None) -> GeneratedResponse:
+        t0 = time.time()
+        resp = self.llm.chat(
+            [
+                {"role": "system", "content": system_prompt},
+                {"role": "user", "content": user_prompt},
+            ],
+            temperature=self.temperature if temperature is None
+            else temperature,
+            max_tokens=self.max_tokens,
+        )
+        return GeneratedResponse(
+            text=resp.text,
+            model=resp.model or self.llm.model_name,
+            generation_time=time.time() - t0,
+            error=resp.error if not resp.text.strip() else resp.error,
+        )
+
+    def generate_with_history(
+        self,
+        system_prompt: str,
+        user_prompt: str,
+        history: Sequence[dict] | None = None,
+        temperature: float | None = None,
+    ) -> GeneratedResponse:
+        t0 = time.time()
+        messages = [{"role": "system", "content": system_prompt}]
+        for turn in history or []:
+            messages.append({
+                "role": turn.get("role", "user"),
+                "content": turn.get("content", ""),
+            })
+        messages.append({"role": "user", "content": user_prompt})
+        resp = self.llm.chat(
+            messages,
+            temperature=self.temperature if temperature is None
+            else temperature,
+            max_tokens=self.max_tokens,
+        )
+        return GeneratedResponse(
+            text=resp.text,
+            model=resp.model or self.llm.model_name,
+            generation_time=time.time() - t0,
+            error=resp.error,
+        )

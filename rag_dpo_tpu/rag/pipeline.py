@@ -1,0 +1,388 @@
+"""Sequential RAG orchestrator — the native (non-agent) query path.
+
+Role parity with `src/rag/pipeline.py` (1103 LoC). Flow (reference
+`query()` :170-593):
+
+  enterprise-tag filter build (:35-71) → intent classify → retrieve
+  candidates (40) → rerank (40→10) → rebuild documents from ranked chunks
+  (:805-879) → context build → generate → deterministic grounding
+  validation (+invented-source autofix) → quality-retry with more
+  documents (:508-540) → markdown fixup (:595-661) → cited-source
+  renumbering. Relevance validation is skipped when the reranker is on
+  (:295-299). Optional dual-generation with stance comparison
+  (:663-803) is off by default — the reference's published 90.4% uses
+  single-gen.
+
+The retrieval stages run on TPU (see retrieval/); this module is host
+orchestration and prompt logic only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Any, Sequence
+
+from ..retrieval.types import RetrievedChunk, RetrievedDocument, \
+    normalize_doc_key
+from .context import BuiltContext, ContextBuilder, fix_markdown_formatting
+from .generator import GeneratedResponse, Generator
+from .intent import IntentClassifier, QuestionIntent
+from .validators import GroundingValidator, RelevanceValidator
+
+
+def build_enterprise_where_filter(
+    enterprise_tags: Sequence[str] | None,
+    base_filter: dict | None = None,
+) -> dict | None:
+    """Enterprise-tag filter: docs carrying ANY selected tag, OR all CNIL
+    docs (reference semantics `pipeline.py:35-71`: boolean `tag_<name>`
+    metadata fields from ingest, $or-composed with the base filter)."""
+    if not enterprise_tags:
+        return base_filter
+    clauses: list[dict] = [{"source": "CNIL"}]
+    for tag in enterprise_tags:
+        clauses.append({f"tag_{tag}": True})
+    tag_filter = {"$or": clauses}
+    if base_filter:
+        return {"$and": [base_filter, tag_filter]}
+    return tag_filter
+
+
+@dataclasses.dataclass
+class RAGResponse:
+    answer: str
+    question: str
+    sources: list[dict]
+    intent: str = "factuel"
+    topics: list[str] = dataclasses.field(default_factory=list)
+    model: str = ""
+    retrieval_time: float = 0.0
+    rerank_time: float = 0.0
+    generation_time: float = 0.0
+    validation_time: float = 0.0
+    total_time: float = 0.0
+    n_candidates: int = 0
+    grounded: bool = True
+    grounding_issues: list[str] = dataclasses.field(default_factory=list)
+    retried: bool = False
+    error: str | None = None
+    extras: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+_STANCE_YES = re.compile(r"^\s*(?:\*\*)?\s*oui\b", re.IGNORECASE)
+_STANCE_NO = re.compile(r"^\s*(?:\*\*)?\s*non\b", re.IGNORECASE)
+
+
+def detect_stance(answer: str) -> str:
+    """'oui' / 'non' / 'neutre' from the answer opening (reference
+    `_detect_stance` :761-803 is the same regex idea)."""
+    if _STANCE_YES.search(answer):
+        return "oui"
+    if _STANCE_NO.search(answer):
+        return "non"
+    return "neutre"
+
+
+class RAGPipeline:
+    def __init__(
+        self,
+        retriever,
+        generator: Generator,
+        context_builder: ContextBuilder,
+        intent_classifier: IntentClassifier | None = None,
+        reranker=None,
+        grounding_validator: GroundingValidator | None = None,
+        relevance_validator: RelevanceValidator | None = None,
+        n_candidates: int = 40,
+        rerank_top_k: int = 10,
+        enable_dual_generation: bool = False,
+        max_quality_retries: int = 1,
+        retry_extra_docs: int = 4,
+    ):
+        self.retriever = retriever
+        self.generator = generator
+        self.context_builder = context_builder
+        self.intent_classifier = intent_classifier
+        self.reranker = reranker
+        self.grounding_validator = grounding_validator or GroundingValidator()
+        self.relevance_validator = relevance_validator
+        self.n_candidates = n_candidates
+        self.rerank_top_k = rerank_top_k
+        self.enable_dual_generation = enable_dual_generation
+        self.max_quality_retries = max_quality_retries
+        self.retry_extra_docs = retry_extra_docs
+
+    # ------------------------------------------------------------- public
+    def query(
+        self,
+        question: str,
+        where_filter: dict | None = None,
+        enterprise_tags: Sequence[str] | None = None,
+        conversation_history: Sequence[dict] | None = None,
+        n_documents: int = 5,
+        n_chunks_per_doc: int = 3,
+        temperature: float | None = None,
+    ) -> RAGResponse:
+        t_start = time.time()
+        where = build_enterprise_where_filter(enterprise_tags, where_filter)
+
+        # --- intent
+        intent = QuestionIntent()
+        if self.intent_classifier is not None:
+            intent = self.intent_classifier.classify(question)
+
+        # --- retrieval
+        t0 = time.time()
+        documents, candidates, rerank_time = self._retrieve(
+            question, where, intent, n_documents, n_chunks_per_doc
+        )
+        retrieval_time = time.time() - t0 - rerank_time
+
+        if not documents:
+            return RAGResponse(
+                answer=("Je n'ai trouvé aucun document pertinent pour cette "
+                        "question dans la base documentaire."),
+                question=question,
+                sources=[],
+                intent=intent.intent,
+                topics=intent.topics,
+                retrieval_time=retrieval_time,
+                total_time=time.time() - t_start,
+                n_candidates=0,
+            )
+
+        # --- generation (with quality retry ladder)
+        answer, built, gen, grounding, retried = self._generate_validated(
+            question, documents, intent, conversation_history, temperature,
+            where, n_documents, n_chunks_per_doc,
+        )
+
+        # --- formatting
+        t0 = time.time()
+        answer = fix_markdown_formatting(answer)
+        answer, used_sources = self.context_builder.\
+            format_response_with_sources(answer, built.sources)
+        validation_time = time.time() - t0
+
+        return RAGResponse(
+            answer=answer,
+            question=question,
+            sources=used_sources,
+            intent=intent.intent,
+            topics=intent.topics,
+            model=gen.model,
+            retrieval_time=retrieval_time,
+            rerank_time=rerank_time,
+            generation_time=gen.generation_time,
+            validation_time=validation_time,
+            total_time=time.time() - t_start,
+            n_candidates=len(candidates),
+            grounded=grounding.grounded,
+            grounding_issues=grounding.issues,
+            retried=retried,
+            error=gen.error,
+        )
+
+    # ------------------------------------------------------------ helpers
+    def _retrieve(self, question, where, intent, n_documents,
+                  n_chunks_per_doc):
+        rerank_time = 0.0
+        if self.reranker is not None:
+            candidates = self.retriever.retrieve_candidates(
+                question, n_candidates=self.n_candidates, where=where
+            )
+            t0 = time.time()
+            ranked = self.reranker.rerank(
+                question, candidates, top_k=self.rerank_top_k,
+                question_topics=intent.topics,
+            )
+            rerank_time = time.time() - t0
+            documents = rebuild_documents_from_ranked_chunks(
+                ranked, n_documents, n_chunks_per_doc
+            )
+            return documents, candidates, rerank_time
+        documents = self.retriever.retrieve(
+            question, n_documents=n_documents,
+            n_chunks_per_doc=n_chunks_per_doc, where=where,
+        )
+        if self.relevance_validator is not None:
+            documents = [
+                RetrievedDocument(
+                    doc_key=d.doc_key, title=d.title, score=d.score,
+                    chunks=self.relevance_validator.filter_chunks(d.chunks),
+                )
+                for d in documents
+            ]
+            documents = [d for d in documents if d.chunks]
+        return documents, [c for d in documents for c in d.chunks], 0.0
+
+    def _generate_once(self, question, documents, intent, history,
+                       temperature):
+        built = self.context_builder.build_context(
+            question, documents, intent=intent.intent,
+            negative_topics=intent.negative_topics,
+            conversation_history=history,
+        )
+        if self.enable_dual_generation:
+            gen = self._dual_generate(built, temperature)
+        else:
+            gen = self.generator.generate(
+                built.system_prompt, built.user_prompt,
+                temperature=temperature,
+            )
+        return built, gen
+
+    def _generate_validated(self, question, documents, intent, history,
+                            temperature, where, n_documents,
+                            n_chunks_per_doc):
+        retried = False
+        built, gen = self._generate_once(
+            question, documents, intent, history, temperature
+        )
+        answer = gen.text
+        grounding = self.grounding_validator.validate(
+            answer, built.context_text, n_sources=len(built.sources)
+        )
+        if grounding.invented_sources:
+            answer = self.grounding_validator.fix_invented_sources(
+                answer, len(built.sources)
+            )
+
+        # quality retry: fetch more documents when the answer is evasive or
+        # citation-free (reference recursive retry :508-540)
+        needs_retry = (
+            not grounding.has_citations
+            or any("évasive" in i for i in grounding.issues)
+            or not gen.ok
+        )
+        if needs_retry and self.max_quality_retries > 0:
+            retried = True
+            more_docs = self._retrieve(
+                question, where, intent,
+                n_documents + self.retry_extra_docs, n_chunks_per_doc,
+            )[0]
+            if more_docs:
+                built2, gen2 = self._generate_once(
+                    question, more_docs, intent, history, temperature
+                )
+                grounding2 = self.grounding_validator.validate(
+                    gen2.text, built2.context_text, len(built2.sources)
+                )
+                better = (
+                    (grounding2.has_citations
+                     and not grounding.has_citations)
+                    or (gen2.ok and not gen.ok)
+                    or len(grounding2.issues) < len(grounding.issues)
+                )
+                if better:
+                    answer = gen2.text
+                    if grounding2.invented_sources:
+                        answer = self.grounding_validator.\
+                            fix_invented_sources(answer,
+                                                 len(built2.sources))
+                    built, gen, grounding = built2, gen2, grounding2
+        return answer, built, gen, grounding, retried
+
+    def _dual_generate(self, built: BuiltContext,
+                       temperature) -> GeneratedResponse:
+        """Dual generation + stance selection (reference
+        `_select_dual_response` :663-759): two samples; on stance
+        disagreement prefer the one with more citations, else A."""
+        gen_a = self.generator.generate(
+            built.system_prompt, built.user_prompt, temperature=temperature
+        )
+        gen_b = self.generator.generate(
+            built.system_prompt, built.user_prompt,
+            temperature=0.4 if temperature is None else temperature + 0.3,
+        )
+        if not gen_a.ok:
+            return gen_b
+        if not gen_b.ok:
+            return gen_a
+        stance_a, stance_b = detect_stance(gen_a.text), \
+            detect_stance(gen_b.text)
+        if stance_a != stance_b:
+            from .validators import extract_citations
+
+            if len(extract_citations(gen_b.text)) > \
+                    len(extract_citations(gen_a.text)):
+                return gen_b
+        return gen_a
+
+
+def rebuild_documents_from_ranked_chunks(
+    chunks: Sequence[RetrievedChunk],
+    n_documents: int,
+    n_chunks_per_doc: int,
+) -> list[RetrievedDocument]:
+    """Group reranked chunks back into documents preserving rank order
+    (reference `_rebuild_documents_from_ranked_chunks` :805-879)."""
+    docs: dict[str, list[RetrievedChunk]] = {}
+    order: list[str] = []
+    for chunk in chunks:
+        key = normalize_doc_key(chunk.source_url or chunk.chunk_id)
+        if key not in docs:
+            docs[key] = []
+            order.append(key)
+        if len(docs[key]) < n_chunks_per_doc:
+            docs[key].append(chunk)
+    out = []
+    for key in order[:n_documents]:
+        group = docs[key]
+        out.append(RetrievedDocument(
+            doc_key=key,
+            title=group[0].title or key,
+            chunks=group,
+            score=max(c.score for c in group),
+        ))
+    return out
+
+
+def create_pipeline(
+    index,
+    embedder,
+    llm,
+    bm25_stats=None,
+    summary_index=None,
+    texts=None,
+    use_reranker: bool = True,
+    reranker=None,
+    use_intent: bool = True,
+    use_expansion: bool = True,
+    n_candidates: int = 40,
+    rerank_top_k: int = 10,
+    max_context_chars: int = 32_000,
+    enable_dual_generation: bool = False,
+    generation_temperature: float = 0.1,
+) -> RAGPipeline:
+    """Factory wiring the full native pipeline (reference factory
+    `create_pipeline` :935-1103, defaults from `configs/config.yaml:48-81`:
+    hybrid retrieval on, expansion n=3, rerank 40→10, context 32k chars,
+    dual-gen off)."""
+    from ..retrieval.retriever import HybridRetriever, RetrieverConfig
+    from ..retrieval.reranker import CrossEncoderReranker
+    from .expander import QueryExpander
+
+    expander = QueryExpander(llm) if use_expansion else None
+    retriever = HybridRetriever(
+        index, embedder, bm25_stats=bm25_stats, summary_index=summary_index,
+        query_expander=expander, texts=texts,
+        config=RetrieverConfig(),
+    )
+    if use_reranker and reranker is None:
+        reranker = CrossEncoderReranker()
+    return RAGPipeline(
+        retriever=retriever,
+        generator=Generator(llm, temperature=generation_temperature),
+        context_builder=ContextBuilder(
+            llm=llm, max_context_chars=max_context_chars
+        ),
+        intent_classifier=IntentClassifier(llm) if use_intent else None,
+        reranker=reranker if use_reranker else None,
+        relevance_validator=None if use_reranker else RelevanceValidator(),
+        n_candidates=n_candidates,
+        rerank_top_k=rerank_top_k,
+        enable_dual_generation=enable_dual_generation,
+    )

@@ -1,0 +1,165 @@
+"""BM25 statistics + ELL corpus builder for the device lexical arm.
+
+Replaces the reference's two in-RAM rank_bm25 indexes (`src/rag/bm25_index.py`:
+summary-level document prefilter at :76-173, chunk-level sparse arm at
+:190-292 — both O(corpus) pure-Python loops per query). Here BM25-Okapi
+per-term *impacts* are precomputed once at build time into the ELL arrays
+consumed by `ops.sparse.ell_topk`; a query is just (term ids, IDF weights),
+so scoring runs on device at memory bandwidth.
+
+BM25 Okapi parameterization matches rank_bm25's defaults (k1=1.5, b=0.75,
+epsilon=0.25; idf = ln((N−df+0.5)/(df+0.5)), negatives floored to
+epsilon·avg_idf) so rankings are comparable with the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import Counter
+from typing import Sequence
+
+import numpy as np
+
+from ..tokenize.french import tokenize_french_text
+
+
+@dataclasses.dataclass
+class Bm25Stats:
+    vocab: dict[str, int]
+    idf: np.ndarray          # [V] f32
+    avgdl: float
+    n_docs: int
+    k1: float = 1.5
+    b: float = 0.75
+
+    def query_terms(
+        self, text: str, max_terms: int = 32
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ ([T] term ids, [T] idf weights); pads with id -2 / weight 0."""
+        ids, weights = [], []
+        for tok in tokenize_french_text(text):
+            tid = self.vocab.get(tok)
+            if tid is not None and tid not in ids:
+                ids.append(tid)
+                weights.append(float(self.idf[tid]))
+            if len(ids) >= max_terms:
+                break
+        t = np.full((max_terms,), -2, np.int32)
+        w = np.zeros((max_terms,), np.float32)
+        t[: len(ids)] = ids
+        w[: len(weights)] = weights
+        return t, w
+
+
+def build_bm25_stats(
+    token_lists: Sequence[Sequence[str]],
+    k1: float = 1.5,
+    b: float = 0.75,
+    epsilon: float = 0.25,
+) -> Bm25Stats:
+    n = len(token_lists)
+    df: Counter = Counter()
+    total_len = 0
+    for toks in token_lists:
+        total_len += len(toks)
+        df.update(set(toks))
+    vocab = {term: i for i, term in enumerate(sorted(df))}
+    idf = np.zeros((len(vocab),), np.float32)
+    neg = []
+    for term, i in vocab.items():
+        d = df[term]
+        v = math.log((n - d + 0.5) / (d + 0.5))
+        idf[i] = v
+        if v < 0:
+            neg.append(i)
+    if len(vocab):
+        avg_idf = float(idf.mean())
+        idf[neg] = epsilon * avg_idf
+    avgdl = total_len / max(n, 1)
+    return Bm25Stats(vocab=vocab, idf=idf, avgdl=avgdl, n_docs=n, k1=k1, b=b)
+
+
+def build_ell_corpus(
+    token_lists: Sequence[Sequence[str]],
+    stats: Bm25Stats,
+    ell_width: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc_terms [N, L] i32 padded -1, doc_impacts [N, L] f32).
+
+    impact(t, d) = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — the document
+    side of BM25; query side multiplies by idf. Terms beyond `ell_width`
+    are dropped highest-tf-first kept (rare at chunk scale: ~600-word
+    chunks have < 300 unique terms; width is configurable).
+    """
+    n = len(token_lists)
+    terms = np.full((n, ell_width), -1, np.int32)
+    impacts = np.zeros((n, ell_width), np.float32)
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    for i, toks in enumerate(token_lists):
+        tf = Counter(toks)
+        dl = len(toks)
+        norm = k1 * (1 - b + b * dl / max(avgdl, 1e-9))
+        items = sorted(tf.items(), key=lambda kv: -kv[1])[:ell_width]
+        for slot, (term, f) in enumerate(items):
+            tid = stats.vocab.get(term)
+            if tid is None:
+                continue
+            terms[i, slot] = tid
+            impacts[i, slot] = f * (k1 + 1) / (f + norm)
+    return terms, impacts
+
+
+def tokenize_corpus(texts: Sequence[str]) -> list[list[str]]:
+    return [tokenize_french_text(t) for t in texts]
+
+
+class SummaryBm25Index:
+    """Document-level BM25 prefilter (summary-index role parity:
+    `bm25_index.py:76-173` tokenizes title+summary+URL per document and
+    returns the top-k doc paths used to restrict chunk retrieval)."""
+
+    def __init__(self, ell_width: int = 64):
+        self.ell_width = ell_width
+        self.doc_keys: list[str] = []
+        self.stats: Bm25Stats | None = None
+        self._terms = None
+        self._impacts = None
+
+    def build(self, docs: Sequence[dict]):
+        """docs: [{'doc_key', 'title', 'summary', 'url'}] (url optional)."""
+        self.doc_keys = [d["doc_key"] for d in docs]
+        token_lists = [
+            tokenize_french_text(
+                " ".join(
+                    str(d.get(f, "") or "") for f in ("title", "summary", "url")
+                )
+            )
+            for d in docs
+        ]
+        self.stats = build_bm25_stats(token_lists)
+        self._terms, self._impacts = build_ell_corpus(
+            token_lists, self.stats, self.ell_width
+        )
+
+    def search(self, query: str, top_k: int = 40) -> list[tuple[str, float]]:
+        if not self.doc_keys:
+            return []
+        from ..ops.sparse import ell_topk
+        import jax.numpy as jnp
+
+        qt, qw = self.stats.query_terms(query)
+        s, i = ell_topk(
+            jnp.asarray(self._terms), jnp.asarray(self._impacts),
+            jnp.asarray(qt[None]), jnp.asarray(qw[None]),
+            k=min(top_k, len(self.doc_keys)),
+        )
+        s, i = np.asarray(s)[0], np.asarray(i)[0]
+        return [
+            (self.doc_keys[r], float(v))
+            for r, v in zip(i, s)
+            if r >= 0 and v > 0
+        ]
+
+    def relevant_doc_keys(self, query: str, top_k: int = 40) -> set[str]:
+        return {k for k, _ in self.search(query, top_k)}

@@ -1,0 +1,210 @@
+"""Hybrid multi-query retriever — the reference query recipe on device.
+
+Pipeline (semantics of `src/rag/retriever.py:156-470`, re-architected):
+  1. acronym expansion (host string op)
+  2. LLM query expansion → up to 3 reformulations (`query_expander.py`)
+  3. summary-BM25 document prefilter → top-40 doc keys (`bm25_index.py:170`)
+  4. ONE batched device program over all queries: dense top-k for every
+     query arm at once + ELL sparse top-k for every arm at once — where the
+     reference loops 4 queries × (embed + HNSW + python BM25) sequentially
+     (its own HOT LOOP, SURVEY.md §3.1), this is two kernel dispatches;
+  5. weighted RRF fusion on device (`ops.fusion`): k=60, original query ×2,
+     expansions ×1, BM25 ×1.5 original / ×0.75 expansions — constants from
+     `retriever.py:66-90,209,428-432`;
+  6. host-side materialization into RetrievedChunk / doc-level dedup
+     (`retriever.py:539-578` URL-normalized) for the non-reranker path.
+
+`retrieve_candidates` (no doc dedup, bigger pool) feeds the reranker, like
+`retriever.py:312-470`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index import DeviceIndex
+from ..ops.fusion import rrf_fuse
+from ..providers.embedding import Embedder
+from ..rag.acronyms import expand_acronyms
+from .bm25 import Bm25Stats, SummaryBm25Index
+from .types import RetrievedChunk, RetrievedDocument, normalize_doc_key
+
+
+@dataclasses.dataclass
+class RetrieverConfig:
+    n_expansions: int = 3
+    rrf_k: int = 60
+    weight_original: float = 2.0
+    weight_expansion: float = 1.0
+    weight_bm25_original: float = 1.5
+    weight_bm25_expansion: float = 0.75
+    prefilter_top_docs: int = 40
+    per_arm_k: int = 40          # candidates fetched per retrieval arm
+    use_sparse: bool = True
+    use_prefilter: bool = True
+    max_query_terms: int = 32
+
+
+class HybridRetriever:
+    def __init__(
+        self,
+        index: DeviceIndex,
+        embedder: Embedder,
+        bm25_stats: Bm25Stats | None = None,
+        summary_index: SummaryBm25Index | None = None,
+        query_expander=None,
+        config: RetrieverConfig | None = None,
+        texts: Sequence[str] | None = None,
+    ):
+        self.index = index
+        self.embedder = embedder
+        self.bm25_stats = bm25_stats
+        self.summary_index = summary_index
+        self.query_expander = query_expander
+        self.config = config or RetrieverConfig()
+        self._texts = list(texts) if texts is not None else None
+
+    # ------------------------------------------------------------ helpers
+    def chunk_text(self, row: int) -> str:
+        if self._texts is not None and 0 <= row < len(self._texts):
+            return self._texts[row]
+        return str(self.index.meta.row(row).get("text", ""))
+
+    def _queries(self, question: str) -> list[str]:
+        q0 = expand_acronyms(question)
+        if self.query_expander is None:
+            return [q0]
+        return self.query_expander.expand(q0)
+
+    def _doc_filter(self, question: str, where) -> dict | None:
+        if not (self.config.use_prefilter and self.summary_index
+                and self.summary_index.doc_keys):
+            return where
+        keys = self.summary_index.relevant_doc_keys(
+            question, self.config.prefilter_top_docs
+        )
+        if not keys:
+            return where
+        doc_clause = {"doc_key": {"$in": sorted(keys)}}
+        if where:
+            return {"$and": [where, doc_clause]}
+        return doc_clause
+
+    # ------------------------------------------------------------- public
+    def retrieve_candidates(
+        self,
+        question: str,
+        n_candidates: int = 40,
+        where: dict | None = None,
+    ) -> list[RetrievedChunk]:
+        """Raw fused candidate pool for the reranker (no doc dedup)."""
+        cfg = self.config
+        queries = self._queries(question)
+        eff_where = self._doc_filter(question, where)
+        nq = len(queries)
+        k_arm = cfg.per_arm_k
+
+        # --- dense arms: one batched search over all query variants
+        q_dense = self.embedder.embed_queries(queries)  # [nq, D]
+        d_scores, d_rows = self.index.search_dense(q_dense, k_arm,
+                                                   where=eff_where)
+
+        arms = [d_rows[i] for i in range(nq)]
+        weights = [cfg.weight_original] + [cfg.weight_expansion] * (nq - 1)
+
+        # --- sparse arms (BM25) batched
+        s_rows = None
+        if cfg.use_sparse and self.bm25_stats is not None:
+            qt = np.stack([
+                self.bm25_stats.query_terms(q, cfg.max_query_terms)[0]
+                for q in queries
+            ])
+            qw = np.stack([
+                self.bm25_stats.query_terms(q, cfg.max_query_terms)[1]
+                for q in queries
+            ])
+            s_scores, s_rows = self.index.search_sparse(
+                qt, qw, k_arm, where=eff_where
+            )
+            for i in range(nq):
+                arms.append(s_rows[i])
+                weights.append(
+                    cfg.weight_bm25_original if i == 0
+                    else cfg.weight_bm25_expansion
+                )
+
+        # --- weighted RRF fusion on device
+        ids = jnp.asarray(np.stack(arms)[:, None, :], jnp.int32)  # [A,1,L]
+        w = jnp.asarray(np.asarray(weights, np.float32))
+        fused_scores, fused_rows = rrf_fuse(
+            ids, w, k_rrf=cfg.rrf_k, topk=n_candidates
+        )
+        fused_scores = np.asarray(fused_scores)[0]
+        fused_rows = np.asarray(fused_rows)[0]
+
+        dense_by_row = {
+            int(r): float(s)
+            for rr, ss in zip(d_rows, d_scores)
+            for r, s in zip(rr, ss) if r >= 0
+        }
+        sparse_by_row: dict[int, float] = {}
+        if s_rows is not None:
+            sparse_by_row = {
+                int(r): float(s)
+                for rr, ss in zip(s_rows, s_scores)
+                for r, s in zip(rr, ss) if r >= 0
+            }
+
+        out: list[RetrievedChunk] = []
+        for row, score in zip(fused_rows, fused_scores):
+            if row < 0:
+                continue
+            row = int(row)
+            meta = dict(self.index.meta.row(row))
+            out.append(RetrievedChunk(
+                chunk_id=self.index.ids[row],
+                text=self.chunk_text(row),
+                metadata=meta,
+                score=float(score),
+                dense_score=dense_by_row.get(row, 0.0),
+                sparse_score=sparse_by_row.get(row, 0.0),
+                row=row,
+            ))
+        return out
+
+    def retrieve(
+        self,
+        question: str,
+        n_documents: int = 5,
+        n_chunks_per_doc: int = 3,
+        where: dict | None = None,
+    ) -> list[RetrievedDocument]:
+        """Doc-level retrieval with URL-normalized dedup (non-reranker
+        path parity: `retriever.py:156-310,539-578`)."""
+        pool = self.retrieve_candidates(
+            question, n_candidates=max(40, n_documents * 8), where=where
+        )
+        docs: dict[str, list[RetrievedChunk]] = {}
+        order: list[str] = []
+        for chunk in pool:
+            key = normalize_doc_key(chunk.source_url or chunk.chunk_id)
+            if key not in docs:
+                docs[key] = []
+                order.append(key)
+            if len(docs[key]) < n_chunks_per_doc:
+                docs[key].append(chunk)
+        result = []
+        for key in order[:n_documents]:
+            chunks = docs[key]
+            result.append(RetrievedDocument(
+                doc_key=key,
+                title=chunks[0].title or key,
+                chunks=chunks,
+                score=max(c.score for c in chunks),
+            ))
+        return result

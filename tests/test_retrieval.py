@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+from rag_dpo_tpu.providers import Embedder, EmbedderConfig, FakeLLMProvider
+from rag_dpo_tpu.rag.expander import QueryExpander
+from rag_dpo_tpu.retrieval import (
+    CrossEncoderReranker,
+    HybridRetriever,
+    RetrieverConfig,
+    SummaryBm25Index,
+)
+from rag_dpo_tpu.retrieval.bm25 import (
+    build_bm25_stats,
+    build_ell_corpus,
+    tokenize_corpus,
+)
+from rag_dpo_tpu.models import BgeM3Config, EncoderConfig
+
+CORPUS = [
+    ("c0", "Le délégué à la protection des données conseille le responsable "
+           "de traitement sur les obligations du RGPD.",
+     {"source_url": "https://cnil.fr/dpo-role", "title": "Rôle du DPO",
+      "doc_key": "cnil.fr/dpo-role", "nature": "DOCTRINE",
+      "heading": "Missions du DPO"}),
+    ("c1", "En cas de violation de données personnelles, la notification à "
+           "la CNIL doit intervenir dans les 72 heures.",
+     {"source_url": "https://cnil.fr/violations", "title": "Violations",
+      "doc_key": "cnil.fr/violations", "nature": "GUIDE",
+      "heading": "Notification 72h"}),
+    ("c2", "L'analyse d'impact relative à la protection des données est "
+           "obligatoire pour les traitements à risque élevé.",
+     {"source_url": "https://cnil.fr/aipd", "title": "AIPD",
+      "doc_key": "cnil.fr/aipd", "nature": "GUIDE",
+      "heading": "Quand faire une AIPD"}),
+    ("c3", "Le registre des activités de traitement recense l'ensemble des "
+           "traitements de données de l'organisme.",
+     {"source_url": "https://cnil.fr/registre", "title": "Registre",
+      "doc_key": "cnil.fr/registre", "nature": "DOCTRINE",
+      "heading": "Tenir le registre"}),
+    ("c4", "Les durées de conservation des données doivent être définies et "
+           "proportionnées à la finalité du traitement.",
+     {"source_url": "https://cnil.fr/durees", "title": "Durées",
+      "doc_key": "cnil.fr/durees", "nature": "DOCTRINE",
+      "heading": "Durées de conservation"}),
+    ("c5", "La notification d'une violation comporte la nature de la "
+           "violation et les mesures prises, transmises à la CNIL.",
+     {"source_url": "https://cnil.fr/violations", "title": "Violations",
+      "doc_key": "cnil.fr/violations", "nature": "GUIDE",
+      "heading": "Contenu de la notification"}),
+]
+
+
+@pytest.fixture(scope="module")
+def stack():
+    embedder = Embedder(EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            use_flash_attention=False), colbert_dim=32),
+        batch_size=8,
+    ))
+    texts = [t for _, t, _ in CORPUS]
+    metas = []
+    for cid, text, meta in CORPUS:
+        m = dict(meta)
+        m["text"] = text
+        metas.append(m)
+    out = embedder.embed(texts)
+    tokens = tokenize_corpus(texts)
+    stats = build_bm25_stats(tokens)
+    terms, impacts = build_ell_corpus(tokens, stats, ell_width=16)
+
+    index = DeviceIndex(IndexConfig(dim=embedder.dim, ell_width=16,
+                                    row_block=8))
+    index.add([c for c, _, _ in CORPUS], out["dense"], metas, terms, impacts)
+
+    summary = SummaryBm25Index()
+    summary.build([
+        {"doc_key": m["doc_key"], "title": m["title"], "summary": t,
+         "url": m["source_url"]}
+        for (_, t, m) in CORPUS
+    ])
+    retriever = HybridRetriever(
+        index, embedder, bm25_stats=stats, summary_index=summary,
+        query_expander=QueryExpander(FakeLLMProvider()),
+        config=RetrieverConfig(per_arm_k=6, prefilter_top_docs=5),
+    )
+    return retriever, embedder, index
+
+
+def test_lexical_retrieval_hits_right_chunk(stack):
+    retriever, _, _ = stack
+    chunks = retriever.retrieve_candidates(
+        "notification violation 72 heures CNIL", n_candidates=4
+    )
+    assert chunks, "no candidates returned"
+    # the 72h chunk must be in the fused candidates via the BM25 arm
+    ids = [c.chunk_id for c in chunks]
+    assert "c1" in ids
+    assert all(c.text for c in chunks)
+    assert chunks[0].score >= chunks[-1].score
+
+
+def test_retrieve_documents_dedup(stack):
+    retriever, _, _ = stack
+    docs = retriever.retrieve("notification violation CNIL", n_documents=3,
+                              n_chunks_per_doc=2)
+    keys = [d.doc_key for d in docs]
+    assert len(keys) == len(set(keys))
+    viol = next((d for d in docs if d.doc_key == "cnil.fr/violations"), None)
+    assert viol is not None
+    assert len(viol.chunks) <= 2
+
+
+def test_retrieve_with_filter(stack):
+    retriever, _, _ = stack
+    chunks = retriever.retrieve_candidates(
+        "registre des traitements", n_candidates=4,
+        where={"nature": "GUIDE"},
+    )
+    natures = {c.metadata["nature"] for c in chunks}
+    assert natures <= {"GUIDE"}
+
+
+def test_acronym_expansion_changes_queries(stack):
+    retriever, _, _ = stack
+    qs = retriever._queries("Que fait le DPO ?")
+    assert "délégué à la protection des données" in qs[0]
+    assert len(qs) >= 2  # fake LLM expansions parsed
+
+
+def test_cross_encoder_reranker(stack):
+    retriever, _, _ = stack
+    chunks = retriever.retrieve_candidates("violation de données",
+                                           n_candidates=6)
+    rr = CrossEncoderReranker(
+        model_config=EncoderConfig.tiny(use_flash_attention=False)
+    )
+    ranked = rr.rerank("violation de données", chunks, top_k=4)
+    assert 3 <= len(ranked) <= 4  # min_keep fallback allowed
+    scores = [c.rerank_score for c in ranked]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_reranker_empty_and_error_fallback():
+    rr = CrossEncoderReranker(
+        model_config=EncoderConfig.tiny(use_flash_attention=False)
+    )
+    assert rr.rerank("q", []) == []
+
+
+def test_summary_prefilter(stack):
+    _, _, index = stack
+    summary = SummaryBm25Index()
+    summary.build([
+        {"doc_key": m["doc_key"], "title": m["title"], "summary": t}
+        for (_, t, m) in CORPUS
+    ])
+    keys = summary.relevant_doc_keys("violation notification", top_k=3)
+    assert "cnil.fr/violations" in keys
