@@ -1,0 +1,312 @@
+"""QA-replay evaluation harness.
+
+Role parity with `eval/run_eval.py` (1425 LoC): replays the 48-question
+`eval/qa_dataset.json` (schema: id, question, category, difficulty,
+expected_answer_summary, must_include, must_include_any, must_not_include,
+expected_sources_keywords, reference_articles) and scores along the
+reference's axes:
+
+* keyword correctness — flexible accent-insensitive matching with
+  `must_include`, N-of-M `must_include_any` with `|`-alternates, and
+  `must_not_include` veto (reference :71-256)
+* semantic similarity — embedder cosine(expected_summary, answer)
+  (reference :380-404 uses BGE-M3 the same way)
+* LLM-judge — free 0-100 with factual-error veto (reference :426-563);
+  optional, two-phase (all RAG answers first, judging after — the
+  reference does this for GPU handoff :922-925)
+* source quality — cited sources vs expected_sources_keywords (:317-359)
+* combination — correctness = 0.60·judge + 0.40·semantic when the judge
+  is on (else keyword+semantic mix); global = 0.55·correctness +
+  0.25·faithfulness + 0.20·sources (:623-686)
+* multi-run mean±σ aggregation with per-question spread flags (:1125-1373)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import re
+import statistics
+import time
+import unicodedata
+from typing import Any, Sequence
+
+from ..rag.intent import extract_json_object
+from ..rag.validators import extract_citations
+
+DEFAULT_DATASET = pathlib.Path("/root/reference/eval/qa_dataset.json")
+
+
+def _norm(text: str) -> str:
+    text = unicodedata.normalize("NFKD", text.lower())
+    return "".join(c for c in text if not unicodedata.combining(c))
+
+
+def load_qa_dataset(path=None) -> list[dict]:
+    p = pathlib.Path(path) if path else DEFAULT_DATASET
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+# ------------------------------------------------------------------ scoring
+
+def keyword_found(keyword: str, answer_norm: str) -> bool:
+    """Flexible match: all words of the keyword phrase appear (any order,
+    accent-insensitive) or the full phrase appears."""
+    kw = _norm(keyword)
+    if kw in answer_norm:
+        return True
+    words = [w for w in re.findall(r"\w+", kw) if len(w) > 2]
+    return bool(words) and all(w in answer_norm for w in words)
+
+
+def keyword_score(item: dict, answer: str) -> tuple[float, list[str]]:
+    """→ (score 0-1, missing keywords). must_not_include is a veto."""
+    answer_norm = _norm(answer)
+    missing: list[str] = []
+    n_checks = 0
+    n_hit = 0
+    for kw in item.get("must_include") or []:
+        n_checks += 1
+        if keyword_found(kw, answer_norm):
+            n_hit += 1
+        else:
+            missing.append(kw)
+    for group in item.get("must_include_any") or []:
+        # group is "a|b|c" or {"any": [...], "min": n}
+        n_checks += 1
+        if isinstance(group, str):
+            alts, need = group.split("|"), 1
+        else:
+            alts, need = group.get("any", []), int(group.get("min", 1))
+        hits = sum(1 for alt in alts if keyword_found(alt, answer_norm))
+        if hits >= need:
+            n_hit += 1
+        else:
+            missing.append(str(group))
+    score = n_hit / n_checks if n_checks else 1.0
+    for kw in item.get("must_not_include") or []:
+        if keyword_found(kw, answer_norm):
+            score *= 0.3  # forbidden content veto
+            missing.append(f"INTERDIT:{kw}")
+    return score, missing
+
+
+def source_quality_score(item: dict, sources: list[dict],
+                         answer: str) -> float:
+    expected = item.get("expected_sources_keywords") or []
+    if not expected:
+        return 1.0 if sources or not extract_citations(answer) else 0.5
+    if not sources:
+        return 0.0
+    blob = _norm(" ".join(
+        f"{s.get('title', '')} {s.get('url', '')}" for s in sources
+    ) + " " + answer)
+    hits = sum(1 for kw in expected if keyword_found(kw, blob))
+    return hits / len(expected)
+
+
+JUDGE_PROMPT = """Tu évalues la réponse d'un assistant RGPD.
+
+Question : {question}
+
+Réponse attendue (résumé) : {expected}
+
+Réponse de l'assistant :
+{answer}
+
+Note la justesse de 0 à 100 (100 = parfaitement correcte et complète).
+Signale toute erreur factuelle (chiffre, délai, article faux).
+Réponds STRICTEMENT en JSON :
+{{"score": <0-100>, "erreur_factuelle": <true|false>,
+"justification": "<une phrase>"}}
+
+JSON :"""
+
+
+def llm_judge_score(llm, item: dict, answer: str) -> float | None:
+    resp = llm.generate(
+        JUDGE_PROMPT.format(
+            question=item["question"],
+            expected=item.get("expected_answer_summary", ""),
+            answer=answer[:6000],
+        ),
+        temperature=0.0, json_mode=True,
+    )
+    if not resp.ok:
+        return None
+    data = extract_json_object(resp.text)
+    if not isinstance(data, dict) or "score" not in data:
+        return None
+    try:
+        score = float(data["score"]) / 100.0
+    except (TypeError, ValueError):
+        return None
+    if data.get("erreur_factuelle"):
+        score = min(score, 0.4)  # factual-error veto
+    return max(0.0, min(1.0, score))
+
+
+# ------------------------------------------------------------------ harness
+
+@dataclasses.dataclass
+class EvalConfig:
+    use_llm_judge: bool = False
+    weight_judge: float = 0.60
+    weight_semantic: float = 0.40
+    weight_correctness: float = 0.55
+    weight_faithfulness: float = 0.25
+    weight_sources: float = 0.20
+    n_runs: int = 1
+    spread_flag_pct: float = 0.10
+
+
+class EvalHarness:
+    def __init__(self, pipeline, embedder=None, judge_llm=None,
+                 config: EvalConfig | None = None):
+        self.pipeline = pipeline
+        self.embedder = embedder
+        self.judge_llm = judge_llm
+        self.config = config or EvalConfig()
+
+    # ----------------------------------------------------------- one item
+    def _semantic(self, item: dict, answer: str) -> float:
+        if self.embedder is None:
+            return 0.0
+        import numpy as np
+
+        vecs = self.embedder.embed_queries(
+            [item.get("expected_answer_summary", ""), answer[:4000]]
+        )
+        return float(np.clip(np.dot(vecs[0], vecs[1]), 0.0, 1.0))
+
+    def evaluate_single(self, item: dict, response) -> dict:
+        cfg = self.config
+        answer = response.answer
+        kscore, missing = keyword_score(item, answer)
+        semantic = self._semantic(item, answer)
+        judge = None
+        if cfg.use_llm_judge and self.judge_llm is not None:
+            judge = llm_judge_score(self.judge_llm, item, answer)
+        if judge is not None:
+            correctness = (cfg.weight_judge * judge
+                           + cfg.weight_semantic * semantic)
+        elif self.embedder is not None:
+            correctness = 0.5 * kscore + 0.5 * semantic
+        else:
+            correctness = kscore
+        faithfulness = 1.0 if response.grounded else max(
+            0.0, 1.0 - 0.25 * len(response.grounding_issues)
+        )
+        sources = source_quality_score(item, response.sources, answer)
+        global_score = (
+            cfg.weight_correctness * correctness
+            + cfg.weight_faithfulness * faithfulness
+            + cfg.weight_sources * sources
+        )
+        return {
+            "id": item["id"],
+            "category": item.get("category"),
+            "difficulty": item.get("difficulty"),
+            "keyword_score": round(kscore, 4),
+            "semantic_score": round(semantic, 4),
+            "judge_score": judge,
+            "correctness": round(correctness, 4),
+            "faithfulness": round(faithfulness, 4),
+            "source_score": round(sources, 4),
+            "global_score": round(global_score, 4),
+            "missing_keywords": missing,
+            "n_sources": len(response.sources),
+            "time_s": round(response.total_time, 2),
+        }
+
+    # ----------------------------------------------------------- full run
+    def run(self, dataset: Sequence[dict], query_kwargs=None) -> dict:
+        """Two-phase: all pipeline answers first, judging second."""
+        cfg = self.config
+        t0 = time.time()
+        responses = []
+        for item in dataset:
+            responses.append(self.pipeline.query(
+                item["question"], **(query_kwargs or {})
+            ))
+        results = [
+            self.evaluate_single(item, resp)
+            for item, resp in zip(dataset, responses)
+        ]
+        scores = [r["global_score"] for r in results]
+        by_cat: dict[str, list[float]] = {}
+        for r in results:
+            by_cat.setdefault(r["category"] or "?", []).append(
+                r["global_score"]
+            )
+        n = len(results)
+        report = {
+            "n_questions": n,
+            "global_score": round(sum(scores) / n, 4) if n else 0.0,
+            "global_score_weighted_by_category": round(
+                sum(sum(v) / len(v) for v in by_cat.values())
+                / max(len(by_cat), 1), 4,
+            ),
+            "per_category": {
+                k: round(sum(v) / len(v), 4) for k, v in by_cat.items()
+            },
+            "questions_above_85pct": sum(1 for s in scores if s >= 0.85),
+            "faithfulness": round(
+                sum(r["faithfulness"] for r in results) / n, 4
+            ) if n else 0.0,
+            "source_score": round(
+                sum(r["source_score"] for r in results) / n, 4
+            ) if n else 0.0,
+            "avg_time_per_question": round(
+                sum(r["time_s"] for r in results) / n, 2
+            ) if n else 0.0,
+            "total_time_seconds": round(time.time() - t0, 1),
+            "results": results,
+        }
+        return report
+
+    def run_multi(self, dataset: Sequence[dict], n_runs=None,
+                  query_kwargs=None) -> dict:
+        cfg = self.config
+        n_runs = n_runs or cfg.n_runs
+        runs = [self.run(dataset, query_kwargs) for _ in range(n_runs)]
+        per_q: dict[str, list[float]] = {}
+        for run in runs:
+            for r in run["results"]:
+                per_q.setdefault(r["id"], []).append(r["global_score"])
+        spread_flags = []
+        per_question = {}
+        for qid, vals in per_q.items():
+            mean = statistics.mean(vals)
+            std = statistics.pstdev(vals) if len(vals) > 1 else 0.0
+            per_question[qid] = {"mean": round(mean, 4),
+                                 "std": round(std, 4)}
+            if std >= cfg.spread_flag_pct:
+                spread_flags.append(qid)
+        global_scores = [r["global_score"] for r in runs]
+        return {
+            "n_runs": n_runs,
+            "global_score": {
+                "mean": round(statistics.mean(global_scores), 4),
+                "std": round(
+                    statistics.pstdev(global_scores)
+                    if n_runs > 1 else 0.0, 4
+                ),
+            },
+            "per_question": per_question,
+            "high_spread_questions": spread_flags,
+            "runs": runs,
+            "total_time_seconds": round(
+                sum(r["total_time_seconds"] for r in runs), 1
+            ),
+        }
+
+    def save_report(self, report: dict, out_dir, tag: str = "eval"):
+        out = pathlib.Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        path = out / f"results_{tag}_{stamp}.json"
+        path.write_text(json.dumps(report, ensure_ascii=False, indent=1))
+        return path

@@ -1,0 +1,120 @@
+import json
+
+import pytest
+
+from rag_dpo_tpu.evals import EvalConfig, EvalHarness, load_qa_dataset
+from rag_dpo_tpu.evals.harness import (
+    keyword_found,
+    keyword_score,
+    llm_judge_score,
+    source_quality_score,
+)
+from rag_dpo_tpu.evals.retrieval_eval import recall_at_k
+from rag_dpo_tpu.providers import FakeLLMProvider
+from rag_dpo_tpu.providers.base import LLMResponse
+from rag_dpo_tpu.rag.pipeline import RAGResponse
+
+
+def test_load_reference_dataset():
+    data = load_qa_dataset()
+    assert len(data) == 48
+    assert all("question" in d and "id" in d for d in data)
+
+
+def test_keyword_matching():
+    assert keyword_found("personne physique", "toute personne physique x")
+    assert keyword_found("identifiée ou identifiable",
+                         "personne identifiable et identifiee")
+    assert not keyword_found("sous-traitant", "le responsable seul")
+
+
+def test_keyword_score_any_and_veto():
+    item = {
+        "must_include": ["72 heures"],
+        "must_include_any": ["CNIL|autorité de contrôle"],
+        "must_not_include": ["30 jours"],
+    }
+    s, missing = keyword_score(item, "Notification sous 72 heures à la CNIL")
+    assert s == 1.0 and not missing
+    s, missing = keyword_score(
+        item, "Notification sous 72 heures à la CNIL sous 30 jours")
+    assert s == pytest.approx(0.3)
+    assert any(m.startswith("INTERDIT") for m in missing)
+    s, _ = keyword_score(item, "Notification rapide à la CNIL")
+    assert s == pytest.approx(0.5)
+
+
+def test_source_quality():
+    item = {"expected_sources_keywords": ["violation", "notification"]}
+    sources = [{"title": "Guide violation de données", "url": ""}]
+    s = source_quality_score(item, sources, "texte sur la notification")
+    assert s == 1.0
+    assert source_quality_score(item, [], "réponse") == 0.0
+
+
+def test_judge_veto():
+    class Judge(FakeLLMProvider):
+        def generate(self, *a, **k):
+            return LLMResponse(json.dumps({
+                "score": 95, "erreur_factuelle": True,
+                "justification": "délai faux",
+            }))
+
+    s = llm_judge_score(Judge(), {"question": "q",
+                                  "expected_answer_summary": "e"}, "a")
+    assert s == pytest.approx(0.4)  # veto caps at 0.4
+
+
+class _ScriptedPipeline:
+    def __init__(self, answers):
+        self.answers = answers
+        self.i = 0
+
+    def query(self, question, **kw):
+        a = self.answers[self.i % len(self.answers)]
+        self.i += 1
+        return RAGResponse(
+            answer=a, question=question,
+            sources=[{"n": 1, "title": "Définition donnée personnelle",
+                      "url": "https://cnil.fr/def"}],
+            total_time=0.01,
+        )
+
+
+def test_harness_end_to_end_and_multi_run():
+    dataset = [
+        {
+            "id": "q1", "question": "Qu'est-ce qu'une donnée personnelle ?",
+            "category": "definition",
+            "expected_answer_summary": "information sur personne physique",
+            "must_include": ["personne physique"],
+            "expected_sources_keywords": ["donnée personnelle"],
+        },
+        {
+            "id": "q2", "question": "Délai de notification ?",
+            "category": "obligation",
+            "expected_answer_summary": "72 heures",
+            "must_include": ["72"],
+            "expected_sources_keywords": [],
+        },
+    ]
+    pipe = _ScriptedPipeline([
+        "Une donnée personnelle concerne une personne physique "
+        "identifiable [Source 1].",
+        "Le délai est de 72 heures [Source 1].",
+    ])
+    harness = EvalHarness(pipe, config=EvalConfig())
+    report = harness.run(dataset)
+    assert report["n_questions"] == 2
+    assert report["global_score"] > 0.8
+    assert set(report["per_category"]) == {"definition", "obligation"}
+    multi = harness.run_multi(dataset, n_runs=2)
+    assert multi["n_runs"] == 2
+    assert multi["global_score"]["std"] == 0.0  # deterministic pipeline
+    assert multi["per_question"]["q1"]["mean"] > 0.8
+
+
+def test_recall_at_k():
+    ours = [["a", "b", "c"], ["x", "y", "z"]]
+    oracle = [["a", "c", "d"], ["x", "y", "z"]]
+    assert recall_at_k(ours, oracle, 3) == pytest.approx((2 / 3 + 1.0) / 2)
