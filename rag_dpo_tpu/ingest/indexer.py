@@ -68,10 +68,19 @@ class CorpusIndexer:
             texts = [texts[i] for i in fresh]
             ids = [ids[i] for i in fresh]
 
-        token_lists = [tokenize_french_text(t) for t in texts]
-        stats = build_bm25_stats(token_lists)
-        terms, impacts = build_ell_corpus(token_lists, stats,
-                                          self.ell_width)
+        from .. import native
+
+        if native.is_available():
+            # C++ ingestion runtime: tokenize + BM25 stats + ELL arrays in
+            # one native pass (tests assert bit-level score parity)
+            stats, terms, impacts = native.build_ell_corpus_native(
+                texts, ell_width=self.ell_width
+            )
+        else:
+            token_lists = [tokenize_french_text(t) for t in texts]
+            stats = build_bm25_stats(token_lists)
+            terms, impacts = build_ell_corpus(token_lists, stats,
+                                              self.ell_width)
 
         out = self.embedder.embed(
             texts, return_colbert=self.with_colbert

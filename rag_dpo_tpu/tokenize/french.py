@@ -29,7 +29,14 @@ seront cela ca y en l d s n qu j c m t
 _TOKEN_RE = re.compile(r"[a-z0-9]+(?:-[a-z0-9]+)*", re.UNICODE)
 
 
+_LIGATURES = str.maketrans({"œ": "oe", "Œ": "OE", "æ": "ae", "Æ": "AE",
+                            "ß": "ss"})
+
+
 def strip_accents(text: str) -> str:
+    # NFD leaves ligatures intact (œ is not a combining sequence), so they
+    # are folded explicitly — otherwise "cœur" would tokenize as "ur".
+    text = text.translate(_LIGATURES)
     return "".join(
         c for c in unicodedata.normalize("NFD", text)
         if unicodedata.category(c) != "Mn"
