@@ -1,0 +1,110 @@
+import json
+import subprocess
+import sys
+
+import pytest
+
+from rag_dpo_tpu.ingest.images import ImageClassifier, ImageDecision
+from rag_dpo_tpu.providers.base import LLMResponse
+from rag_dpo_tpu.providers.factory import HostedAPIProvider, create_llm
+from rag_dpo_tpu.providers import FakeLLMProvider
+
+
+def test_factory_fake_mode():
+    llm = create_llm("fake")
+    assert llm.generate("test").ok
+
+
+def test_factory_hybrid_falls_back_to_fake(monkeypatch):
+    monkeypatch.delenv("RAGDPO_API_KEY", raising=False)
+    # no hosted key, local endpoint unreachable → fake
+    monkeypatch.setenv("RAGDPO_LLM_BASE_URL", "http://127.0.0.1:1")
+    llm = create_llm("hybrid")
+    assert llm.model_name == "fake-deterministic"
+
+
+def test_factory_unknown_mode():
+    with pytest.raises(ValueError):
+        create_llm("quantum")
+
+
+def test_hosted_provider_error_in_band():
+    p = HostedAPIProvider(base_url="http://127.0.0.1:1", api_key="k")
+    resp = p.generate("bonjour")
+    assert not resp.ok and resp.error
+
+
+def test_image_classifier_vision_path():
+    class Vision(FakeLLMProvider):
+        def generate_with_image(self, prompt, image_bytes, temperature=0.0):
+            return LLMResponse(json.dumps({"classe": "PHOTO_DECO"}))
+
+    clf = ImageClassifier(vision_llm=Vision())
+    d = clf.classify(b"\x89PNG fake")
+    # no pytesseract in this env → straight to vision
+    assert d.label == "PHOTO_DECO" and d.method == "vision"
+    assert not d.keep
+
+
+def test_image_classifier_default_keeps():
+    d = ImageClassifier().classify(b"\x89PNG fake")
+    assert d.label == "INFOGRAPHIE" and d.keep
+
+
+def test_image_manifest_filtering(tmp_path):
+    img = tmp_path / "a.png"
+    img.write_bytes(b"\x89PNG fake")
+
+    class Vision(FakeLLMProvider):
+        def generate_with_image(self, *a, **k):
+            return LLMResponse(json.dumps({"classe": "PHOTO_DECO"}))
+
+    docs = [
+        {"doc_id": "im1", "kind": "image", "path": str(img)},
+        {"doc_id": "h1", "kind": "html", "path": "x"},
+    ]
+    out = ImageClassifier(vision_llm=Vision()).classify_manifest(docs)
+    assert [d["doc_id"] for d in out["kept"]] == ["h1"]
+    assert out["report"]["im1"]["label"] == "PHOTO_DECO"
+
+
+def test_package_and_download_index_roundtrip(tmp_path):
+    """scripts/package_index.py + download_index.py over a real index."""
+    import numpy as np
+
+    from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+
+    idx = DeviceIndex(IndexConfig(dim=8, ell_width=4, row_block=4))
+    rng = np.random.default_rng(0)
+    idx.add([f"c{i}" for i in range(6)],
+            rng.standard_normal((6, 8)).astype(np.float32),
+            [{"nature": "GUIDE"}] * 6)
+    index_dir = tmp_path / "index"
+    idx.save(index_dir)
+
+    out_zip = tmp_path / "pkg.zip"
+    r = subprocess.run(
+        [sys.executable, "scripts/package_index.py",
+         "--index-dir", str(index_dir), "--out", str(out_zip)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["sha256"]
+
+    dest = tmp_path / "restored"
+    r = subprocess.run(
+        [sys.executable, "scripts/download_index.py", str(out_zip),
+         "--dest", str(dest)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    idx2 = DeviceIndex.load(dest)
+    assert idx2.n_rows == 6
+    # corrupted hash rejected
+    r = subprocess.run(
+        [sys.executable, "scripts/download_index.py", str(out_zip),
+         "--dest", str(tmp_path / "x"), "--sha256", "0" * 64],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1
