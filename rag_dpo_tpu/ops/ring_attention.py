@@ -1,0 +1,95 @@
+"""Ring attention: context-parallel attention over the mesh.
+
+New capability (SURVEY.md §5 "long-context"): the reference *truncates*
+long inputs everywhere (20k-char embed cap, 512-token reranker cap,
+map-reduce instead of long attention). Single-chip flash attention
+(ops.flash_attention) already covers 8192 tokens; ring attention goes
+beyond one chip's budget: the sequence is sharded over the mesh `shard`
+axis, every device computes attention for its query slice while KV blocks
+rotate around the ring via `jax.lax.ppermute` (ICI neighbor exchange),
+with online-softmax accumulation — O(S/P) memory per device, exact
+result.
+
+This is the collective-level sibling of the Pallas flash kernel: the
+blockwise math is identical; the "blocks" arrive over the interconnect
+instead of from HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..parallel.mesh import AXIS_SHARD
+
+NEG_INF = -1e30
+
+
+def _ring_attention_local(q, k, v, axis_name: str, scale: float):
+    """Per-device body under shard_map.
+
+    q/k/v: [B, H, S_local, Dh] — this device's sequence slice.
+    Rotates (k, v) around the ring; accumulates online softmax.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+
+    def block_update(carry, kv):
+        acc, m, l = carry
+        k_blk, v_blk = kv
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(jnp.float32),
+            k_blk.astype(jnp.float32),
+        ) * scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32)
+        )
+        return (acc, m_new, l)
+
+    b, h, s_loc, dh = q.shape
+    acc = jnp.zeros((b, h, s_loc, dh), jnp.float32)
+    m = jnp.full((b, h, s_loc, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, s_loc, 1), jnp.float32)
+
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def ring_step(step, state):
+        acc, m, l, k_cur, v_cur = state
+        acc, m, l = block_update((acc, m, l), (k_cur, v_cur))
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (acc, m, l, k_next, v_next)
+
+    acc, m, l, _, _ = jax.lax.fori_loop(
+        0, n_dev, ring_step, (acc, m, l, k, v)
+    )
+    return (acc / l).astype(q.dtype)
+
+
+def make_ring_attention(mesh: Mesh, *, axis_name: str = AXIS_SHARD,
+                        scale: float | None = None):
+    """→ jitted ring_attention(q, k, v) for [B, H, S, Dh] inputs with S
+    sharded over `axis_name`. Non-causal (encoder workload); S must be
+    divisible by the axis size."""
+
+    def fn(q, k, v):
+        dh = q.shape[-1]
+        s = scale if scale is not None else float(dh) ** -0.5
+        inner = shard_map(
+            functools.partial(_ring_attention_local,
+                              axis_name=axis_name, scale=s),
+            mesh=mesh,
+            in_specs=(P(None, None, axis_name, None),) * 3,
+            out_specs=P(None, None, axis_name, None),
+            check_vma=False,
+        )
+        return inner(q, k, v)
+
+    return jax.jit(fn)
