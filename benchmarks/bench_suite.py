@@ -33,18 +33,23 @@ def record(name: str, **fields):
         f.write(json.dumps(entry) + "\n")
 
 
-def chain_time(fn, x, steps=20):
-    """Time fn (x -> arrays) via a dependent scan chain; returns s/iter."""
-    def body(c, _):
-        out = fn(c)
-        leaf = out[0] if isinstance(out, tuple) else out
-        bump = (leaf.reshape(-1)[0] * 0).astype(c.dtype)
-        return c + bump, leaf.reshape(-1)[0]
+def chain_time(fn, x, *extra, steps=20):
+    """Time fn((x, *extra) -> arrays) via a dependent scan chain; returns
+    s/iter. `extra` arrays are threaded as jit ARGUMENTS — closing over
+    multi-GB device arrays turns them into lowered constants and stalls
+    remote compilation."""
+    def run(q, *args):
+        def body(c, _):
+            out = fn(c, *args)
+            leaf = out[0] if isinstance(out, tuple) else out
+            bump = (leaf.reshape(-1)[0] * 0).astype(c.dtype)
+            return c + bump, leaf.reshape(-1)[0]
+        return jax.lax.scan(body, q, None, length=steps)[1]
 
-    cj = jax.jit(lambda q: jax.lax.scan(body, q, None, length=steps)[1])
-    np.asarray(cj(x))  # compile+warm
+    cj = jax.jit(run)
+    np.asarray(cj(x, *extra))  # compile+warm
     t0 = time.time()
-    np.asarray(cj(x))
+    np.asarray(cj(x, *extra))
     return (time.time() - t0) / steps
 
 
@@ -76,12 +81,12 @@ def bench_config2():
     for q in (1, 64):
         qs = queries(q, d)
         for name, fn in (
-            ("approx", lambda c: approx_topk(c, embs, k)),
-            ("fused_pallas", lambda c: fused_topk(c, embs, k,
-                                                  interpret=False)),
-            ("blocked_exact", lambda c: blocked_topk(c, embs, k)),
+            ("approx", lambda c, e: approx_topk(c, e, k)),
+            ("fused_pallas", lambda c, e: fused_topk(c, e, k,
+                                                     interpret=False)),
+            ("blocked_exact", lambda c, e: blocked_topk(c, e, k)),
         ):
-            dt = chain_time(fn, qs)
+            dt = chain_time(fn, qs, embs)
             record("config2_dense_100k", variant=name, batch=q,
                    ms_per_batch=round(dt * 1e3, 3),
                    qps=round(q / dt, 1))
@@ -103,21 +108,23 @@ def bench_config3():
     qw = jnp.abs(jax.random.normal(jax.random.key(5), (q, n_terms)))
     qs = queries(q, d)
 
-    @jax.jit
-    def hybrid2(qq):
-        ds, di = approx_topk(qq, embs, 40)
-        ss, si = ell_topk(terms, impacts, qt, qw, k=40)
+    def hybrid(qq, e, t, im, qqt, qqw):
+        ds, di = approx_topk(qq, e, 40)
+        ss, si = ell_topk(t, im, qqt, qqw, k=40)
         arms = jnp.stack([di, si], axis=0)  # [2, Q, 40]
         return rrf_fuse(arms, jnp.asarray([2.0, 1.5], jnp.float32),
                         topk=k)
 
-    dt = chain_time(hybrid2, qs)
+    dt = chain_time(hybrid, qs, embs, terms, impacts, qt, qw)
     record("config3_hybrid_1M", batch=q, ms_per_batch=round(dt * 1e3, 3),
            qps=round(q / dt, 1), ell_width=ell_w)
 
     # sparse arm alone
-    dt = chain_time(lambda qq: (ell_topk(terms, impacts, qt, qw, k=40)[0]
-                                + 0 * qq.astype(jnp.float32)[0, 0], ), qs)
+    def sparse_only(qq, t, im, qqt, qqw):
+        s, i = ell_topk(t, im, qqt, qqw, k=40)
+        return (s + 0 * qq.astype(jnp.float32)[0, 0],)
+
+    dt = chain_time(sparse_only, qs, terms, impacts, qt, qw)
     record("config3_sparse_arm_1M", batch=q,
            ms_per_batch=round(dt * 1e3, 3), qps=round(q / dt, 1))
 
@@ -132,11 +139,11 @@ def bench_config4():
     qm = jnp.ones((1, lq), bool)
     dm = jnp.ones((c, ld), bool)
 
-    def fn(qq):
-        s = maxsim(qq, qm, dv, dm, interpret=False)
+    def fn(qq, dvv, qmm, dmm):
+        s = maxsim(qq, qmm, dvv, dmm, interpret=False)
         return (s,)
 
-    dt = chain_time(fn, qv)
+    dt = chain_time(fn, qv, dv, qm, dm)
     record("config4_maxsim_rerank", candidates=c, q_tokens=lq,
            d_tokens=ld, ms_per_query=round(dt * 1e3, 3),
            pairs_per_sec=round(c / dt, 1))
@@ -150,7 +157,7 @@ def bench_config5():
         try:
             embs = make_corpus(n, d)
             qs = queries(q, d)
-            dt = chain_time(lambda c: approx_topk(c, embs, k), qs,
+            dt = chain_time(lambda c, e: approx_topk(c, e, k), qs, embs,
                             steps=10)
             record("config5_scaling", n_chunks=n,
                    ms_per_batch=round(dt * 1e3, 3),

@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import approx_topk, blocked_topk, fused_topk
+from ..ops import approx_topk, blocked_topk
 from ..ops.sparse import ell_topk
-from ..parallel.mesh import AXIS_SHARD, create_mesh, MeshSpec
+from ..parallel.mesh import AXIS_SHARD
 from ..parallel.collectives import sharded_topk
 from .metadata import MetadataStore, compile_filter
 

@@ -349,6 +349,7 @@ def create_pipeline(
     texts=None,
     use_reranker: bool = True,
     reranker=None,
+    use_maxsim: bool = False,
     use_intent: bool = True,
     use_expansion: bool = True,
     n_candidates: int = 40,
@@ -362,7 +363,7 @@ def create_pipeline(
     hybrid retrieval on, expansion n=3, rerank 40→10, context 32k chars,
     dual-gen off)."""
     from ..retrieval.retriever import HybridRetriever, RetrieverConfig
-    from ..retrieval.reranker import CrossEncoderReranker
+    from ..retrieval.reranker import CrossEncoderReranker, MaxSimReranker
     from .expander import QueryExpander
 
     expander = QueryExpander(llm) if use_expansion else None
@@ -372,7 +373,12 @@ def create_pipeline(
         config=RetrieverConfig(),
     )
     if use_reranker and reranker is None:
-        reranker = CrossEncoderReranker()
+        if use_maxsim:
+            # ColBERT late-interaction rerank (BASELINE config 4): needs an
+            # index built with colbert vectors (CorpusIndexer with_colbert)
+            reranker = MaxSimReranker(index, embedder)
+        else:
+            reranker = CrossEncoderReranker()
     return RAGPipeline(
         retriever=retriever,
         generator=Generator(llm, temperature=generation_temperature),

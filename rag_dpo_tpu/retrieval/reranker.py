@@ -158,7 +158,8 @@ class MaxSimReranker:
         self.embedder = embedder
 
     def rerank(self, question: str, chunks: Sequence[RetrievedChunk],
-               top_k: int = 10) -> list[RetrievedChunk]:
+               top_k: int = 10, question_topics=None
+               ) -> list[RetrievedChunk]:
         if not chunks:
             return []
         out = self.embedder.embed([question], return_colbert=True)
