@@ -27,3 +27,9 @@ from .topk import (  # noqa: E402,F401
     fused_topk,
 )
 from .fusion import rrf_fuse, rrf_fuse_reference  # noqa: E402,F401
+from .flash_attention import (  # noqa: E402,F401
+    attention_reference,
+    flash_attention,
+)
+from .maxsim import maxsim, maxsim_reference  # noqa: E402,F401
+from .sparse import ell_scores, ell_topk  # noqa: E402,F401
