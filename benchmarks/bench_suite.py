@@ -94,38 +94,43 @@ def bench_config2():
 
 def bench_config3():
     from rag_dpo_tpu.ops import approx_topk, rrf_fuse
-    from rag_dpo_tpu.ops.sparse import ell_topk
+    from rag_dpo_tpu.ops.postings import PostingsIndex, postings_topk
 
     n, d, k = 1_000_000, 1024, 10
-    ell_w, n_terms, q = 24, 16, 64
+    ell_w, n_terms, q, vocab = 24, 16, 64, 50_000
     embs = make_corpus(n, d)
-    key = jax.random.key(2)
-    terms = jax.random.randint(key, (n, ell_w), 0, 50_000, jnp.int32)
-    impacts = jnp.abs(jax.random.normal(jax.random.key(3), (n, ell_w),
-                                        jnp.float32))
-    qt = jax.random.randint(jax.random.key(4), (q, n_terms), 0, 50_000,
-                            jnp.int32)
+    rng = np.random.default_rng(2)
+    terms_h = rng.integers(0, vocab, (n, ell_w)).astype(np.int32)
+    impacts_h = np.abs(rng.standard_normal((n, ell_w))).astype(np.float32)
+    t0 = time.time()
+    pidx = PostingsIndex.build(terms_h, impacts_h, vocab_size=vocab,
+                               cap=2048)
+    invert_s = time.time() - t0
+    arrays = pidx.device_arrays()
+    qt = jnp.asarray(rng.integers(0, vocab, (q, n_terms)), jnp.int32)
     qw = jnp.abs(jax.random.normal(jax.random.key(5), (q, n_terms)))
     qs = queries(q, d)
 
-    def hybrid(qq, e, t, im, qqt, qqw):
+    def hybrid(qq, e, pd, pi, off, lens, qqt, qqw):
         ds, di = approx_topk(qq, e, 40)
-        ss, si = ell_topk(t, im, qqt, qqw, k=40)
+        ss, si = postings_topk(pd, pi, off, lens, qqt, qqw, k=40,
+                               cap=2048)
         arms = jnp.stack([di, si], axis=0)  # [2, Q, 40]
         return rrf_fuse(arms, jnp.asarray([2.0, 1.5], jnp.float32),
                         topk=k)
 
-    dt = chain_time(hybrid, qs, embs, terms, impacts, qt, qw)
+    dt = chain_time(hybrid, qs, embs, *arrays, qt, qw)
     record("config3_hybrid_1M", batch=q, ms_per_batch=round(dt * 1e3, 3),
-           qps=round(q / dt, 1), ell_width=ell_w)
+           qps=round(q / dt, 1), ell_width=ell_w,
+           postings_invert_s=round(invert_s, 2))
 
-    # sparse arm alone
-    def sparse_only(qq, t, im, qqt, qqw):
-        s, i = ell_topk(t, im, qqt, qqw, k=40)
+    # sparse arm alone (postings engine)
+    def sparse_only(qq, pd, pi, off, lens, qqt, qqw):
+        s, i = postings_topk(pd, pi, off, lens, qqt, qqw, k=40, cap=2048)
         return (s + 0 * qq.astype(jnp.float32)[0, 0],)
 
-    dt = chain_time(sparse_only, qs, terms, impacts, qt, qw)
-    record("config3_sparse_arm_1M", batch=q,
+    dt = chain_time(sparse_only, qs, *arrays, qt, qw)
+    record("config3_sparse_arm_1M_postings", batch=q,
            ms_per_batch=round(dt * 1e3, 3), qps=round(q / dt, 1))
 
 

@@ -47,6 +47,11 @@ class IndexConfig:
     colbert_len: int = 0
     row_block: int = 1024        # device padding granularity
     device_dtype: Any = jnp.bfloat16
+    # sparse engine: ELL equality-join is O(N) per query (fine small);
+    # above this row count the impact-ordered postings engine takes over
+    # (O(T·cap) per query — see ops/postings.py)
+    postings_threshold: int = 100_000
+    postings_cap: int = 2048
 
 
 class DeviceIndex:
@@ -287,11 +292,36 @@ class DeviceIndex:
         i = np.where(s > NEG_INF / 2, i, -1)
         return s, i
 
+    def _postings_index(self):
+        if self._device is not None and "postings" in self._device:
+            return self._device["postings"]
+        from ..ops.postings import PostingsIndex
+
+        vocab = int(self._terms.max()) + 1 if self.n_rows else 1
+        pidx = PostingsIndex.build(
+            self._terms, self._impacts, vocab_size=max(vocab, 1),
+            cap=self.config.postings_cap,
+        )
+        dev = self.device_image()
+        dev["postings"] = (pidx, pidx.device_arrays())
+        return dev["postings"]
+
     def search_sparse(self, q_terms: np.ndarray, q_weights: np.ndarray,
                       k: int, where=None):
-        """ELL lexical top-k (BM25 / learned sparse). q padding id: -2."""
+        """Lexical top-k (BM25 / learned sparse). q padding id: -2."""
         dev = self.device_image()
         mask = self._mask_vector(where)
+        if mask is None and self.n_rows > self.config.postings_threshold:
+            from ..ops.postings import postings_topk
+
+            pidx, arrays = self._postings_index()
+            s, i = postings_topk(
+                *arrays, jnp.asarray(q_terms), jnp.asarray(q_weights),
+                k=k, cap=pidx.cap,
+            )
+            s, i = np.asarray(s), np.asarray(i)
+            i = np.where((i >= 0) & (i < self.n_rows), i, -1)
+            return self._strip_dead(s, i, k)
         if mask is None:
             s, i = ell_topk(
                 dev["terms"], dev["impacts"],

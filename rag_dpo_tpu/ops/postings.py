@@ -1,0 +1,149 @@
+"""Impact-ordered inverted index — sparse retrieval at corpus scale.
+
+The ELL equality-join kernel (`ops.sparse`) is exact and simple but costs
+O(Q·N·L·T): unbeatable at ≤100k chunks, hopeless at 1M+ (tens of
+G-comparisons per batch). This module is the scalable engine — a real
+inverted index laid out for XLA:
+
+* postings are stored per term, sorted by descending BM25 impact and
+  capped at `cap` entries (impact-ordered pruning, WAND-family: for top-k
+  retrieval the low-impact tail of a frequent term's postings cannot
+  change the result in practice — and high-df terms carry near-zero IDF
+  anyway);
+* a query gathers its T terms' posting slices → [Q, T·cap] (doc, score)
+  pairs, sorts by doc id, reduces duplicate docs with a segmented-sum
+  (cumsum-difference over run boundaries — no scatter), and `lax.top_k`s
+  the per-run totals. Everything is dense, static-shape XLA: gathers,
+  one sort, cumsum, top-k.
+
+Cost: O(Q·T·cap·log) independent of corpus size — at Q=64, T=16,
+cap=2048: ~2M pairs per batch vs the ELL kernel's 24G comparisons at 1M
+chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass
+class PostingsIndex:
+    """Host container for the device arrays (all padded/static-shape)."""
+
+    post_docs: np.ndarray     # [P] int32 doc ids, term-major blocks
+    post_impacts: np.ndarray  # [P] f32 impacts (sorted desc within term)
+    offsets: np.ndarray       # [V+1] int64 start of each term's block
+    lengths: np.ndarray       # [V] int32 stored postings per term
+    cap: int
+    n_docs: int
+
+    @classmethod
+    def build(cls, terms: np.ndarray, impacts: np.ndarray,
+              vocab_size: int, cap: int = 2048) -> "PostingsIndex":
+        """Invert ELL arrays ([N, L] term ids / impacts) into capped,
+        impact-ordered postings."""
+        n, l = terms.shape
+        flat_terms = terms.reshape(-1)
+        flat_imps = impacts.reshape(-1)
+        flat_docs = np.repeat(np.arange(n, dtype=np.int32), l)
+        valid = flat_terms >= 0
+        flat_terms = flat_terms[valid]
+        flat_imps = flat_imps[valid]
+        flat_docs = flat_docs[valid]
+
+        # sort by (term asc, impact desc)
+        order = np.lexsort((-flat_imps, flat_terms))
+        t_sorted = flat_terms[order]
+        d_sorted = flat_docs[order]
+        i_sorted = flat_imps[order]
+
+        counts = np.bincount(t_sorted, minlength=vocab_size)
+        # per-entry rank within its term block
+        starts_full = np.zeros(vocab_size + 1, np.int64)
+        np.cumsum(counts, out=starts_full[1:])
+        rank = np.arange(len(t_sorted)) - starts_full[t_sorted]
+        keep = rank < cap
+        t_kept = t_sorted[keep]
+        kept_counts = np.bincount(t_kept, minlength=vocab_size)
+        offsets = np.zeros(vocab_size + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        return cls(
+            post_docs=d_sorted[keep].astype(np.int32),
+            post_impacts=i_sorted[keep].astype(np.float32),
+            offsets=offsets,
+            lengths=kept_counts.astype(np.int32),
+            cap=cap,
+            n_docs=n,
+        )
+
+    def device_arrays(self):
+        return (jnp.asarray(self.post_docs), jnp.asarray(self.post_impacts),
+                jnp.asarray(self.offsets.astype(np.int32)),
+                jnp.asarray(self.lengths))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def postings_topk(post_docs, post_impacts, offsets, lengths,
+                  q_terms, q_weights, k: int, cap: int):
+    """q_terms [Q, T] int32 (−2 = empty slot), q_weights [Q, T] f32 →
+    ([Q, k] scores, [Q, k] doc ids, -1 padded)."""
+    q, t = q_terms.shape
+    tid = jnp.clip(q_terms, 0, offsets.shape[0] - 2)
+    start = offsets[tid]                           # [Q, T]
+    length = jnp.where(q_terms >= 0,
+                       jnp.minimum(lengths[tid], cap), 0)
+
+    slot = jnp.arange(cap, dtype=jnp.int32)        # [cap]
+    idx = start[:, :, None] + slot[None, None, :]  # [Q, T, cap]
+    valid = slot[None, None, :] < length[:, :, None]
+    idx = jnp.where(valid, idx, 0)
+    docs = jnp.where(valid, post_docs[idx], jnp.int32(0x7FFFFFFF))
+    scores = jnp.where(
+        valid, post_impacts[idx] * q_weights[:, :, None], 0.0
+    )
+
+    m = t * cap
+    docs = docs.reshape(q, m)
+    scores = scores.reshape(q, m)
+
+    # sort pairs by doc id; duplicates become adjacent runs
+    docs_sorted, scores_sorted = jax.lax.sort(
+        (docs, scores), dimension=1, num_keys=1
+    )
+    csum = jnp.cumsum(scores_sorted, axis=1)
+    # run end = last occurrence of a doc id
+    is_end = jnp.concatenate(
+        [docs_sorted[:, :-1] != docs_sorted[:, 1:],
+         jnp.ones((q, 1), bool)], axis=1,
+    )
+    prev_end_csum = jnp.concatenate(
+        [jnp.zeros((q, 1), scores_sorted.dtype),
+         jnp.where(is_end, csum, 0.0)[:, :-1]], axis=1,
+    )
+    # carry the last run-boundary cumsum forward
+    prev_total = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(prev_end_csum > 0, prev_end_csum, 0.0),
+        axis=1,
+    )
+    run_total = jnp.where(is_end, csum - prev_total, NEG_INF)
+    run_total = jnp.where(
+        docs_sorted == 0x7FFFFFFF, NEG_INF, run_total
+    )
+
+    kk = min(k, m)
+    top, pos = jax.lax.top_k(run_total, kk)
+    top_docs = jnp.take_along_axis(docs_sorted, pos, axis=1)
+    top_docs = jnp.where(top > NEG_INF / 2, top_docs, -1)
+    if kk < k:
+        top = jnp.pad(top, ((0, 0), (0, k - kk)),
+                      constant_values=NEG_INF)
+        top_docs = jnp.pad(top_docs, ((0, 0), (0, k - kk)),
+                           constant_values=-1)
+    return top, top_docs
