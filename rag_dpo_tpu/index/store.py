@@ -312,11 +312,12 @@ class DeviceIndex:
         dev = self.device_image()
         mask = self._mask_vector(where)
         if mask is None and self.n_rows > self.config.postings_threshold:
-            from ..ops.postings import postings_topk
+            from ..ops.postings import postings_candidates_topk
 
             pidx, arrays = self._postings_index()
-            s, i = postings_topk(
-                *arrays, jnp.asarray(q_terms), jnp.asarray(q_weights),
+            s, i = postings_candidates_topk(
+                *arrays, dev["terms"], dev["impacts"],
+                jnp.asarray(q_terms), jnp.asarray(q_weights),
                 k=k, cap=pidx.cap,
             )
             s, i = np.asarray(s), np.asarray(i)

@@ -2,7 +2,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rag_dpo_tpu.ops.postings import PostingsIndex, postings_topk
+from rag_dpo_tpu.ops.postings import (
+    PostingsIndex,
+    postings_candidates_topk,
+    postings_topk,
+)
 from rag_dpo_tpu.ops.sparse import ell_scores_reference
 
 
@@ -71,6 +75,42 @@ def test_postings_empty_query():
     qw = np.zeros((2, 4), np.float32)
     s, d = postings_topk(*idx.device_arrays(), jnp.asarray(qt),
                          jnp.asarray(qw), k=5, cap=idx.cap)
+    assert np.all(np.asarray(d) == -1)
+
+
+def test_candidates_topk_matches_reference():
+    terms, impacts = _corpus()
+    qt, qw = _queries()
+    idx = PostingsIndex.build(terms, impacts, vocab_size=80, cap=1000)
+    ref = np.asarray(ell_scores_reference(
+        jnp.asarray(terms), jnp.asarray(impacts),
+        jnp.asarray(qt), jnp.asarray(qw)))
+    s, d = postings_candidates_topk(
+        *idx.device_arrays(), jnp.asarray(terms), jnp.asarray(impacts),
+        jnp.asarray(qt), jnp.asarray(qw), k=10, cap=idx.cap,
+        n_candidates=400,
+    )
+    s, d = np.asarray(s), np.asarray(d)
+    for row in range(qt.shape[0]):
+        expect = np.sort(ref[row])[::-1][:10]
+        nz = expect > 1e-6
+        np.testing.assert_allclose(s[row][: nz.sum()], expect[nz],
+                                   rtol=1e-5, atol=1e-5)
+        for col in range(10):
+            if d[row, col] >= 0 and s[row, col] > 1e-6:
+                np.testing.assert_allclose(ref[row, d[row, col]],
+                                           s[row, col], rtol=1e-5,
+                                           atol=1e-5)
+
+
+def test_candidates_topk_empty_query():
+    terms, impacts = _corpus(n=50)
+    idx = PostingsIndex.build(terms, impacts, vocab_size=80, cap=100)
+    qt = np.full((2, 4), -2, np.int32)
+    qw = np.zeros((2, 4), np.float32)
+    s, d = postings_candidates_topk(
+        *idx.device_arrays(), jnp.asarray(terms), jnp.asarray(impacts),
+        jnp.asarray(qt), jnp.asarray(qw), k=5, cap=idx.cap)
     assert np.all(np.asarray(d) == -1)
 
 
