@@ -51,7 +51,7 @@ class IndexConfig:
     # above this row count the impact-ordered postings engine takes over
     # (O(T·cap) per query — see ops/postings.py)
     postings_threshold: int = 100_000
-    postings_cap: int = 2048
+    postings_cap: int = 512
 
 
 class DeviceIndex:
@@ -317,8 +317,7 @@ class DeviceIndex:
             pidx, arrays = self._postings_index()
             s, i = postings_candidates_topk(
                 *arrays, dev["terms"], dev["impacts"],
-                jnp.asarray(q_terms), jnp.asarray(q_weights),
-                k=k, cap=pidx.cap,
+                jnp.asarray(q_terms), jnp.asarray(q_weights), k=k,
             )
             s, i = np.asarray(s), np.asarray(i)
             i = np.where((i >= 0) & (i < self.n_rows), i, -1)

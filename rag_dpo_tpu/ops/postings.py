@@ -3,22 +3,27 @@
 The ELL equality-join kernel (`ops.sparse`) is exact and simple but costs
 O(Q·N·L·T): unbeatable at ≤100k chunks, hopeless at 1M+ (tens of
 G-comparisons per batch). This module is the scalable engine — a real
-inverted index laid out for XLA:
+inverted index laid out for the TPU's strengths:
 
-* postings are stored per term, sorted by descending BM25 impact and
-  capped at `cap` entries (impact-ordered pruning, WAND-family: for top-k
-  retrieval the low-impact tail of a frequent term's postings cannot
-  change the result in practice — and high-df terms carry near-zero IDF
-  anyway);
-* a query gathers its T terms' posting slices → [Q, T·cap] (doc, score)
-  pairs, sorts by doc id, reduces duplicate docs with a segmented-sum
-  (cumsum-difference over run boundaries — no scatter), and `lax.top_k`s
-  the per-run totals. Everything is dense, static-shape XLA: gathers,
-  one sort, cumsum, top-k.
+* postings are stored DENSE per term — a [V, cap] doc-id matrix plus a
+  [V, cap] impact matrix, each term's row sorted by descending BM25
+  impact and truncated at `cap` (impact-ordered pruning, WAND-family:
+  the low-impact tail of a frequent term's postings cannot change a
+  top-k result in practice, and high-df terms carry near-zero IDF
+  anyway). The dense layout makes the query-time fetch an *embedding
+  lookup* ([Q·T] row ids into a 2D table) — the gather pattern XLA/TPU
+  executes at bandwidth. (A flat CSR layout with element gathers
+  serializes on TPU: measured >1 s/batch at 1M chunks.)
+* query scoring is two-phase, sort-free:
+    1. candidate generation — `approx_max_k` over the [Q, T·cap] single
+       per-term contributions (a true top-k doc's best contribution is
+       ≥ total/T, so it survives a generous candidate pool);
+    2. exact re-score — gather each candidate's ELL row ([Q, C] row
+       lookup) and evaluate the full BM25 sum (tiny equality join),
+       dedup first-occurrence, exact top-k.
 
-Cost: O(Q·T·cap·log) independent of corpus size — at Q=64, T=16,
-cap=2048: ~2M pairs per batch vs the ELL kernel's 24G comparisons at 1M
-chunks.
+Cost: O(Q·T·cap) gather + O(Q·C·L·T) rescore, independent of corpus
+size. Memory: V·cap·6 bytes (i32 docs + bf16→f32 impacts).
 """
 
 from __future__ import annotations
@@ -31,24 +36,23 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e30
+SENTINEL = np.int32(0x7FFFFFFF)
 
 
 @dataclasses.dataclass
 class PostingsIndex:
-    """Host container for the device arrays (all padded/static-shape)."""
+    """Host container for the dense per-term posting tables."""
 
-    post_docs: np.ndarray     # [P] int32 doc ids, term-major blocks
-    post_impacts: np.ndarray  # [P] f32 impacts (sorted desc within term)
-    offsets: np.ndarray       # [V+1] int64 start of each term's block
-    lengths: np.ndarray       # [V] int32 stored postings per term
+    post_docs: np.ndarray     # [V, cap] int32 doc ids, SENTINEL padded
+    post_impacts: np.ndarray  # [V, cap] f32, impact-desc within a row
     cap: int
     n_docs: int
 
     @classmethod
     def build(cls, terms: np.ndarray, impacts: np.ndarray,
-              vocab_size: int, cap: int = 2048) -> "PostingsIndex":
-        """Invert ELL arrays ([N, L] term ids / impacts) into capped,
-        impact-ordered postings."""
+              vocab_size: int, cap: int = 512) -> "PostingsIndex":
+        """Invert ELL arrays ([N, L] term ids / impacts) into the dense
+        capped, impact-ordered layout."""
         n, l = terms.shape
         flat_terms = terms.reshape(-1)
         flat_imps = impacts.reshape(-1)
@@ -58,86 +62,62 @@ class PostingsIndex:
         flat_imps = flat_imps[valid]
         flat_docs = flat_docs[valid]
 
-        # sort by (term asc, impact desc)
+        # sort by (term asc, impact desc); rank within term
         order = np.lexsort((-flat_imps, flat_terms))
         t_sorted = flat_terms[order]
         d_sorted = flat_docs[order]
         i_sorted = flat_imps[order]
-
         counts = np.bincount(t_sorted, minlength=vocab_size)
-        # per-entry rank within its term block
-        starts_full = np.zeros(vocab_size + 1, np.int64)
-        np.cumsum(counts, out=starts_full[1:])
-        rank = np.arange(len(t_sorted)) - starts_full[t_sorted]
+        starts = np.zeros(vocab_size + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rank = np.arange(len(t_sorted)) - starts[t_sorted]
         keep = rank < cap
-        t_kept = t_sorted[keep]
-        kept_counts = np.bincount(t_kept, minlength=vocab_size)
-        offsets = np.zeros(vocab_size + 1, np.int64)
-        np.cumsum(kept_counts, out=offsets[1:])
-        return cls(
-            post_docs=d_sorted[keep].astype(np.int32),
-            post_impacts=i_sorted[keep].astype(np.float32),
-            offsets=offsets,
-            lengths=kept_counts.astype(np.int32),
-            cap=cap,
-            n_docs=n,
-        )
+
+        post_docs = np.full((vocab_size, cap), SENTINEL, np.int32)
+        post_impacts = np.zeros((vocab_size, cap), np.float32)
+        post_docs[t_sorted[keep], rank[keep]] = d_sorted[keep]
+        post_impacts[t_sorted[keep], rank[keep]] = i_sorted[keep]
+        return cls(post_docs=post_docs, post_impacts=post_impacts,
+                   cap=cap, n_docs=n)
 
     def device_arrays(self):
-        return (jnp.asarray(self.post_docs), jnp.asarray(self.post_impacts),
-                jnp.asarray(self.offsets.astype(np.int32)),
-                jnp.asarray(self.lengths))
+        return (jnp.asarray(self.post_docs),
+                jnp.asarray(self.post_impacts))
 
 
-def _gather_contributions(post_docs, post_impacts, offsets, lengths,
-                          q_terms, q_weights, cap: int):
-    """→ (docs [Q, T·cap] i32 with sentinel 0x7FFFFFFF for empty,
-    scores [Q, T·cap] f32)."""
-    q, t = q_terms.shape
-    tid = jnp.clip(q_terms, 0, offsets.shape[0] - 2)
-    start = offsets[tid]                           # [Q, T]
-    length = jnp.where(q_terms >= 0,
-                       jnp.minimum(lengths[tid], cap), 0)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    idx = start[:, :, None] + slot[None, None, :]  # [Q, T, cap]
-    valid = slot[None, None, :] < length[:, :, None]
-    idx = jnp.where(valid, idx, 0)
-    docs = jnp.where(valid, post_docs[idx], jnp.int32(0x7FFFFFFF))
-    scores = jnp.where(
-        valid, post_impacts[idx] * q_weights[:, :, None], 0.0
-    )
-    return docs.reshape(q, t * cap), scores.reshape(q, t * cap)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("k", "cap", "n_candidates"))
-def postings_candidates_topk(post_docs, post_impacts, offsets, lengths,
+@functools.partial(jax.jit, static_argnames=("k", "n_candidates"))
+def postings_candidates_topk(post_docs, post_impacts,
                              ell_terms, ell_impacts,
-                             q_terms, q_weights, k: int, cap: int,
+                             q_terms, q_weights, k: int,
                              n_candidates: int = 256):
-    """Sort-free two-phase sparse top-k (the fast path).
+    """Two-phase sparse top-k.
 
-    Phase 1 — candidate generation: `approx_max_k` over the single
-    highest per-term contributions (a true top-k doc's best contribution
-    is ≥ its total / T, so it survives a generous candidate pool).
-    Phase 2 — exact re-score: gather each candidate's ELL row and
-    evaluate the full BM25 sum against the query (tiny equality join),
-    dedup, exact top-k.
-
-    Avoids the [Q, T·cap] device sort entirely (XLA sort measured ~9 ms
-    at T·cap=32k×64 queries on v5e; this path is ~1-2 ms).
+    post_docs/post_impacts: [V, cap]; ell_terms/ell_impacts: [N, L];
+    q_terms [Q, T] int32 (−2 = empty), q_weights [Q, T] f32 →
+    ([Q, k] scores, [Q, k] doc ids, -1 padded). Scores are exact BM25
+    totals for every returned doc; recall is bounded by candidate-pool
+    coverage (cap × n_candidates — see module docstring).
     """
     q, t = q_terms.shape
-    docs, scores = _gather_contributions(
-        post_docs, post_impacts, offsets, lengths, q_terms, q_weights, cap
+    cap = post_docs.shape[1]
+    tid = jnp.clip(q_terms, 0, post_docs.shape[0] - 1)
+    q_valid = (q_terms >= 0)[:, :, None]
+
+    docs = jnp.where(q_valid, post_docs[tid], SENTINEL)   # [Q, T, cap]
+    scores = jnp.where(
+        q_valid & (docs != SENTINEL),
+        post_impacts[tid] * q_weights[:, :, None], 0.0,
     )
+    docs = docs.reshape(q, t * cap)
+    scores = scores.reshape(q, t * cap)
+
     c = min(n_candidates, docs.shape[1])
     _, pos = jax.lax.approx_max_k(scores, c)
     cand = jnp.take_along_axis(docs, pos, axis=1)        # [Q, C]
-    cand_valid = cand != 0x7FFFFFFF
+    cand_valid = cand != SENTINEL
     safe = jnp.where(cand_valid, cand, 0)
 
-    ct = ell_terms[safe]        # [Q, C, L]
+    ct = ell_terms[safe]        # [Q, C, L] — row lookup
     ci = ell_impacts[safe]
     match = ct[:, :, :, None] == q_terms[:, None, None, :]  # [Q,C,L,T]
     contrib = jnp.where(
@@ -157,54 +137,6 @@ def postings_candidates_topk(post_docs, post_impacts, offsets, lengths,
     kk = min(k, c)
     top, ppos = jax.lax.top_k(total, kk)
     top_docs = jnp.take_along_axis(safe, ppos, axis=1)
-    top_docs = jnp.where(top > NEG_INF / 2, top_docs, -1)
-    if kk < k:
-        top = jnp.pad(top, ((0, 0), (0, k - kk)),
-                      constant_values=NEG_INF)
-        top_docs = jnp.pad(top_docs, ((0, 0), (0, k - kk)),
-                           constant_values=-1)
-    return top, top_docs
-
-
-@functools.partial(jax.jit, static_argnames=("k", "cap"))
-def postings_topk(post_docs, post_impacts, offsets, lengths,
-                  q_terms, q_weights, k: int, cap: int):
-    """Exact (sort-based) variant: q_terms [Q, T] int32 (−2 = empty),
-    q_weights [Q, T] f32 → ([Q, k] scores, [Q, k] doc ids, -1 padded).
-    Prefer `postings_candidates_topk` for throughput."""
-    q, t = q_terms.shape
-    docs, scores = _gather_contributions(
-        post_docs, post_impacts, offsets, lengths, q_terms, q_weights, cap
-    )
-    m = t * cap
-
-    # sort pairs by doc id; duplicates become adjacent runs
-    docs_sorted, scores_sorted = jax.lax.sort(
-        (docs, scores), dimension=1, num_keys=1
-    )
-    csum = jnp.cumsum(scores_sorted, axis=1)
-    # run end = last occurrence of a doc id
-    is_end = jnp.concatenate(
-        [docs_sorted[:, :-1] != docs_sorted[:, 1:],
-         jnp.ones((q, 1), bool)], axis=1,
-    )
-    prev_end_csum = jnp.concatenate(
-        [jnp.zeros((q, 1), scores_sorted.dtype),
-         jnp.where(is_end, csum, 0.0)[:, :-1]], axis=1,
-    )
-    # carry the last run-boundary cumsum forward
-    prev_total = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(prev_end_csum > 0, prev_end_csum, 0.0),
-        axis=1,
-    )
-    run_total = jnp.where(is_end, csum - prev_total, NEG_INF)
-    run_total = jnp.where(
-        docs_sorted == 0x7FFFFFFF, NEG_INF, run_total
-    )
-
-    kk = min(k, m)
-    top, pos = jax.lax.top_k(run_total, kk)
-    top_docs = jnp.take_along_axis(docs_sorted, pos, axis=1)
     top_docs = jnp.where(top > NEG_INF / 2, top_docs, -1)
     if kk < k:
         top = jnp.pad(top, ((0, 0), (0, k - kk)),

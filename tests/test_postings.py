@@ -3,9 +3,9 @@ import numpy as np
 import pytest
 
 from rag_dpo_tpu.ops.postings import (
+    SENTINEL,
     PostingsIndex,
     postings_candidates_topk,
-    postings_topk,
 )
 from rag_dpo_tpu.ops.sparse import ell_scores_reference
 
@@ -31,51 +31,26 @@ def _queries(q=8, t=6, vocab=80, seed=1):
     return qt, qw
 
 
-def test_postings_exact_when_uncapped():
-    terms, impacts = _corpus()
-    qt, qw = _queries()
-    idx = PostingsIndex.build(terms, impacts, vocab_size=80, cap=1000)
-    ref = np.asarray(ell_scores_reference(
-        jnp.asarray(terms), jnp.asarray(impacts),
-        jnp.asarray(qt), jnp.asarray(qw)))
-    s, d = postings_topk(*idx.device_arrays(), jnp.asarray(qt),
-                         jnp.asarray(qw), k=10, cap=idx.cap)
-    s, d = np.asarray(s), np.asarray(d)
-    for row in range(qt.shape[0]):
-        expect = np.sort(ref[row])[::-1][:10]
-        got = s[row]
-        # zero-score docs may be omitted by the postings engine
-        nz = expect > 1e-6
-        np.testing.assert_allclose(got[: nz.sum()], expect[nz],
-                                   rtol=1e-5, atol=1e-5)
-        # returned ids achieve the returned scores
-        for col in range(10):
-            if d[row, col] >= 0 and got[col] > 1e-6:
-                np.testing.assert_allclose(
-                    ref[row, d[row, col]], got[col], rtol=1e-5,
-                    atol=1e-5,
-                )
+def _run(idx, terms, impacts, qt, qw, k=10, n_candidates=400):
+    return postings_candidates_topk(
+        *idx.device_arrays(), jnp.asarray(terms), jnp.asarray(impacts),
+        jnp.asarray(qt), jnp.asarray(qw), k=k,
+        n_candidates=n_candidates,
+    )
 
 
-def test_postings_capped_keeps_high_impact():
+def test_build_dense_layout():
     terms, impacts = _corpus(n=1000, seed=3)
     idx = PostingsIndex.build(terms, impacts, vocab_size=80, cap=16)
-    assert idx.lengths.max() <= 16
-    # postings within a term are impact-descending
+    assert idx.post_docs.shape == (80, 16)
+    # impact-descending within each row; sentinel-padded
     for tid in range(0, 80, 7):
-        s, e = idx.offsets[tid], idx.offsets[tid + 1]
-        seg = idx.post_impacts[s:e]
-        assert np.all(np.diff(seg) <= 1e-7)
-
-
-def test_postings_empty_query():
-    terms, impacts = _corpus(n=50)
-    idx = PostingsIndex.build(terms, impacts, vocab_size=80, cap=100)
-    qt = np.full((2, 4), -2, np.int32)
-    qw = np.zeros((2, 4), np.float32)
-    s, d = postings_topk(*idx.device_arrays(), jnp.asarray(qt),
-                         jnp.asarray(qw), k=5, cap=idx.cap)
-    assert np.all(np.asarray(d) == -1)
+        row = idx.post_impacts[tid]
+        docs = idx.post_docs[tid]
+        n_real = int((docs != SENTINEL).sum())
+        assert np.all(np.diff(row[:n_real]) <= 1e-7)
+        assert np.all(docs[n_real:] == SENTINEL)
+        assert np.all(row[n_real:] == 0)
 
 
 def test_candidates_topk_matches_reference():
@@ -85,12 +60,7 @@ def test_candidates_topk_matches_reference():
     ref = np.asarray(ell_scores_reference(
         jnp.asarray(terms), jnp.asarray(impacts),
         jnp.asarray(qt), jnp.asarray(qw)))
-    s, d = postings_candidates_topk(
-        *idx.device_arrays(), jnp.asarray(terms), jnp.asarray(impacts),
-        jnp.asarray(qt), jnp.asarray(qw), k=10, cap=idx.cap,
-        n_candidates=400,
-    )
-    s, d = np.asarray(s), np.asarray(d)
+    s, d = map(np.asarray, _run(idx, terms, impacts, qt, qw))
     for row in range(qt.shape[0]):
         expect = np.sort(ref[row])[::-1][:10]
         nz = expect > 1e-6
@@ -108,17 +78,14 @@ def test_candidates_topk_empty_query():
     idx = PostingsIndex.build(terms, impacts, vocab_size=80, cap=100)
     qt = np.full((2, 4), -2, np.int32)
     qw = np.zeros((2, 4), np.float32)
-    s, d = postings_candidates_topk(
-        *idx.device_arrays(), jnp.asarray(terms), jnp.asarray(impacts),
-        jnp.asarray(qt), jnp.asarray(qw), k=5, cap=idx.cap)
+    s, d = _run(idx, terms, impacts, qt, qw, k=5)
     assert np.all(np.asarray(d) == -1)
 
 
-def test_postings_recall_vs_exact_at_scale():
-    """Capped engine keeps top-k recall high on a zipfian corpus."""
+def test_recall_vs_exact_on_zipfian_corpus():
+    """Capped engine keeps top-k recall high under realistic term skew."""
     rng = np.random.default_rng(5)
     n, l, vocab = 20_000, 16, 500
-    # zipf-ish term distribution: low ids very frequent
     raw = (rng.pareto(1.2, size=(n, l)) * 10).astype(np.int64) % vocab
     terms = raw.astype(np.int32)
     for i in range(n):
@@ -133,8 +100,7 @@ def test_postings_recall_vs_exact_at_scale():
         jnp.asarray(terms), jnp.asarray(impacts),
         jnp.asarray(qt), jnp.asarray(qw)))
     idx = PostingsIndex.build(terms, impacts, vocab_size=vocab, cap=512)
-    s, d = postings_topk(*idx.device_arrays(), jnp.asarray(qt),
-                         jnp.asarray(qw), k=10, cap=idx.cap)
+    s, d = _run(idx, terms, impacts, qt, qw, k=10, n_candidates=512)
     d = np.asarray(d)
     recalls = []
     for row in range(qt.shape[0]):
