@@ -94,44 +94,50 @@ def bench_config2():
 
 def bench_config3():
     from rag_dpo_tpu.ops import approx_topk, rrf_fuse
-    from rag_dpo_tpu.ops.postings import PostingsIndex, postings_topk
+    from rag_dpo_tpu.ops.postings import (
+        PostingsIndex,
+        postings_candidates_topk,
+    )
 
     n, d, k = 1_000_000, 1024, 10
     ell_w, n_terms, q, vocab = 24, 16, 64, 50_000
-    embs = make_corpus(n, d)
     rng = np.random.default_rng(2)
     terms_h = rng.integers(0, vocab, (n, ell_w)).astype(np.int32)
     impacts_h = np.abs(rng.standard_normal((n, ell_w))).astype(np.float32)
     t0 = time.time()
     pidx = PostingsIndex.build(terms_h, impacts_h, vocab_size=vocab,
-                               cap=2048)
+                               cap=512)
     invert_s = time.time() - t0
     arrays = pidx.device_arrays()
+    et = jax.device_put(jnp.asarray(terms_h))
+    ei = jax.device_put(jnp.asarray(impacts_h))
     qt = jnp.asarray(rng.integers(0, vocab, (q, n_terms)), jnp.int32)
     qw = jnp.abs(jax.random.normal(jax.random.key(5), (q, n_terms)))
     qs = queries(q, d)
 
-    def hybrid(qq, e, pd, pi, off, lens, qqt, qqw):
+    def sparse_only(qq, pd, pi, ett, eii, qqt, qqw):
+        s, i = postings_candidates_topk(pd, pi, ett, eii, qqt, qqw, k=40)
+        return (s + 0 * qq.astype(jnp.float32)[0, 0],)
+
+    dt = chain_time(sparse_only, qs, *arrays, et, ei, qt, qw)
+    record("config3_sparse_arm_1M_dense_layout", batch=q,
+           ms_per_batch=round(dt * 1e3, 3), qps=round(q / dt, 1),
+           cap=512, invert_s=round(invert_s, 2))
+
+    embs = make_corpus(n, d)
+
+    def hybrid(qq, e, pd, pi, ett, eii, qqt, qqw):
         ds, di = approx_topk(qq, e, 40)
-        ss, si = postings_topk(pd, pi, off, lens, qqt, qqw, k=40,
-                               cap=2048)
+        ss, si = postings_candidates_topk(pd, pi, ett, eii, qqt, qqw,
+                                          k=40)
         arms = jnp.stack([di, si], axis=0)  # [2, Q, 40]
         return rrf_fuse(arms, jnp.asarray([2.0, 1.5], jnp.float32),
                         topk=k)
 
-    dt = chain_time(hybrid, qs, embs, *arrays, qt, qw)
-    record("config3_hybrid_1M", batch=q, ms_per_batch=round(dt * 1e3, 3),
-           qps=round(q / dt, 1), ell_width=ell_w,
-           postings_invert_s=round(invert_s, 2))
-
-    # sparse arm alone (postings engine)
-    def sparse_only(qq, pd, pi, off, lens, qqt, qqw):
-        s, i = postings_topk(pd, pi, off, lens, qqt, qqw, k=40, cap=2048)
-        return (s + 0 * qq.astype(jnp.float32)[0, 0],)
-
-    dt = chain_time(sparse_only, qs, *arrays, qt, qw)
-    record("config3_sparse_arm_1M_postings", batch=q,
-           ms_per_batch=round(dt * 1e3, 3), qps=round(q / dt, 1))
+    dt = chain_time(hybrid, qs, embs, *arrays, et, ei, qt, qw)
+    record("config3_hybrid_1M_fast", batch=q,
+           ms_per_batch=round(dt * 1e3, 3), qps=round(q / dt, 1),
+           ell_width=ell_w)
 
 
 def bench_config4():
