@@ -26,7 +26,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.flash_attention import attention_reference, flash_attention
+from ..ops.flash_attention import (
+    attention_reference,
+    flash_attention_trainable,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,11 +85,8 @@ class SelfAttention(nn.Module):
         v = dense("value")(hidden).reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
 
         if cfg.use_flash_attention:
-            ctx = flash_attention(
-                q, k, v, lengths,
-                block_q=min(cfg.flash_block_q, s),
-                block_k=min(cfg.flash_block_k, s),
-            )
+            # differentiable wrapper: Pallas forward, recompute backward
+            ctx = flash_attention_trainable(q, k, v, lengths)
         else:
             ctx = attention_reference(q, k, v, lengths)
 

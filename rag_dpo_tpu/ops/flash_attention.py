@@ -159,3 +159,53 @@ def flash_attention(
     )(lengths2d, q, k, v)
 
     return out[:, :, :s, :]
+
+
+# ------------------------------------------------------- differentiable
+
+def flash_attention_trainable(q, k, v, lengths=None, scale=None):
+    """Flash forward + recompute backward.
+
+    Forward runs the Pallas kernel (O(S) memory); backward recomputes
+    attention probabilities from the saved q/k/v with the standard
+    closed-form softmax-attention gradients (O(S²) memory *in the
+    backward only*). A fused Pallas backward is future work; this makes
+    the flash path usable in training today at encoder lengths.
+    """
+    if lengths is None:
+        lengths = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
+    return _flash_vjp(q, k, v, lengths.astype(jnp.float32),
+                      scale if scale is not None
+                      else float(q.shape[-1]) ** -0.5)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_vjp(q, k, v, lengths_f, scale):
+    return flash_attention(q, k, v, lengths_f.astype(jnp.int32),
+                           scale=scale)
+
+
+def _fwd(q, k, v, lengths_f, scale):
+    return _flash_vjp(q, k, v, lengths_f, scale), (q, k, v, lengths_f)
+
+
+def _bwd(scale, residuals, g):
+    q, k, v, lengths_f = residuals
+    s = q.shape[2]
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    gf = g.astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    mask = jnp.arange(s)[None, :] < lengths_f.astype(jnp.int32)[:, None]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    # softmax jacobian: dlogits = p * (dp - sum(dp * p))
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dlogits, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dlogits, qf) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(lengths_f))
+
+
+_flash_vjp.defvjp(_fwd, _bwd)

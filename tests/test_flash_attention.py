@@ -42,6 +42,31 @@ def test_flash_padding_mask():
         )
 
 
+def test_trainable_flash_gradients_match_reference():
+    import jax
+
+    from rag_dpo_tpu.ops.flash_attention import flash_attention_trainable
+
+    q, k, v = _qkv(2, 2, 128, 32, seed=5)
+    lengths = jnp.asarray([128, 100], jnp.int32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention_trainable(q, k, v, lengths)
+        mask = (jnp.arange(128)[None, :] < lengths[:, None])
+        return jnp.sum(jnp.square(out) * mask[:, None, :, None])
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q, k, v, lengths)
+        mask = (jnp.arange(128)[None, :] < lengths[:, None])
+        return jnp.sum(jnp.square(out) * mask[:, None, :, None])
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def test_flash_bf16():
     q, k, v = _qkv(1, 2, 128, 64, seed=2)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
