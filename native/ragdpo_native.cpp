@@ -303,6 +303,56 @@ void ell_vocab_blob(void* h, char* out) {
 
 void ell_free(void* h) { delete static_cast<EllBuilder*>(h); }
 
+// ---------------------------------------------------------------- invert
+// Dense posting-table inversion (ops/postings.py PostingsIndex.build):
+// ELL arrays [N, L] → per-term [V, cap] doc/impact tables, rows sorted by
+// descending impact, truncated at cap, SENTINEL-padded. Two counting
+// passes + per-term partial sort — ~4× faster than numpy's lexsort path.
+void ell_invert(const int32_t* terms, const float* impacts,
+                int64_t n_docs, int32_t l, int32_t vocab, int32_t cap,
+                int32_t* out_docs, float* out_impacts) {
+  const int32_t kSentinel = 0x7FFFFFFF;
+  std::vector<int64_t> counts(size_t(vocab) + 1, 0);
+  const int64_t total = n_docs * l;
+  for (int64_t i = 0; i < total; ++i) {
+    int32_t t = terms[i];
+    if (t >= 0 && t < vocab) counts[size_t(t) + 1]++;
+  }
+  for (size_t v = 1; v <= size_t(vocab); ++v) counts[v] += counts[v - 1];
+  std::vector<int32_t> docs(size_t(counts[vocab]));
+  std::vector<float> imps(size_t(counts[vocab]));
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t i = 0; i < total; ++i) {
+    int32_t t = terms[i];
+    if (t < 0 || t >= vocab) continue;
+    int64_t pos = cursor[t]++;
+    docs[size_t(pos)] = int32_t(i / l);
+    imps[size_t(pos)] = impacts[i];
+  }
+  std::fill(out_docs, out_docs + int64_t(vocab) * cap, kSentinel);
+  std::fill(out_impacts, out_impacts + int64_t(vocab) * cap, 0.0f);
+  std::vector<int64_t> order;
+  for (int32_t t = 0; t < vocab; ++t) {
+    const int64_t start = counts[t], end = counts[size_t(t) + 1];
+    const int64_t len = end - start;
+    if (len == 0) continue;
+    order.resize(size_t(len));
+    for (int64_t i = 0; i < len; ++i) order[size_t(i)] = start + i;
+    const int64_t keep = std::min<int64_t>(len, cap);
+    std::partial_sort(
+        order.begin(), order.begin() + keep, order.end(),
+        [&](int64_t a, int64_t b) {
+          if (imps[size_t(a)] != imps[size_t(b)])
+            return imps[size_t(a)] > imps[size_t(b)];
+          return docs[size_t(a)] < docs[size_t(b)];
+        });
+    for (int64_t s = 0; s < keep; ++s) {
+      out_docs[int64_t(t) * cap + s] = docs[size_t(order[size_t(s)])];
+      out_impacts[int64_t(t) * cap + s] = imps[size_t(order[size_t(s)])];
+    }
+  }
+}
+
 // Standalone tokenizer: writes '\n'-joined tokens; returns bytes written
 // (excluding terminator) or -1 if out_cap too small.
 int64_t tokenize_utf8(const char* text, int64_t len, char* out,

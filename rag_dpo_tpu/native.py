@@ -66,6 +66,11 @@ def _load():
             lib.tokenize_utf8.restype = ctypes.c_int64
             lib.tokenize_utf8.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                           ctypes.c_char_p, ctypes.c_int64]
+            lib.ell_invert.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception as e:  # no toolchain / compile failure
             _build_error = str(e)
@@ -94,6 +99,28 @@ def tokenize_french_native(text: str) -> list[str]:
         n = lib.tokenize_utf8(data, len(data), buf, cap)
     out = buf.raw[:n].decode("utf-8")
     return [t for t in out.split("\n") if t]
+
+
+def invert_postings_native(terms: np.ndarray, impacts: np.ndarray,
+                           vocab_size: int, cap: int):
+    """Dense posting-table inversion in C++ — drop-in for
+    ops.postings.PostingsIndex.build's numpy path. → (docs [V, cap] i32,
+    impacts [V, cap] f32)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    terms = np.ascontiguousarray(terms, np.int32)
+    impacts = np.ascontiguousarray(impacts, np.float32)
+    n, l = terms.shape
+    out_docs = np.empty((vocab_size, cap), np.int32)
+    out_impacts = np.empty((vocab_size, cap), np.float32)
+    lib.ell_invert(
+        terms.ctypes.data_as(ctypes.c_void_p),
+        impacts.ctypes.data_as(ctypes.c_void_p),
+        n, l, vocab_size, cap,
+        out_docs.ctypes.data_as(ctypes.c_void_p),
+        out_impacts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_docs, out_impacts
 
 
 def build_ell_corpus_native(texts, ell_width: int = 32, k1: float = 1.5,

@@ -47,9 +47,11 @@ def attention_reference(q, k, v, lengths=None, scale: float | None = None):
 
 
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, out_ref,
-                  acc, m_scr, l_scr, *, scale: float, block_k: int):
+                  acc, m_scr, l_scr, *, scale: float, block_k: int,
+                  n_heads: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
+    batch_idx = pl.program_id(0) // n_heads
 
     @pl.when(j == 0)
     def _():
@@ -66,7 +68,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, out_ref,
         preferred_element_type=jnp.float32,
     ) * scale  # [TQ, TK]
 
-    seq_len = len_ref[0, 0]
+    seq_len = len_ref[batch_idx]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
     s = jnp.where(col < seq_len, s, NEG_INF)
 
@@ -121,15 +123,15 @@ def flash_attention(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    lengths2d = lengths.astype(jnp.int32).reshape(b, 1)
+    lengths1d = lengths.astype(jnp.int32)
     grid = (b * h, s_pad // bq, s_pad // bk)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=bk),
+        functools.partial(_flash_kernel, scale=scale, block_k=bk,
+                          n_heads=h),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bh, i, j, H=h: (bh // H, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full [B] lengths
             pl.BlockSpec((1, 1, bq, dh),
                          lambda bh, i, j, H=h: (bh // H, bh % H, i, 0),
                          memory_space=pltpu.VMEM),
@@ -156,7 +158,7 @@ def flash_attention(
             transcendentals=b * h * s_pad * s_pad,
         ),
         interpret=interpret,
-    )(lengths2d, q, k, v)
+    )(lengths1d, q, k, v)
 
     return out[:, :, :s, :]
 
