@@ -1,13 +1,16 @@
-"""Headline benchmark: hybrid dense retrieval throughput at 1M chunks.
+"""Headline benchmark: FULL hybrid retrieval throughput at 1M chunks.
 
-Runs on one real TPU chip. Builds a synthetic 1M×1024 bf16 corpus on
-device, then measures batch-64 top-10 dense search throughput (the
-BASELINE.json north star: ≥10k queries/sec at 1M chunks; the reference
-never publishes QPS because single-user hnswlib was never its bottleneck).
+Runs on one real TPU chip. Builds a synthetic 1M×1024 bf16 dense corpus
+plus a 1M×24 lexical ELL corpus on device, then measures the complete
+hybrid retrieval recipe — dense approx top-40 + impact-ordered-postings
+sparse top-40 + weighted RRF fusion to top-10, all on device — at
+batch 64. BASELINE.json north star: ≥10k queries/sec at 1M chunks (the
+reference never publishes QPS; its single-user hnswlib stack was never
+load-tested).
 
 Timing uses a dependent on-device chain (scan feeding results back into
-the query batch) because host↔device round-trips through the axon tunnel
-are ~28 ms and `block_until_ready` is unreliable there.
+the query batch): host↔device round-trips through the axon tunnel are
+~28 ms and `block_until_ready` is unreliable there.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -20,6 +23,9 @@ N = 1_000_000
 D = 1024
 Q = 64
 K = 10
+ELL_W = 24
+N_TERMS = 16
+VOCAB = 50_000
 BASELINE_QPS = 10_000.0  # BASELINE.json: ">=10k queries/sec at 1M chunks"
 
 
@@ -28,46 +34,67 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from rag_dpo_tpu.ops import approx_topk, blocked_topk
-
-    key = jax.random.key(0)
+    from rag_dpo_tpu.ops import approx_topk, blocked_topk, rrf_fuse
+    from rag_dpo_tpu.ops.postings import (
+        PostingsIndex,
+        postings_candidates_topk,
+    )
 
     @jax.jit
     def make_corpus(key):
         e = jax.random.normal(key, (N, D), jnp.bfloat16)
-        norm = jnp.sqrt(jnp.sum(jnp.square(e.astype(jnp.float32)), axis=1,
-                                keepdims=True))
+        norm = jnp.sqrt(jnp.sum(jnp.square(e.astype(jnp.float32)),
+                                axis=1, keepdims=True))
         return (e.astype(jnp.float32) / norm).astype(jnp.bfloat16)
 
-    embs = make_corpus(key)
+    embs = make_corpus(jax.random.key(0))
     embs.block_until_ready()
+
+    rng = np.random.default_rng(2)
+    terms_h = rng.integers(0, VOCAB, (N, ELL_W)).astype(np.int32)
+    impacts_h = np.abs(rng.standard_normal((N, ELL_W))).astype(np.float32)
+    t0 = time.time()
+    pidx = PostingsIndex.build(terms_h, impacts_h, vocab_size=VOCAB,
+                               cap=512)
+    invert_s = time.time() - t0
+    post_docs, post_imps = pidx.device_arrays()
+    ell_t = jax.device_put(jnp.asarray(terms_h))
+    ell_i = jax.device_put(jnp.asarray(impacts_h))
+    qt = jnp.asarray(rng.integers(0, VOCAB, (Q, N_TERMS)), jnp.int32)
+    qw = jnp.abs(jax.random.normal(jax.random.key(5), (Q, N_TERMS)))
 
     @jax.jit
     def make_queries(key):
-        q = jax.random.normal(key, (Q, D), jnp.bfloat16).astype(jnp.float32)
-        q = q / jnp.sqrt(jnp.sum(jnp.square(q), axis=1, keepdims=True))
-        return q.astype(jnp.bfloat16)
+        x = jax.random.normal(key, (Q, D), jnp.float32)
+        x = x / jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
+        return x.astype(jnp.bfloat16)
 
     queries = make_queries(jax.random.key(1))
-
     steps = 20
+    weights = jnp.asarray([2.0, 1.5], jnp.float32)
 
-    def chain(q, e):
+    def hybrid(q, e, pd, pi, et, ei, qqt, qqw):
+        ds, di = approx_topk(q, e, 40)
+        ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw, k=40)
+        arms = jnp.stack([di, si], axis=0)
+        return rrf_fuse(arms, weights, topk=K)
+
+    def chain(q, e, pd, pi, et, ei, qqt, qqw):
         def body(c, _):
-            s, i = approx_topk(c, e, K)
+            s, i = hybrid(c, e, pd, pi, et, ei, qqt, qqw)
             bump = (s[:, :1] * 0).astype(jnp.bfloat16)
             return c + bump, s[0, 0]
         return jax.lax.scan(body, q, None, length=steps)[1]
 
     chain_j = jax.jit(chain)
-    np.asarray(chain_j(queries, embs))  # compile + warm
+    args = (queries, embs, post_docs, post_imps, ell_t, ell_i, qt, qw)
+    np.asarray(chain_j(*args))  # compile + warm
     t0 = time.time()
-    np.asarray(chain_j(queries, embs))
+    np.asarray(chain_j(*args))
     dt = (time.time() - t0) / steps
     qps = Q / dt
 
-    # recall check vs exact on a subsample (exact at 1M is slow; verify on
-    # the same corpus with the exact blocked kernel, small query count)
+    # dense-arm recall sanity vs exact blocked kernel
     s_a, i_a = approx_topk(queries, embs, K)
     s_e, i_e = blocked_topk(queries, embs, K, block_n=65_536)
     i_a, i_e = np.asarray(i_a), np.asarray(i_e)
@@ -76,13 +103,17 @@ def main():
     ]))
 
     print(json.dumps({
-        "metric": "dense_search_qps_1M_chunks_batch64_top10",
+        "metric": "hybrid_search_qps_1M_chunks_batch64_top10",
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
-        "recall_at_10_vs_exact": round(recall, 4),
         "latency_ms_per_batch64": round(dt * 1e3, 3),
-        "corpus": {"n_chunks": N, "dim": D, "dtype": "bfloat16"},
+        "dense_recall_at_10_vs_exact": round(recall, 4),
+        "postings_invert_seconds": round(invert_s, 2),
+        "pipeline": "dense approx top-40 + postings sparse top-40 "
+                    "+ device RRF to top-10",
+        "corpus": {"n_chunks": N, "dim": D, "dtype": "bfloat16",
+                   "ell_width": ELL_W, "postings_cap": 512},
     }))
 
 
@@ -91,7 +122,7 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # never leave the driver without a JSON line
         print(json.dumps({
-            "metric": "dense_search_qps_1M_chunks_batch64_top10",
+            "metric": "hybrid_search_qps_1M_chunks_batch64_top10",
             "value": 0.0,
             "unit": "queries/sec",
             "vs_baseline": 0.0,
