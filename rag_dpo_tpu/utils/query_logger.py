@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import json
 import pathlib
+import threading
 import time
 from typing import Any
 
@@ -25,16 +26,18 @@ class QueryLogger:
         )
         self.rotate_bytes = rotate_mb * 1024 * 1024
         self.queries_path.parent.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.Lock()  # server handlers log concurrently
 
     # -------------------------------------------------------------- write
     def _append(self, path: pathlib.Path, entry: dict):
-        if path.exists() and path.stat().st_size > self.rotate_bytes:
-            rotated = path.with_suffix(path.suffix + ".1")
-            if rotated.exists():
-                rotated.unlink()
-            path.rename(rotated)
-        with open(path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(entry, ensure_ascii=False) + "\n")
+        with self._lock:
+            if path.exists() and path.stat().st_size > self.rotate_bytes:
+                rotated = path.with_suffix(path.suffix + ".1")
+                if rotated.exists():
+                    rotated.unlink()
+                path.rename(rotated)
+            with open(path, "a", encoding="utf-8") as f:
+                f.write(json.dumps(entry, ensure_ascii=False) + "\n")
 
     def log_query(self, response, query_id: str | None = None,
                   pipeline: str = "native") -> str:
