@@ -104,6 +104,47 @@ def convert_bge_m3_state_dict(state: dict) -> dict:
     return params
 
 
+def convert_llama_state_dict(state: dict) -> dict:
+    """HF `LlamaForCausalLM`/`MistralForCausalLM` torch export →
+    `DecoderModel` params. Weights transposed ([out,in] → [in,out])."""
+    prefix = "model." if any(k.startswith("model.") for k in state) else ""
+    params: dict = {}
+
+    def arr(name):
+        return np.asarray(state[prefix + name])
+
+    _set(params, ("embed_tokens", "embedding"),
+         arr("embed_tokens.weight"))
+    layer_ids = sorted({
+        int(m.group(1))
+        for k in state
+        if (m := re.search(r"layers\.(\d+)\.", k))
+    })
+    for i in layer_ids:
+        base = f"layers.{i}."
+        lname = f"layer_{i}"
+        for src, dst in (
+            ("self_attn.q_proj", ("attention", "q_proj")),
+            ("self_attn.k_proj", ("attention", "k_proj")),
+            ("self_attn.v_proj", ("attention", "v_proj")),
+            ("self_attn.o_proj", ("attention", "o_proj")),
+            ("mlp.gate_proj", ("gate_proj",)),
+            ("mlp.up_proj", ("up_proj",)),
+            ("mlp.down_proj", ("down_proj",)),
+        ):
+            _set(params, (lname, *dst, "kernel"),
+                 arr(base + src + ".weight").T)
+        _set(params, (lname, "input_norm", "scale"),
+             arr(base + "input_layernorm.weight"))
+        _set(params, (lname, "post_attention_norm", "scale"),
+             arr(base + "post_attention_layernorm.weight"))
+    _set(params, ("final_norm", "scale"), arr("norm.weight"))
+    if "lm_head.weight" in state:
+        _set(params, ("lm_head", "kernel"),
+             np.asarray(state["lm_head.weight"]).T)
+    return params
+
+
 def convert_cross_encoder_state_dict(state: dict) -> dict:
     """Sequence-classification export (backbone + scalar classifier)."""
     prefix = "roberta." if any(k.startswith("roberta.") for k in state) else ""

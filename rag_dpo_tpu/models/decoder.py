@@ -1,0 +1,230 @@
+"""TPU-native decoder LLM (Llama/Mistral architecture family).
+
+The reference outsources ALL generation to an external Ollama process
+(Mistral-Nemo 12B over HTTP, `src/utils/llm_provider.py`). The provider
+abstraction here keeps that option — but a complete TPU framework should
+be able to serve the generator itself. This module implements the
+Mistral/Llama-class decoder in Flax:
+
+* RMSNorm, rotary position embeddings, grouped-query attention (GQA),
+  SwiGLU MLP — the architecture of Mistral-Nemo/Llama/Qwen checkpoints;
+* KV-cached inference: jit-compiled prefill + single-token decode step
+  with static shapes (cache pre-allocated at max_seq);
+* weight conversion from HF `LlamaForCausalLM` / `MistralForCausalLM`
+  torch exports (`models.convert.convert_llama_state_dict`), locked by a
+  torch parity test;
+* Megatron-style TP sharding via the same path rules as the encoder.
+
+Sampling/generation loop lives in `models.generate`; the provider wrapper
+is `providers.tpu_llm.TPULLMProvider`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32_000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int | None = None     # defaults to hidden // heads
+    intermediate_size: int = 14_336
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-5
+    max_seq_len: int = 4096
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def dh(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "DecoderConfig":
+        defaults = dict(
+            vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, max_seq_len=128,
+            rope_theta=10_000.0,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @classmethod
+    def mistral_nemo_12b(cls) -> "DecoderConfig":
+        """The reference's generator model class (Mistral-Nemo 12B)."""
+        return cls(
+            vocab_size=131_072, hidden_size=5120, num_layers=40,
+            num_heads=32, num_kv_heads=8, head_dim=128,
+            intermediate_size=14_336, rope_theta=1_000_000.0,
+            max_seq_len=16_384,
+        )
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        norm = xf * jax.lax.rsqrt(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps
+        )
+        return (norm * scale).astype(dtype)
+
+
+def rope(x, positions, theta: float):
+    """x: [B, S, H, Dh]; positions: [B, S] → rotated x (pairwise halves,
+    HF Llama convention: rotate_half)."""
+    b, s, h, dh = x.shape
+    half = dh // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, :, None].astype(jnp.float32) * freqs[None, None]
+    cos = jnp.cos(angles)[:, :, None, :]  # [B, S, 1, half]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class GQAttention(nn.Module):
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, positions, cache=None, attn_mask=None,
+                 write_mask=None):
+        """hidden [B, S, H]; positions [B, S]; write_mask [B, S] zeroes
+        KV writes for padding tokens during prefill;
+        cache: None | dict(k [B, max, KV, Dh], v, length [B]) — when given,
+        new keys/values are written at `positions` and attention spans the
+        cache; returns (out, new_cache)."""
+        cfg = self.config
+        b, s, _ = hidden.shape
+        nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.dh
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=cfg.dtype, name=name)
+        q = dense(nh * dh, "q_proj")(hidden).reshape(b, s, nh, dh)
+        k = dense(nkv * dh, "k_proj")(hidden).reshape(b, s, nkv, dh)
+        v = dense(nkv * dh, "v_proj")(hidden).reshape(b, s, nkv, dh)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+
+        if cache is not None:
+            k_cache, v_cache = cache["k"], cache["v"]
+            # scatter new kv at their positions (static shapes)
+            onehot = jax.nn.one_hot(
+                positions, k_cache.shape[1], dtype=k.dtype
+            )  # [B, S, max]
+            if write_mask is not None:
+                onehot = onehot * write_mask[:, :, None].astype(k.dtype)
+            k_cache = k_cache + jnp.einsum("bsm,bskd->bmkd", onehot, k)
+            v_cache = v_cache + jnp.einsum("bsm,bskd->bmkd", onehot, v)
+            k_all, v_all = k_cache, v_cache
+            kv_len = k_cache.shape[1]
+            new_cache = {"k": k_cache, "v": v_cache}
+        else:
+            k_all, v_all = k, v
+            kv_len = s
+            new_cache = None
+
+        group = nh // nkv
+        qf = q.astype(jnp.float32)
+        kf = k_all.astype(jnp.float32)
+        vf = v_all.astype(jnp.float32)
+        qg = qf.reshape(b, s, nkv, group, dh)
+        logits = jnp.einsum("bskgd,bmkd->bksgm", qg, kf) / (dh ** 0.5)
+        # causal/cache mask: query at pos p sees keys at pos ≤ p
+        key_pos = jnp.arange(kv_len)[None, None, None, None, :]
+        q_pos = positions[:, None, :, None, None]
+        mask = key_pos <= q_pos
+        if attn_mask is not None:  # [B, kv_len] key validity
+            mask = mask & attn_mask[:, None, None, None, :]
+        logits = jnp.where(mask, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bksgm,bmkd->bskgd", probs, vf)
+        ctx = ctx.reshape(b, s, nh * dh).astype(cfg.dtype)
+        out = dense(cfg.hidden_size, "o_proj")(ctx)
+        return out, new_cache
+
+
+class DecoderLayer(nn.Module):
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, positions, cache=None, attn_mask=None,
+                 write_mask=None):
+        cfg = self.config
+        attn_in = RMSNorm(cfg.rms_norm_eps, name="input_norm")(hidden)
+        attn_out, new_cache = GQAttention(cfg, name="attention")(
+            attn_in, positions, cache, attn_mask, write_mask
+        )
+        hidden = hidden + attn_out
+        mlp_in = RMSNorm(cfg.rms_norm_eps, name="post_attention_norm")(
+            hidden)
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=cfg.dtype, name=name)
+        gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(mlp_in))
+        up = dense(cfg.intermediate_size, "up_proj")(mlp_in)
+        hidden = hidden + dense(cfg.hidden_size, "down_proj")(gate * up)
+        return hidden, new_cache
+
+
+class DecoderModel(nn.Module):
+    """→ logits [B, S, V] (+ updated caches when passed)."""
+
+    config: DecoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, positions=None, caches=None,
+                 attn_mask=None, write_mask=None):
+        cfg = self.config
+        b, s = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                         dtype=cfg.dtype, name="embed_tokens")
+        hidden = embed(input_ids)
+        new_caches = []
+        for i in range(cfg.num_layers):
+            cache_i = caches[i] if caches is not None else None
+            hidden, new_cache = DecoderLayer(cfg, name=f"layer_{i}")(
+                hidden, positions, cache_i, attn_mask, write_mask
+            )
+            new_caches.append(new_cache)
+        hidden = RMSNorm(cfg.rms_norm_eps, name="final_norm")(hidden)
+        if cfg.tie_embeddings:
+            logits = embed.attend(hidden.astype(jnp.float32))
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False,
+                              dtype=jnp.float32, name="lm_head")(
+                hidden.astype(jnp.float32))
+        if caches is not None:
+            return logits, new_caches
+        return logits
+
+    @staticmethod
+    def init_cache(cfg: DecoderConfig, batch: int):
+        return [
+            {
+                "k": jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads,
+                                cfg.dh), cfg.dtype),
+                "v": jnp.zeros((batch, cfg.max_seq_len, cfg.num_kv_heads,
+                                cfg.dh), cfg.dtype),
+            }
+            for _ in range(cfg.num_layers)
+        ]

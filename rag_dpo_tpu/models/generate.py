@@ -1,0 +1,140 @@
+"""KV-cached text generation: jitted prefill + scanned decode loop.
+
+Static shapes throughout: prompts pad to a bucket, the KV cache is
+pre-allocated at max_seq_len, and the decode loop is one `lax.scan` of
+`max_new_tokens` steps with per-row stop handling (finished rows keep
+emitting pad — the scan shape never changes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decoder import DecoderConfig, DecoderModel
+
+
+@dataclasses.dataclass
+class SamplingConfig:
+    temperature: float = 0.0      # 0 = greedy
+    top_k: int = 40
+    max_new_tokens: int = 256
+    eos_id: int = 2
+    pad_id: int = 1
+
+
+class TextGenerator:
+    """Host wrapper around the jitted prefill/decode programs."""
+
+    def __init__(self, config: DecoderConfig, params=None,
+                 rng_seed: int = 0):
+        self.config = config
+        self.model = DecoderModel(config)
+        self._params = params
+        self._rng_seed = rng_seed
+        self._programs: dict = {}
+
+    def load(self):
+        if self._params is None:
+            ids = jnp.zeros((1, 8), jnp.int32)
+            self._params = self.model.init(
+                jax.random.key(self._rng_seed), ids)
+        return self._params
+
+    def load_converted(self, state_dict):
+        from .convert import convert_llama_state_dict
+
+        self._params = {"params": jax.tree.map(
+            jnp.asarray, convert_llama_state_dict(state_dict))}
+
+    # ----------------------------------------------------------- programs
+    def _prefill(self, b: int, s: int):
+        key = ("prefill", b, s)
+        if key not in self._programs:
+            cfg = self.config
+
+            @jax.jit
+            def prefill(params, ids, lengths):
+                caches = DecoderModel.init_cache(cfg, ids.shape[0])
+                positions = jnp.broadcast_to(
+                    jnp.arange(ids.shape[1])[None, :], ids.shape)
+                valid = positions < lengths[:, None]
+                logits, caches = self.model.apply(
+                    params, ids, positions, caches,
+                    attn_mask=None, write_mask=valid,
+                )
+                # logits at each row's LAST valid token
+                last = jnp.clip(lengths - 1, 0)
+                last_logits = jnp.take_along_axis(
+                    logits, last[:, None, None], axis=1)[:, 0]
+                return last_logits, caches
+
+            self._programs[key] = prefill
+        return self._programs[key]
+
+    def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
+        key = ("decode", b, n_steps, sampling.temperature,
+               sampling.top_k, sampling.eos_id)
+        if key not in self._programs:
+            cfg = self.config
+            temp = sampling.temperature
+            top_k = sampling.top_k
+            eos = sampling.eos_id
+            pad = sampling.pad_id
+
+            def sample(logits, rng):
+                if temp <= 0:
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                kk = min(top_k, logits.shape[-1])
+                vals, idxs = jax.lax.top_k(logits, kk)
+                choice = jax.random.categorical(rng, vals / temp, axis=-1)
+                return jnp.take_along_axis(
+                    idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+            @jax.jit
+            def decode(params, first_logits, caches, lengths, rng):
+                def step(carry, _):
+                    logits, caches, pos, done, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    token = sample(logits, sub)
+                    token = jnp.where(done, pad, token)
+                    done = done | (token == eos)
+                    new_logits, caches = self.model.apply(
+                        params, token[:, None], pos[:, None], caches,
+                    )
+                    return (new_logits[:, 0], caches, pos + 1, done,
+                            rng), token
+
+                init = (first_logits, caches, lengths,
+                        jnp.zeros((first_logits.shape[0],), bool), rng)
+                _, tokens = jax.lax.scan(step, init, None,
+                                         length=n_steps)
+                return tokens.T  # [B, n_steps]
+
+            self._programs[key] = decode
+        return self._programs[key]
+
+    # ------------------------------------------------------------ public
+    def generate_ids(self, input_ids: np.ndarray, lengths: np.ndarray,
+                     sampling: SamplingConfig | None = None,
+                     rng_seed: int = 0) -> np.ndarray:
+        """[B, S] padded prompts → [B, max_new_tokens] generated ids
+        (pad_id after each row's EOS)."""
+        sampling = sampling or SamplingConfig()
+        params = self.load()
+        b, s = input_ids.shape
+        assert s + sampling.max_new_tokens <= self.config.max_seq_len, (
+            "prompt + generation exceeds max_seq_len"
+        )
+        first_logits, caches = self._prefill(b, s)(
+            params, jnp.asarray(input_ids), jnp.asarray(lengths))
+        tokens = self._decode(b, sampling.max_new_tokens, sampling)(
+            params, first_logits, caches, jnp.asarray(lengths),
+            jax.random.key(rng_seed),
+        )
+        return np.asarray(tokens)
