@@ -18,8 +18,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import AXIS_MODEL
 
-_COL = ("query", "key", "value", "intermediate")   # shard output features
-_ROW = ("output", "mlp_output")                     # shard input features
+# encoder names + decoder names (q/k/v/gate/up shard output features;
+# o_proj/down_proj shard input features → one all-reduce per block pair)
+_COL = ("query", "key", "value", "intermediate",
+        "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW = ("output", "mlp_output", "o_proj", "down_proj")
 
 
 def param_spec(path: tuple[str, ...]) -> P:
