@@ -1,0 +1,153 @@
+"""Bootstrap: FrameworkConfig + on-disk artifacts → ready pipelines.
+
+Closes the loop the reference never closed (SURVEY.md §5: config.yaml is
+only partially read; most values are duplicated as code defaults): here
+the typed `FrameworkConfig` actually drives construction of every
+component — index, embedder, BM25, retriever recipe, reranker, LLM
+provider, both orchestrators, logging and alerting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from typing import Any
+
+from .utils.config import FrameworkConfig, load_config
+from .utils.paths import Paths, default_paths
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Stack:
+    config: FrameworkConfig
+    paths: Paths
+    index: Any
+    embedder: Any
+    bm25_stats: Any
+    summary_index: Any
+    llm: Any
+    pipeline: Any          # sequential RAGPipeline
+    agent: Any             # RAGAgentPipeline
+    query_logger: Any
+    alerter: Any
+
+    def active(self, use_agent: bool | None = None):
+        if use_agent is None:
+            use_agent = self.config.agent.enable
+        return self.agent if use_agent else self.pipeline
+
+
+def _rebuild_bm25_stats(index, ell_width: int):
+    """Reconstruct query-side BM25 stats from index metadata texts (the
+    impact arrays are already stored; only the vocab/idf map is needed)."""
+    from .retrieval.bm25 import build_bm25_stats
+    from .tokenize.french import tokenize_french_text
+
+    texts = [
+        str(index.meta.row(i).get("text", ""))
+        for i in range(index.n_rows)
+    ]
+    return build_bm25_stats([tokenize_french_text(t) for t in texts])
+
+
+def build_stack(
+    config: FrameworkConfig | None = None,
+    paths: Paths | None = None,
+    llm=None,
+    index=None,
+    embedder=None,
+) -> Stack:
+    """Load the saved index + summaries and wire everything per config.
+    Components may be injected (tests); anything not injected is built."""
+    from .agent import create_agent_pipeline
+    from .index import DeviceIndex
+    from .providers import Embedder, EmbedderConfig
+    from .providers.factory import create_llm
+    from .rag import create_pipeline
+    from .retrieval import SummaryBm25Index
+    from .utils import Alerter, AlertConfig, QueryLogger
+
+    config = config or load_config()
+    paths = (paths or default_paths()).ensure()
+
+    if llm is None:
+        llm = create_llm(
+            config.llm.mode, base_url=config.llm.base_url,
+            model=config.llm.model,
+        )
+    if embedder is None:
+        embedder = Embedder(EmbedderConfig(
+            batch_size=config.embedding.batch_size,
+            max_seq_len=config.embedding.max_seq_len,
+            query_max_len=config.embedding.query_max_len,
+        ))
+    if index is None:
+        manifest = paths.index_dir / "manifest.json"
+        if not manifest.exists():
+            raise FileNotFoundError(
+                f"no index at {paths.index_dir} — run "
+                "`python -m rag_dpo_tpu.ingest.rebuild` or "
+                "`python scripts/download_index.py <artifact>`"
+            )
+        index = DeviceIndex.load(paths.index_dir)
+
+    bm25_stats = None
+    if config.retrieval.hybrid:
+        bm25_stats = _rebuild_bm25_stats(index,
+                                         config.chunking.ell_width)
+
+    summary_index = None
+    if paths.document_summaries.exists():
+        summaries = json.loads(paths.document_summaries.read_text())
+        summary_index = SummaryBm25Index()
+        summary_index.build([
+            {"doc_key": key, "title": fiche.get("title", ""),
+             "summary": fiche.get("summary", ""),
+             "url": fiche.get("url", "")}
+            for key, fiche in summaries.items()
+            if not fiche.get("navigation")
+        ])
+
+    texts = None  # chunk text lives in index metadata
+    r = config.retrieval
+    pipeline = create_pipeline(
+        index, embedder, llm,
+        bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
+        use_reranker=r.use_reranker,
+        n_candidates=r.n_candidates,
+        rerank_top_k=r.rerank_top_k,
+        max_context_chars=r.max_context_chars,
+        generation_temperature=config.llm.temperature,
+    )
+    agent = create_agent_pipeline(
+        index, embedder, llm,
+        bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
+        n_candidates=r.n_candidates,
+        rerank_top_k=r.rerank_top_k,
+        max_context_chars=r.max_context_chars,
+        enable_expert_refinement=config.agent.enable_expert_refinement,
+        enable_completeness=config.agent.enable_completeness,
+        generation_temperature=config.llm.temperature,
+    )
+
+    o = config.observability
+    query_logger = QueryLogger(paths.queries_log, paths.feedback_log,
+                               rotate_mb=o.query_log_rotate_mb)
+    alerter = Alerter(query_logger, paths.alerts_log, AlertConfig(
+        error_rate=o.alert_error_rate,
+        avg_time_s=o.alert_avg_time_s,
+        satisfaction=o.alert_satisfaction,
+        zero_citation_rate=o.alert_zero_citation_rate,
+        smtp_enabled=o.smtp_enabled,
+        smtp_host=o.smtp_host,
+        smtp_to=o.smtp_to,
+    ))
+    return Stack(
+        config=config, paths=paths, index=index, embedder=embedder,
+        bm25_stats=bm25_stats, summary_index=summary_index, llm=llm,
+        pipeline=pipeline, agent=agent,
+        query_logger=query_logger, alerter=alerter,
+    )

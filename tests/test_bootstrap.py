@@ -1,0 +1,66 @@
+"""Config-driven stack bootstrap over a saved index checkpoint."""
+
+import json
+
+import pytest
+
+from rag_dpo_tpu.bootstrap import build_stack
+from rag_dpo_tpu.ingest.indexer import CorpusIndexer
+from rag_dpo_tpu.models import BgeM3Config, EncoderConfig
+from rag_dpo_tpu.providers import Embedder, EmbedderConfig, FakeLLMProvider
+from rag_dpo_tpu.utils.config import load_config
+from rag_dpo_tpu.utils.paths import default_paths
+
+from test_retrieval import CORPUS
+
+
+@pytest.fixture(scope="module")
+def saved_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("boot")
+    paths = default_paths(root).ensure()
+    embedder = Embedder(EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            use_flash_attention=False), colbert_dim=32),
+        batch_size=8,
+    ))
+    chunks = []
+    for cid, text, meta in CORPUS:
+        c = dict(meta)
+        c["chunk_id"] = cid
+        c["text"] = text
+        chunks.append(c)
+    index, stats, _ = CorpusIndexer(embedder, ell_width=16).build(chunks)
+    index.save(paths.index_dir)
+    paths.document_summaries.write_text(json.dumps({
+        m["doc_key"]: {"title": m["title"], "summary": t,
+                       "url": m["source_url"], "navigation": False}
+        for _, t, m in CORPUS
+    }))
+    return paths, embedder
+
+
+def test_build_stack_and_query(saved_corpus):
+    paths, embedder = saved_corpus
+    cfg = load_config(env={"RAGDPO_LLM_MODE": "fake",
+                           "RAGDPO_RETRIEVAL_USE_RERANKER": "false"})
+    stack = build_stack(cfg, paths, llm=FakeLLMProvider(),
+                        embedder=embedder)
+    assert stack.index.n_rows == len(CORPUS)
+    assert stack.bm25_stats is not None
+    assert stack.summary_index is not None
+    resp = stack.pipeline.query("délai de notification d'une violation")
+    assert resp.answer and resp.sources
+    resp2 = stack.agent.query("délai de notification d'une violation")
+    assert resp2.answer
+    # config drives orchestrator selection
+    assert stack.active(use_agent=False) is stack.pipeline
+    assert stack.active() is stack.agent  # agent.enable default true
+    qid = stack.query_logger.log_query(resp)
+    assert stack.query_logger.get_stats()["n_queries"] >= 1
+
+
+def test_build_stack_missing_index(tmp_path):
+    paths = default_paths(tmp_path).ensure()
+    with pytest.raises(FileNotFoundError, match="rebuild"):
+        build_stack(load_config(env={"RAGDPO_LLM_MODE": "fake"}), paths,
+                    llm=FakeLLMProvider())
