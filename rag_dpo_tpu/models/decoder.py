@@ -45,6 +45,7 @@ class DecoderConfig:
     max_seq_len: int = 4096
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32   # bf16 halves init/storage footprint
 
     @property
     def dh(self) -> int:
@@ -73,12 +74,14 @@ class DecoderConfig:
 
 class RMSNorm(nn.Module):
     eps: float = 1e-5
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
         xf = x.astype(jnp.float32)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           self.param_dtype).astype(jnp.float32)
         norm = xf * jax.lax.rsqrt(
             jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps
         )
@@ -117,7 +120,8 @@ class GQAttention(nn.Module):
         b, s, _ = hidden.shape
         nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.dh
         dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=cfg.dtype, name=name)
+            feats, use_bias=False, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name)
         q = dense(nh * dh, "q_proj")(hidden).reshape(b, s, nh, dh)
         k = dense(nkv * dh, "k_proj")(hidden).reshape(b, s, nkv, dh)
         v = dense(nkv * dh, "v_proj")(hidden).reshape(b, s, nkv, dh)
@@ -169,15 +173,17 @@ class DecoderLayer(nn.Module):
     def __call__(self, hidden, positions, cache=None, attn_mask=None,
                  write_mask=None):
         cfg = self.config
-        attn_in = RMSNorm(cfg.rms_norm_eps, name="input_norm")(hidden)
+        attn_in = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype,
+                          name="input_norm")(hidden)
         attn_out, new_cache = GQAttention(cfg, name="attention")(
             attn_in, positions, cache, attn_mask, write_mask
         )
         hidden = hidden + attn_out
-        mlp_in = RMSNorm(cfg.rms_norm_eps, name="post_attention_norm")(
-            hidden)
+        mlp_in = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype,
+                         name="post_attention_norm")(hidden)
         dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=cfg.dtype, name=name)
+            feats, use_bias=False, dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name=name)
         gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(mlp_in))
         up = dense(cfg.intermediate_size, "up_proj")(mlp_in)
         hidden = hidden + dense(cfg.hidden_size, "down_proj")(gate * up)
@@ -197,7 +203,8 @@ class DecoderModel(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size,
-                         dtype=cfg.dtype, name="embed_tokens")
+                         dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         name="embed_tokens")
         hidden = embed(input_ids)
         new_caches = []
         for i in range(cfg.num_layers):
@@ -206,13 +213,15 @@ class DecoderModel(nn.Module):
                 hidden, positions, cache_i, attn_mask, write_mask
             )
             new_caches.append(new_cache)
-        hidden = RMSNorm(cfg.rms_norm_eps, name="final_norm")(hidden)
+        hidden = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype,
+                         name="final_norm")(hidden)
         if cfg.tie_embeddings:
             logits = embed.attend(hidden.astype(jnp.float32))
         else:
             logits = nn.Dense(cfg.vocab_size, use_bias=False,
-                              dtype=jnp.float32, name="lm_head")(
-                hidden.astype(jnp.float32))
+                              dtype=jnp.float32,
+                              param_dtype=cfg.param_dtype,
+                              name="lm_head")(hidden.astype(jnp.float32))
         if caches is not None:
             return logits, new_caches
         return logits
