@@ -47,6 +47,10 @@ class EncoderConfig:
     use_flash_attention: bool = True
     flash_block_q: int = 512
     flash_block_k: int = 512
+    # rematerialize each layer in the backward pass: trades ~30% more
+    # FLOPs for O(layers) less activation memory — the standard TPU
+    # recipe for long-sequence / large-batch training
+    remat: bool = False
 
     @classmethod
     def tiny(cls, **kw) -> "EncoderConfig":
@@ -145,6 +149,10 @@ class TransformerEncoder(nn.Module):
             name="embeddings_norm",
         )(word + pos + tok_type).astype(cfg.dtype)
 
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=())
+            if cfg.remat else EncoderLayer
+        )
         for i in range(cfg.num_layers):
-            hidden = EncoderLayer(cfg, name=f"layer_{i}")(hidden, lengths)
+            hidden = layer_cls(cfg, name=f"layer_{i}")(hidden, lengths)
         return hidden

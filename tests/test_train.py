@@ -53,6 +53,33 @@ def test_sharded_train_step_decreases_loss(eight_devices):
     assert int(jax.device_get(state.step)) == 8
 
 
+def test_remat_training_matches(eight_devices):
+    """Remat changes memory, not math: same loss trajectory."""
+    mesh = create_mesh(MeshSpec(data=2, model=1, shard=1))
+    rng = np.random.default_rng(4)
+    batch = _batch(rng, b=4)
+    losses = {}
+    for remat in (False, True):
+        cfg = _cfg()
+        cfg = TrainConfig(
+            model=BgeM3Config(
+                encoder=EncoderConfig(
+                    vocab_size=256, hidden_size=32, num_layers=1,
+                    num_heads=2, intermediate_size=64,
+                    max_position_embeddings=66,
+                    use_flash_attention=False, remat=remat,
+                ),
+                colbert_dim=16,
+            ),
+            warmup_steps=2,
+        )
+        state = create_train_state(cfg)
+        step, state = make_sharded_train_step(cfg, mesh, state)
+        state, metrics = step(state, batch)
+        losses[remat] = float(metrics["loss"])
+    assert losses[False] == pytest.approx(losses[True], rel=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg()
     state = create_train_state(cfg)
