@@ -171,13 +171,6 @@ def _rank_merge(run_s, run_i, cand_s, cand_i, k: int):
     return out_s, out_i
 
 
-def _merge_topk(scores, ids, k: int):
-    """Exact top-k of [TQ, M] via rank selection (vectorized, loop-free)."""
-    empty_s = jnp.full((scores.shape[0], k), NEG_INF, jnp.float32)
-    empty_i = jnp.full((scores.shape[0], k), -1, jnp.int32)
-    return _rank_merge(empty_s, empty_i, scores, ids, k)
-
-
 def streaming_topk_update(s, run_s, run_i, *, k: int, is_first, base,
                           n_valid: int, seg: int = 128):
     """Merge a block of scores into running top-k scratch refs.

@@ -58,6 +58,22 @@ def test_cited_source_hit_rate(replay_stack):
     assert report["n_questions"] >= 40
 
 
+def test_agent_replay_scores(replay_stack):
+    """Same synthetic corpus through the AGENT pipeline."""
+    from rag_dpo_tpu.agent import create_agent_pipeline
+
+    dataset, _, retriever, embedder = replay_stack
+    agent = create_agent_pipeline(
+        retriever.index, embedder, ExtractiveFakeLLM(),
+        bm25_stats=retriever.bm25_stats, use_expansion=False,
+        enable_completeness=False,
+    )
+    harness = EvalHarness(agent, embedder=embedder, config=EvalConfig())
+    report = harness.run(dataset[:8])
+    assert report["global_score"] >= 0.45, report["global_score"]
+    assert report["n_questions"] == 8
+
+
 def test_full_replay_scores(replay_stack):
     dataset, pipe, _, embedder = replay_stack
     harness = EvalHarness(pipe, embedder=embedder,
