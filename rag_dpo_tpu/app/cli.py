@@ -28,6 +28,23 @@ def _stack(args):
         p = HTTPLLMProvider(base_url=args.llm)
         llm = p if p.is_available() else None
     llm = llm or FakeLLMProvider()
+
+    # production path: a saved index checkpoint + unified config
+    from ..utils.paths import default_paths
+
+    paths = default_paths(getattr(args, "root", None))
+    if (paths.index_dir / "manifest.json").exists():
+        from ..bootstrap import build_stack
+        from ..utils.config import load_config
+
+        stack = build_stack(
+            load_config(getattr(args, "config", None)), paths, llm=llm)
+        pipe = stack.active(use_agent=getattr(args, "agent", False))
+        return pipe, {
+            "index": stack.index, "embedder": stack.embedder,
+            "bm25_stats": stack.bm25_stats, "llm": stack.llm,
+        }
+
     from .demo import build_demo_stack
 
     return build_demo_stack(llm=llm, agent=getattr(args, "agent", False))
@@ -156,6 +173,8 @@ def main(argv=None) -> int:
     ap.add_argument("--llm", help="endpoint Ollama-compatible")
     ap.add_argument("--tpu", action="store_true",
                     help="backend TPU (défaut: CPU pour la démo)")
+    ap.add_argument("--root", help="racine data/ (index réel si présent)")
+    ap.add_argument("--config", help="fichier de configuration yaml/json")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     chat = sub.add_parser("chat")
