@@ -46,6 +46,11 @@ class DecoderConfig:
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32   # bf16 halves init/storage footprint
+    # weight-only int8: projection kernels stored int8 + per-output-channel
+    # f32 scales, dequantized inside the matmul read. Decode is HBM-bound
+    # on weights, so this both halves the footprint vs bf16 (the
+    # reference-class 12B generator fits ONE v5e chip) and speeds decode.
+    quantize_weights: bool = False
 
     @property
     def dh(self) -> int:
@@ -105,6 +110,75 @@ def rope(x, positions, theta: float):
     return out.astype(x.dtype)
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 linear: y = (x · W_i8) ⊙ scale.
+
+    Kernel stored int8 [in, out], per-output-channel f32 scale. The cast
+    to bf16 happens inside the matmul read (XLA fuses it), so HBM traffic
+    is the int8 bytes. Init draws random int8 (bench/testing); real
+    weights arrive via `quantize_decoder_params` /
+    `convert_llama_state_dict(..., quantize=True)`.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+
+        def init_kernel(key, shape, _):
+            vals = jax.random.normal(key, shape) * 42.0
+            return jnp.clip(jnp.round(vals), -127, 127).astype(jnp.int8)
+
+        kernel = self.param("kernel_q", init_kernel,
+                            (in_features, self.features), jnp.int8)
+        scale = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, 0.01, jnp.float32),
+            (self.features,),
+        )
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * scale).astype(self.dtype)
+
+
+def _linear(cfg: DecoderConfig, features: int, name: str):
+    if cfg.quantize_weights:
+        return QuantDense(features, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name=name)
+
+
+def quantize_decoder_params(params: dict) -> dict:
+    """float param tree (Dense kernels) → QuantDense tree (kernel_q +
+    scale), host-side numpy, layer by layer (no double residency)."""
+    import numpy as np
+
+    def rec(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+                w = np.asarray(node["kernel"], np.float32)
+                amax = np.maximum(np.abs(w).max(axis=0), 1e-12)
+                scale = (amax / 127.0).astype(np.float32)
+                q = np.clip(np.round(w / scale[None, :]), -127,
+                            127).astype(np.int8)
+                return {"kernel_q": q, "scale": scale}
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    out = {}
+    for key, value in params.items():
+        if key in ("embed_tokens",):  # embeddings stay float
+            out[key] = value
+        else:
+            out[key] = rec(value)
+    return out
+
+
 class GQAttention(nn.Module):
     config: DecoderConfig
 
@@ -119,9 +193,7 @@ class GQAttention(nn.Module):
         cfg = self.config
         b, s, _ = hidden.shape
         nh, nkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.dh
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name=name)
+        dense = lambda feats, name: _linear(cfg, feats, name)
         q = dense(nh * dh, "q_proj")(hidden).reshape(b, s, nh, dh)
         k = dense(nkv * dh, "k_proj")(hidden).reshape(b, s, nkv, dh)
         v = dense(nkv * dh, "v_proj")(hidden).reshape(b, s, nkv, dh)
@@ -181,9 +253,7 @@ class DecoderLayer(nn.Module):
         hidden = hidden + attn_out
         mlp_in = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype,
                          name="post_attention_norm")(hidden)
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name=name)
+        dense = lambda feats, name: _linear(cfg, feats, name)
         gate = nn.silu(dense(cfg.intermediate_size, "gate_proj")(mlp_in))
         up = dense(cfg.intermediate_size, "up_proj")(mlp_in)
         hidden = hidden + dense(cfg.hidden_size, "down_proj")(gate * up)
@@ -218,10 +288,16 @@ class DecoderModel(nn.Module):
         if cfg.tie_embeddings:
             logits = embed.attend(hidden.astype(jnp.float32))
         else:
-            logits = nn.Dense(cfg.vocab_size, use_bias=False,
-                              dtype=jnp.float32,
-                              param_dtype=cfg.param_dtype,
-                              name="lm_head")(hidden.astype(jnp.float32))
+            if cfg.quantize_weights:
+                logits = QuantDense(cfg.vocab_size, dtype=jnp.float32,
+                                    name="lm_head")(
+                    hidden.astype(jnp.float32))
+            else:
+                logits = nn.Dense(cfg.vocab_size, use_bias=False,
+                                  dtype=jnp.float32,
+                                  param_dtype=cfg.param_dtype,
+                                  name="lm_head")(
+                    hidden.astype(jnp.float32))
         if caches is not None:
             return logits, new_caches
         return logits
