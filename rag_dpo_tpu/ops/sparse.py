@@ -48,18 +48,24 @@ def ell_scores_reference(doc_terms, doc_impacts, q_terms, q_weights):
 def _ell_score_block(doc_terms, doc_impacts, q_terms, q_weights):
     """[BN, L], [BN, L], [Q, T], [Q, T] → [Q, BN].
 
-    Unrolled over the T query-term slots so the live intermediate is
-    [Q, BN, L] (not [Q, BN, L, T]) — keeps VMEM bounded at any T.
+    Fully unrolled over (query, term) so every live intermediate is 2D
+    [BN, L] — Mosaic mis-compiles 3D [Q, BN, L] broadcasts for Q > 1 at
+    block widths ≥ 512 (tpu_compile_helper crash, found by
+    benchmarks/hw_smoke.py). The unroll count Q·T stays small because
+    this kernel only serves corpora below the postings-engine threshold.
     """
     q, t = q_terms.shape
-    bn = doc_terms.shape[0]
-    acc = jnp.zeros((q, bn), jnp.float32)
-    for ti in range(t):
-        ids = q_terms[:, ti]  # [Q]
-        m = doc_terms[None, :, :] == ids[:, None, None]  # [Q, BN, L]
-        hit = jnp.sum(jnp.where(m, doc_impacts[None, :, :], 0.0), axis=2)
-        acc = acc + q_weights[:, ti][:, None] * hit
-    return acc
+    cols = []
+    for qi in range(q):
+        acc = None
+        for ti in range(t):
+            match = doc_terms == q_terms[qi, ti]  # [BN, L]
+            hit = jnp.sum(jnp.where(match, doc_impacts, 0.0), axis=1,
+                          keepdims=True)  # [BN, 1]
+            term = q_weights[qi, ti] * hit
+            acc = term if acc is None else acc + term
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=1).T  # [Q, BN]
 
 
 def _ell_topk_kernel(qt_ref, qw_ref, dt_ref, di_ref, out_s_ref, out_i_ref,
