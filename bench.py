@@ -31,6 +31,12 @@ BASELINE_QPS = 10_000.0  # BASELINE.json: ">=10k queries/sec at 1M chunks"
 
 def main():
     import jax
+
+    try:  # persistent compile cache: repeat runs skip remote compiles
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

@@ -41,7 +41,11 @@ class Embedder:
         params=None,
         tokenizer: Tokenizer | None = None,
         rng_seed: int = 0,
+        mesh=None,
     ):
+        """`mesh`: shard encode batches over its `data` axis (corpus
+        ingest data-parallelism — SURVEY.md §2.5; the reference only has
+        intra-op batching on one GPU)."""
         self.config = config or EmbedderConfig()
         self.model = BgeM3Model(self.config.model)
         self.tokenizer = tokenizer or (
@@ -52,6 +56,7 @@ class Embedder:
         self._params = params
         self._rng_seed = rng_seed
         self._apply_cache: dict = {}
+        self.mesh = mesh
 
     @property
     def dim(self) -> int:
@@ -87,10 +92,35 @@ class Embedder:
     def _apply(self, b: int, s: int):
         key = (b, s)
         if key not in self._apply_cache:
-            self._apply_cache[key] = jax.jit(
-                lambda p, ids, lengths: self.model.apply(p, ids, lengths)
-            )
+            fn = lambda p, ids, lengths: self.model.apply(p, ids, lengths)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import AXIS_DATA
+
+                batch_sh = NamedSharding(self.mesh, P(AXIS_DATA))
+                repl = NamedSharding(self.mesh, P())
+                self._apply_cache[key] = jax.jit(
+                    fn,
+                    in_shardings=(
+                        jax.tree.map(lambda _: repl, self.load()),
+                        batch_sh, batch_sh,
+                    ),
+                )
+            else:
+                self._apply_cache[key] = jax.jit(fn)
         return self._apply_cache[key]
+
+    def _batch_bucket(self, b: int) -> int:
+        bucket = next(
+            (x for x in self.config.batch_buckets if b <= x), b
+        )
+        if self.mesh is not None:
+            from ..parallel.mesh import AXIS_DATA
+
+            d = self.mesh.shape[AXIS_DATA]
+            bucket = -(-bucket // d) * d
+        return bucket
 
     def _encode_padded(self, texts: Sequence[str], max_len: int):
         params = self.load()
@@ -99,9 +129,9 @@ class Embedder:
         seq = bucket_length(int(enc.lengths.max()) if len(texts) else 8)
         seq = min(seq, max_len)
         ids = enc.input_ids[:, :seq]
-        # pad batch to bucket
+        # pad batch to bucket (mesh: round up to the data-axis size)
         b = len(texts)
-        b_bucket = next((x for x in cfg.batch_buckets if b <= x), b)
+        b_bucket = self._batch_bucket(b)
         if b_bucket != b:
             ids = np.concatenate(
                 [ids, np.full((b_bucket - b, seq),
