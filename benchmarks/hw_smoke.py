@@ -130,6 +130,33 @@ def main() -> int:
         assert np.asarray(i)[0, 0] == 17 and np.asarray(i)[1, 0] == 444
     check("int8 search (XLA)", int8_case)
 
+    def index_paths_case():
+        from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+
+        n, d = 3000, 128
+        e = rng.standard_normal((n, d)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        terms = rng.integers(0, 200, (n, 8)).astype(np.int32)
+        imps = np.abs(rng.standard_normal((n, 8))).astype(np.float32)
+        metas = [{"nature": "GUIDE" if i % 2 else "DOCTRINE"}
+                 for i in range(n)]
+        for quant in (False, True):
+            idx = DeviceIndex(IndexConfig(
+                dim=d, ell_width=8, row_block=512, quantize_int8=quant,
+                postings_threshold=1000))
+            idx.add([f"c{i}" for i in range(n)], e, metas, terms, imps)
+            s, rows = idx.search_dense(e[[42]], 5)
+            assert rows[0, 0] == 42, (quant, rows[0])
+            s, rows = idx.search_dense(e[[42]], 5,
+                                       where={"nature": "GUIDE"})
+            assert 42 not in rows[0]  # c42 is DOCTRINE
+            qt = np.concatenate([terms[7, :4], [-2, -2]]).reshape(1, -1)
+            qw = np.where(qt >= 0, 1.0, 0.0).astype(np.float32)
+            s, rows = idx.search_sparse(qt.astype(np.int32), qw, 10)
+            assert 7 in rows[0]  # postings engine (n > threshold)
+    check("DeviceIndex search paths (bf16+int8+postings)",
+          index_paths_case)
+
     print(f"\n{len(failures)} failure(s)" if failures else "\nall kernels ok")
     return 1 if failures else 0
 
