@@ -64,6 +64,34 @@ def main() -> int:
                     np.asarray(ref)[row, :, :L], atol=2e-3, rtol=2e-3)
     check("flash_attention (Pallas, batch>1, ragged)", flash_case)
 
+    def flash_bwd_case():
+        import jax.numpy as jnp
+
+        from rag_dpo_tpu.ops.flash_attention import attention_reference
+        from rag_dpo_tpu.ops.flash_attention_bwd import (
+            flash_attention_fused)
+
+        b, h, s, dh = 2, 2, 256, 64
+        q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        lens = jnp.asarray([s, s - 41], jnp.int32)
+        mask = (jnp.arange(s)[None, :] < lens[:, None])[:, None, :, None]
+
+        def loss_fused(q, k, v):
+            return jnp.sum(flash_attention_fused(
+                q, k, v, lens, interpret=False) ** 2 * mask)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, lens) ** 2 * mask)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-3, rtol=5e-3)
+    check("flash_attention fused backward (Pallas)", flash_bwd_case)
+
     def maxsim_case():
         from rag_dpo_tpu.ops import maxsim, maxsim_reference
 

@@ -26,10 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.flash_attention import (
-    attention_reference,
-    flash_attention_trainable,
-)
+from ..ops.flash_attention import attention_reference
+from ..ops.flash_attention_bwd import flash_attention_fused
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,8 +87,12 @@ class SelfAttention(nn.Module):
         v = dense("value")(hidden).reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
 
         if cfg.use_flash_attention:
-            # differentiable wrapper: Pallas forward, recompute backward
-            ctx = flash_attention_trainable(q, k, v, lengths)
+            # fused Pallas forward AND backward — O(S) memory end to end
+            ctx = flash_attention_fused(
+                q, k, v, lengths,
+                block_q=min(cfg.flash_block_q, s),
+                block_k=min(cfg.flash_block_k, s),
+            )
         else:
             ctx = attention_reference(q, k, v, lengths)
 
