@@ -1,0 +1,66 @@
+"""scripts/convert_weights.py end-to-end over a tiny real HF snapshot."""
+
+import importlib.util
+import pathlib
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        "convert_weights", "/root/repo/scripts/convert_weights.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_convert_decoder_snapshot_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=64,
+        rope_theta=10000.0, attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    snapshot = tmp_path / "snap"
+    hf.save_pretrained(snapshot, safe_serialization=False)
+
+    out = tmp_path / "decoder.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_weights.py", "decoder",
+         str(snapshot), str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+
+    mod = _load_script()
+    params = jax.tree.map(jnp.asarray, mod.load_params_npz(out))
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig, DecoderModel
+
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=64, rope_theta=10000.0,
+        max_seq_len=64, dtype=jnp.float32,
+    )
+    ids = np.random.default_rng(0).integers(3, 128, (2, 8)).astype(
+        np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    ours = DecoderModel(cfg).apply(params, jnp.asarray(ids, jnp.int32))
+    # torch(oneDNN) vs XLA-CPU accumulation-order noise on near-zero
+    # logits: compare absolutely, not relatively
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-3)
+    agree = np.mean(ref.argmax(-1) == np.asarray(ours).argmax(-1))
+    assert agree == 1.0
