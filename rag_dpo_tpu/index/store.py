@@ -333,9 +333,11 @@ class DeviceIndex:
         from ..ops.postings import PostingsIndex
 
         vocab = int(self._terms.max()) + 1 if self.n_rows else 1
+        cap = min(self.config.postings_cap,
+                  max(64, -(-self.n_rows // 64) * 64))
         pidx = PostingsIndex.build(
             self._terms, self._impacts, vocab_size=max(vocab, 1),
-            cap=self.config.postings_cap,
+            cap=cap,
         )
         dev = self.device_image()
         dev["postings"] = (pidx, pidx.device_arrays())
@@ -343,10 +345,18 @@ class DeviceIndex:
 
     def search_sparse(self, q_terms: np.ndarray, q_weights: np.ndarray,
                       k: int, where=None):
-        """Lexical top-k (BM25 / learned sparse). q padding id: -2."""
+        """Lexical top-k (BM25 / learned sparse). q padding id: -2.
+
+        Engine choice: the ELL equality-join kernel unrolls Q·T in VMEM —
+        fine for modest query shapes, OOM at ~100k-chunk blocks with
+        Q·T ≳ 128 (measured). Large corpora OR heavy query batches route
+        to the postings engine."""
         dev = self.device_image()
         mask = self._mask_vector(where)
-        if mask is None and self.n_rows > self.config.postings_threshold:
+        heavy_query = q_terms.shape[0] * q_terms.shape[1] > 128
+        if mask is None and (
+            self.n_rows > self.config.postings_threshold or heavy_query
+        ):
             from ..ops.postings import postings_candidates_topk
 
             pidx, arrays = self._postings_index()
