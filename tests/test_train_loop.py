@@ -58,7 +58,7 @@ def test_batcher_deterministic_epochs():
     from rag_dpo_tpu.train.loop import PairBatcher
 
     b = PairBatcher(PAIRS, HashedTokenizer(256), batch_size=4,
-                    seq_len=8)
+                    seq_len=24)
     a1 = b.batch_at(0)
     a2 = b.batch_at(0)
     np.testing.assert_array_equal(a1["query_ids"], a2["query_ids"])
