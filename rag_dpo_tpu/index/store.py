@@ -302,29 +302,19 @@ class DeviceIndex:
         return self._strip_dead(s, i, k)
 
     def _masked_dense(self, q, k: int, mask: np.ndarray):
+        """Filtered dense search: mask folds into a score penalty and the
+        approx+refine selector runs unchanged (cosine scores are in
+        [-1, 1], so a −1e4 penalty excludes deterministically — and
+        avoids `lax.top_k`'s full device sort, which takes seconds at
+        1M rows)."""
         dev = self.device_image()
-        m = np.zeros((dev["n_pad"],), np.float32)
-        m[: len(mask)] = mask.astype(np.float32)
-        penalty = jnp.asarray((1.0 - m) * NEG_INF)
-
-        k_eff = min(k, dev["n_pad"])
-
-        @jax.jit
-        def run(qq, embs, pen):
-            s = jnp.dot(
-                qq.astype(jnp.float32), embs.astype(jnp.float32).T,
-                preferred_element_type=jnp.float32,
-            )
-            s = s + pen[None, :]
-            return jax.lax.top_k(s, k_eff)
-
-        s, i = run(q, dev["embs"], penalty)
-        s, i = np.asarray(s), np.asarray(i).astype(np.int32)
-        if k_eff < k:
-            s = np.pad(s, ((0, 0), (0, k - k_eff)),
-                       constant_values=NEG_INF)
-            i = np.pad(i, ((0, 0), (0, k - k_eff)), constant_values=-1)
-        i = np.where(s > NEG_INF / 2, i, -1)
+        m = np.full((dev["n_pad"],), -1e4, np.float32)
+        m[: len(mask)] = np.where(mask, 0.0, -1e4)
+        penalty = jnp.asarray(m)
+        s, i = approx_topk(q, dev["embs"], k, penalty=penalty)
+        s, i = np.asarray(s), np.asarray(i)
+        i = np.where((i >= 0) & (i < self.n_rows) & (s > -5e3), i, -1)
+        s = np.where(i >= 0, s, NEG_INF)
         return s, i
 
     def _postings_index(self):
@@ -375,7 +365,29 @@ class DeviceIndex:
             s, i = np.asarray(s), np.asarray(i)
             i = np.where((i >= 0) & (i < self.n_rows), i, -1)
             return self._strip_dead(s, i, k)
-        # masked: full scores then mask+topk (filtered queries are rare)
+        if self.n_rows > self.config.postings_threshold or heavy_query:
+            # masked at scale: overfetch unfiltered from the postings
+            # engine, then host-filter (the O(N·L·T) full scorer below is
+            # only viable on small corpora)
+            from ..ops.postings import postings_candidates_topk
+
+            pidx, arrays = self._postings_index()
+            overfetch = min(max(4 * k, 64), 256)
+            s, i = postings_candidates_topk(
+                *arrays, dev["terms"], dev["impacts"],
+                jnp.asarray(q_terms), jnp.asarray(q_weights),
+                k=overfetch, n_candidates=max(256, overfetch),
+            )
+            s, i = np.asarray(s), np.asarray(i)
+            ok = (i >= 0) & (i < self.n_rows)
+            ok &= np.where(ok, mask[np.clip(i, 0, self.n_rows - 1)],
+                           False)
+            s = np.where(ok, s, NEG_INF)
+            i = np.where(ok, i, -1)
+            order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+            return (np.take_along_axis(s, order, axis=1),
+                    np.take_along_axis(i, order, axis=1))
+        # masked, small corpus: exact full scores then mask+topk
         from ..ops.sparse import ell_scores
 
         s = ell_scores(
