@@ -442,11 +442,9 @@ class DeviceIndex:
         )
         manifest = {
             "config": {
-                "dim": self.config.dim,
-                "ell_width": self.config.ell_width,
-                "colbert_dim": self.config.colbert_dim,
-                "colbert_len": self.config.colbert_len,
-                "row_block": self.config.row_block,
+                f.name: getattr(self.config, f.name)
+                for f in dataclasses.fields(self.config)
+                if f.name != "device_dtype"  # jnp dtype, not JSON
             },
             "ids": self.ids,
             "n_rows": self.n_rows,
