@@ -353,6 +353,7 @@ class DeviceIndex:
             s, i = postings_candidates_topk(
                 *arrays, dev["terms"], dev["impacts"],
                 jnp.asarray(q_terms), jnp.asarray(q_weights), k=k,
+                n_candidates=512,
             )
             s, i = np.asarray(s), np.asarray(i)
             i = np.where((i >= 0) & (i < self.n_rows), i, -1)
@@ -376,7 +377,7 @@ class DeviceIndex:
             s, i = postings_candidates_topk(
                 *arrays, dev["terms"], dev["impacts"],
                 jnp.asarray(q_terms), jnp.asarray(q_weights),
-                k=overfetch, n_candidates=max(256, overfetch),
+                k=overfetch, n_candidates=512,
             )
             s, i = np.asarray(s), np.asarray(i)
             ok = (i >= 0) & (i < self.n_rows)

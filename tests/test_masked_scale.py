@@ -18,6 +18,9 @@ def big_index():
     dense /= np.linalg.norm(dense, axis=1, keepdims=True)
     terms = rng.integers(0, 5000, (n, l)).astype(np.int32)
     imps = np.abs(rng.standard_normal((n, l))).astype(np.float32)
+    # planted lexical winners (random impacts make top-k statistical)
+    imps[70_001] = 5.0
+    imps[42] = 5.0
     metas = [{"nature": "GUIDE" if i % 3 else "DOCTRINE"}
              for i in range(n)]
     idx.add([f"c{i}" for i in range(n)], dense, metas, terms, imps)
