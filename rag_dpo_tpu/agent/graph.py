@@ -135,6 +135,7 @@ def create_agent_pipeline(
     texts=None,
     reranker=None,
     use_expansion: bool = True,
+    retriever_config=None,
     n_candidates: int = 40,
     rerank_top_k: int = 10,
     max_context_chars: int = 32_000,
@@ -154,7 +155,7 @@ def create_agent_pipeline(
     retriever = HybridRetriever(
         index, embedder, bm25_stats=bm25_stats, summary_index=summary_index,
         query_expander=QueryExpander(llm) if use_expansion else None,
-        texts=texts, config=RetrieverConfig(),
+        texts=texts, config=retriever_config or RetrieverConfig(),
     )
     components = NodeComponents(
         llm=llm,

@@ -113,9 +113,20 @@ def build_stack(
 
     texts = None  # chunk text lives in index metadata
     r = config.retrieval
+    from .retrieval.retriever import RetrieverConfig
+
+    retriever_config = RetrieverConfig(
+        n_expansions=r.n_expansions,
+        rrf_k=r.rrf_k,
+        prefilter_top_docs=r.prefilter_top_docs,
+        per_arm_k=r.n_candidates,
+        use_sparse=r.hybrid,
+        dense_exact=r.dense_exact,
+    )
     pipeline = create_pipeline(
         index, embedder, llm,
         bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
+        retriever_config=retriever_config,
         use_reranker=r.use_reranker,
         n_candidates=r.n_candidates,
         rerank_top_k=r.rerank_top_k,
@@ -125,6 +136,7 @@ def build_stack(
     agent = create_agent_pipeline(
         index, embedder, llm,
         bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
+        retriever_config=retriever_config,
         n_candidates=r.n_candidates,
         rerank_top_k=r.rerank_top_k,
         max_context_chars=r.max_context_chars,

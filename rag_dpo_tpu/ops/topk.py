@@ -329,6 +329,10 @@ def fused_topk(
             ),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # q-tiles are independent; n-blocks carry the running top-k
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(queries, embs)
 

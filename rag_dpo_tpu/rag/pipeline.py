@@ -352,6 +352,7 @@ def create_pipeline(
     use_maxsim: bool = False,
     use_intent: bool = True,
     use_expansion: bool = True,
+    retriever_config=None,
     n_candidates: int = 40,
     rerank_top_k: int = 10,
     max_context_chars: int = 32_000,
@@ -370,7 +371,7 @@ def create_pipeline(
     retriever = HybridRetriever(
         index, embedder, bm25_stats=bm25_stats, summary_index=summary_index,
         query_expander=expander, texts=texts,
-        config=RetrieverConfig(),
+        config=retriever_config or RetrieverConfig(),
     )
     if use_reranker and reranker is None:
         if use_maxsim:

@@ -48,6 +48,7 @@ class RetrieverConfig:
     use_sparse: bool = True
     use_prefilter: bool = True
     max_query_terms: int = 32
+    dense_exact: bool = False    # exact blocked kernel vs approx+refine
 
 
 class HybridRetriever:
@@ -111,8 +112,8 @@ class HybridRetriever:
 
         # --- dense arms: one batched search over all query variants
         q_dense = self.embedder.embed_queries(queries)  # [nq, D]
-        d_scores, d_rows = self.index.search_dense(q_dense, k_arm,
-                                                   where=eff_where)
+        d_scores, d_rows = self.index.search_dense(
+            q_dense, k_arm, where=eff_where, exact=cfg.dense_exact)
 
         arms = [d_rows[i] for i in range(nq)]
         weights = [cfg.weight_original] + [cfg.weight_expansion] * (nq - 1)
