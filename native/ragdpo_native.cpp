@@ -216,11 +216,15 @@ struct EllBuilder {
     }
   }
 
-  void fill(int32_t* out_terms, float* out_impacts) const {
+  // out_tf/out_dl may be null; slot ordering (tf desc, id asc) is shared
+  // with the impact fill so the python-side tf arrays stay aligned.
+  void fill(int32_t* out_terms, float* out_impacts, int32_t* out_tf,
+            int32_t* out_dl) const {
     const int64_t n = int64_t(doc_tf.size());
     const int32_t L = ell_width;
     std::fill(out_terms, out_terms + n * L, -1);
-    std::fill(out_impacts, out_impacts + n * L, 0.0f);
+    if (out_impacts) std::fill(out_impacts, out_impacts + n * L, 0.0f);
+    if (out_tf) std::fill(out_tf, out_tf + n * L, 0);
     for (int64_t d = 0; d < n; ++d) {
       auto entries = doc_tf[d];  // copy: sorted by tf desc, id asc
       std::sort(entries.begin(), entries.end(),
@@ -235,9 +239,12 @@ struct EllBuilder {
       for (int32_t s = 0; s < m; ++s) {
         out_terms[d * L + s] = entries[s].first;
         const double f = entries[s].second;
-        out_impacts[d * L + s] =
-            float(f * (k1 + 1.0) / (f + norm));
+        if (out_impacts)
+          out_impacts[d * L + s] =
+              float(f * (k1 + 1.0) / (f + norm));
+        if (out_tf) out_tf[d * L + s] = entries[s].second;
       }
+      if (out_dl) out_dl[d] = int32_t(doc_len[d]);
     }
   }
 };
@@ -278,12 +285,22 @@ int64_t ell_vocab_size(void* h) {
 double ell_avgdl(void* h) { return static_cast<EllBuilder*>(h)->avgdl; }
 
 void ell_fill(void* h, int32_t* terms, float* impacts) {
-  static_cast<EllBuilder*>(h)->fill(terms, impacts);
+  static_cast<EllBuilder*>(h)->fill(terms, impacts, nullptr, nullptr);
+}
+// Raw tf/doc-length export: lets the host recompute impacts exactly when
+// stats shift on incremental appends (same slot order as ell_fill).
+void ell_fill_tf(void* h, int32_t* terms, int32_t* tf, int32_t* dl) {
+  static_cast<EllBuilder*>(h)->fill(terms, nullptr, tf, dl);
 }
 void ell_idf(void* h, float* out) {
   auto* builder = static_cast<EllBuilder*>(h);
   std::memcpy(out, builder->idf.data(),
               builder->idf.size() * sizeof(float));
+}
+void ell_df(void* h, int64_t* out) {
+  auto* builder = static_cast<EllBuilder*>(h);
+  std::memcpy(out, builder->df.data(),
+              builder->df.size() * sizeof(int64_t));
 }
 
 int64_t ell_vocab_blob_len(void* h) {

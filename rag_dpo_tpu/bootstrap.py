@@ -40,17 +40,22 @@ class Stack:
         return self.agent if use_agent else self.pipeline
 
 
-def _rebuild_bm25_stats(index, ell_width: int):
-    """Reconstruct query-side BM25 stats from index metadata texts (the
-    impact arrays are already stored; only the vocab/idf map is needed)."""
-    from .retrieval.bm25 import build_bm25_stats
-    from .tokenize.french import tokenize_french_text
-
-    texts = [
-        str(index.meta.row(i).get("text", ""))
-        for i in range(index.n_rows)
-    ]
-    return build_bm25_stats([tokenize_french_text(t) for t in texts])
+def _load_bm25_stats(index):
+    """Query-side BM25 stats come from the index checkpoint (persisted by
+    the indexer, `DeviceIndex.save` → bm25.json) — the vocab there is THE
+    term-id space the stored ELL arrays were written in. Re-deriving it
+    from metadata texts only matches for a pristine reset-built index;
+    after any compact/delete/append the rebuilt ids shift (advisor
+    finding, round 1), so a legacy checkpoint without stats fails loudly
+    instead of silently mis-scoring the sparse arm."""
+    if index.bm25_stats is not None:
+        return index.bm25_stats
+    raise RuntimeError(
+        "index checkpoint has no persisted BM25 stats (bm25.json) — "
+        "rebuild it with `python -m rag_dpo_tpu.ingest.rebuild` (any "
+        "indexer build persists the stats), or disable hybrid retrieval "
+        "in the config"
+    )
 
 
 def build_stack(
@@ -96,8 +101,7 @@ def build_stack(
 
     bm25_stats = None
     if config.retrieval.hybrid:
-        bm25_stats = _rebuild_bm25_stats(index,
-                                         config.chunking.ell_width)
+        bm25_stats = _load_bm25_stats(index)
 
     summary_index = None
     if paths.document_summaries.exists():

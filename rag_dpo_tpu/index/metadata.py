@@ -96,6 +96,50 @@ class MetadataStore:
                 new[i] = lookup[v]
             self._cat[key] = (vocab, lookup, np.concatenate([codes, new]))
 
+    def update(self, pos: int, doc: Mapping[str, Any]):
+        """Rewrite row `pos` in place — the raw payload AND every columnar
+        filter array, so `compile_filter`/`eq_mask` never evaluate a
+        where-filter against stale values after an upsert (advisor
+        finding, round 1). Keys absent from `doc` reset to the column
+        default ('', False, nan, ∅)."""
+        self._docs[pos] = dict(doc)
+        for key in set(doc) | set(self._cat) | set(self._bool) \
+                | set(self._num) | set(self._set):
+            value = doc.get(key)
+            if key in self._set or isinstance(value, (list, tuple, set)):
+                vocab, lookup, codes = self._set.get(
+                    key, ([], {}, np.zeros((self._n,), np.int64))
+                )
+                bits = 0
+                for item in (value or ()):
+                    item = str(item)
+                    if item not in lookup:
+                        if len(vocab) >= 63:
+                            continue
+                        lookup[item] = len(vocab)
+                        vocab.append(item)
+                    bits |= 1 << lookup[item]
+                codes[pos] = bits
+                self._set[key] = (vocab, lookup, codes)
+            elif key in self._bool or isinstance(value, bool):
+                col = self._bool.setdefault(
+                    key, np.zeros((self._n,), bool))
+                col[pos] = bool(value)
+            elif key in self._num or isinstance(value, (int, float)):
+                col = self._num.setdefault(
+                    key, np.full((self._n,), np.nan, np.float32))
+                col[pos] = np.nan if value is None else float(value)
+            else:
+                vocab, lookup, codes = self._cat.get(
+                    key, ([""], {"": 0}, np.zeros((self._n,), np.int32))
+                )
+                v = "" if value is None else str(value)
+                if v not in lookup:
+                    lookup[v] = len(vocab)
+                    vocab.append(v)
+                codes[pos] = lookup[v]
+                self._cat[key] = (vocab, lookup, codes)
+
     def row(self, i: int) -> dict[str, Any]:
         return self._docs[i]
 

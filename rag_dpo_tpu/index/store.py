@@ -67,6 +67,16 @@ class DeviceIndex:
         self._dense = np.zeros((0, config.dim), np.float16)
         self._terms = np.full((0, config.ell_width), -1, np.int32)
         self._impacts = np.zeros((0, config.ell_width), np.float32)
+        # raw term frequencies + doc lengths: impacts are derived data
+        # (f(tf, dl, avgdl)) and get recomputed when stats shift on
+        # incremental appends; persisted with the checkpoint.
+        self._tf = np.zeros((0, config.ell_width), np.int32)
+        self._dl = np.zeros((0,), np.int32)
+        # query-side BM25 stats (vocab/idf/df/avgdl) — persisted with the
+        # checkpoint so append/update reuse the SAME term-id space
+        # (advisor finding, round 1: a fresh subset vocab silently
+        # corrupts the sparse arm).
+        self.bm25_stats = None
         self._colbert = (
             np.zeros((0, config.colbert_len, config.colbert_dim), np.float16)
             if config.colbert_dim
@@ -97,6 +107,8 @@ class DeviceIndex:
         terms: np.ndarray | None = None,
         impacts: np.ndarray | None = None,
         colbert: np.ndarray | None = None,
+        tf: np.ndarray | None = None,
+        dl: np.ndarray | None = None,
     ):
         """Append rows. Existing ids are updated in place (upsert)."""
         cfg = self.config
@@ -105,9 +117,14 @@ class DeviceIndex:
         metadatas = metadatas or [{} for _ in chunk_ids]
         if terms is None:
             terms = np.full((len(chunk_ids), cfg.ell_width), -1, np.int32)
-            impacts = np.zeros((len(chunk_ids), cfg.ell_width), np.float32)
         terms = np.asarray(terms, np.int32)
+        if impacts is None:  # terms without impacts: zero contribution
+            impacts = np.zeros(terms.shape, np.float32)
         impacts = np.asarray(impacts, np.float32)
+        tf = (np.zeros(terms.shape, np.int32) if tf is None
+              else np.asarray(tf, np.int32))
+        dl = (np.zeros((len(chunk_ids),), np.int32) if dl is None
+              else np.asarray(dl, np.int32))
 
         fresh_rows, fresh_meta = [], []
         for row, cid in enumerate(chunk_ids):
@@ -116,10 +133,16 @@ class DeviceIndex:
                 self._dense[pos] = dense[row]
                 self._terms[pos] = terms[row]
                 self._impacts[pos] = impacts[row]
-                if self._colbert is not None and colbert is not None:
-                    self._colbert[pos] = colbert[row]
+                self._tf[pos] = tf[row]
+                self._dl[pos] = dl[row]
+                if self._colbert is not None:
+                    # no colbert supplied → zero out, never keep stale
+                    # token vectors from the previous version of the row
+                    self._colbert[pos] = (
+                        colbert[row] if colbert is not None else 0
+                    )
                 self._alive[pos] = True
-                self.meta._docs[pos] = dict(metadatas[row])
+                self.meta.update(pos, metadatas[row])
             else:
                 fresh_rows.append(row)
                 fresh_meta.append(metadatas[row])
@@ -134,6 +157,8 @@ class DeviceIndex:
             self._dense = np.concatenate([self._dense, dense[sel]])
             self._terms = np.concatenate([self._terms, terms[sel]])
             self._impacts = np.concatenate([self._impacts, impacts[sel]])
+            self._tf = np.concatenate([self._tf, tf[sel]])
+            self._dl = np.concatenate([self._dl, dl[sel]])
             if self._colbert is not None:
                 cb = (
                     np.asarray(colbert, np.float16)[sel]
@@ -159,11 +184,26 @@ class DeviceIndex:
                 self._alive[pos] = False
         self._device = None
 
+    def recompute_impacts(self, stats):
+        """Re-derive every row's BM25 impacts from stored (tf, dl) under
+        new stats (avgdl/k1/b) — exact full-corpus semantics after an
+        incremental append shifts avgdl. Adopts `stats` as the index's
+        query-side stats."""
+        from ..retrieval.bm25 import impacts_from_tf
+
+        if self.n_rows:
+            self._impacts = impacts_from_tf(self._tf, self._dl, stats)
+        self.bm25_stats = stats
+        self._device = None
+        self._searchers.clear()
+
     def compact(self):
         keep = np.nonzero(self._alive)[0]
         self._dense = self._dense[keep]
         self._terms = self._terms[keep]
         self._impacts = self._impacts[keep]
+        self._tf = self._tf[keep]
+        self._dl = self._dl[keep]
         if self._colbert is not None:
             self._colbert = self._colbert[keep]
         kept_ids = [self.ids[i] for i in keep]
@@ -438,6 +478,8 @@ class DeviceIndex:
             dense=self._dense,
             terms=self._terms,
             impacts=self._impacts,
+            tf=self._tf,
+            dl=self._dl,
             alive=self._alive,
             **({"colbert": self._colbert} if self._colbert is not None else {}),
         )
@@ -452,6 +494,10 @@ class DeviceIndex:
         }
         (d / "manifest.json").write_text(json.dumps(manifest))
         self.meta.save(d / "metadata.json")
+        if self.bm25_stats is not None:
+            (d / "bm25.json").write_text(
+                json.dumps(self.bm25_stats.to_dict())
+            )
 
     @classmethod
     def load(cls, directory, mesh=None) -> "DeviceIndex":
@@ -464,9 +510,21 @@ class DeviceIndex:
         idx._terms = arrays["terms"]
         idx._impacts = arrays["impacts"]
         idx._alive = arrays["alive"]
+        n = idx._terms.shape[0]
+        idx._tf = (arrays["tf"] if "tf" in arrays
+                   else np.zeros_like(idx._terms))
+        idx._dl = (arrays["dl"] if "dl" in arrays
+                   else np.zeros((n,), np.int32))
         if "colbert" in arrays:
             idx._colbert = arrays["colbert"]
         idx.ids = list(manifest["ids"])
         idx._id_pos = {cid: i for i, cid in enumerate(idx.ids)}
         idx.meta = MetadataStore.load(d / "metadata.json")
+        bm25_path = d / "bm25.json"
+        if bm25_path.exists():
+            from ..retrieval.bm25 import Bm25Stats
+
+            idx.bm25_stats = Bm25Stats.from_dict(
+                json.loads(bm25_path.read_text())
+            )
         return idx

@@ -73,9 +73,29 @@ class EnterpriseIngestor:
         texts = [c.text for c in chunks]
         dense = self.embedder.embed(texts)["dense"]
         token_lists = [tokenize_french_text(t) for t in texts]
-        terms, impacts = build_ell_corpus(
-            token_lists, self.bm25_stats, self.index.config.ell_width
-        )
+        tf = dl = None
+        if self.bm25_stats is not None and self.bm25_stats.df is not None:
+            # extend the corpus stats (same term-id space) so enterprise
+            # docs' terms — often absent from the CNIL vocab — are
+            # scoreable, and refresh every row's impacts under the new
+            # avgdl (same incremental-consistency rule as the indexer).
+            from ..retrieval.bm25 import (
+                build_ell_corpus_tf,
+                extend_bm25_stats,
+                impacts_from_tf,
+            )
+
+            self.bm25_stats = extend_bm25_stats(self.bm25_stats,
+                                                token_lists)
+            terms, tf, dl = build_ell_corpus_tf(
+                token_lists, self.bm25_stats, self.index.config.ell_width
+            )
+            impacts = impacts_from_tf(tf, dl, self.bm25_stats)
+            self.index.recompute_impacts(self.bm25_stats)
+        else:  # legacy stats without df: OOV terms drop, ids stay valid
+            terms, impacts = build_ell_corpus(
+                token_lists, self.bm25_stats, self.index.config.ell_width
+            )
         metas = []
         for c in chunks:
             m = {
@@ -91,7 +111,7 @@ class EnterpriseIngestor:
                 m[f"tag_{s}"] = True
             metas.append(m)
         self.index.add([c.chunk_id for c in chunks], dense, metas,
-                       terms, impacts)
+                       terms, impacts, tf=tf, dl=dl)
         return {"doc_id": doc_id, "n_chunks": len(chunks), "tags": slugs}
 
     # ------------------------------------------------------- management

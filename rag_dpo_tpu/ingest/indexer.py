@@ -22,7 +22,11 @@ import numpy as np
 
 from ..index import DeviceIndex, IndexConfig
 from ..providers.embedding import Embedder
-from ..retrieval.bm25 import Bm25Stats, build_bm25_stats, build_ell_corpus
+from ..retrieval.bm25 import (
+    Bm25Stats,
+    build_bm25_stats,
+    build_ell_corpus_tf,
+)
 from ..tokenize.french import tokenize_french_text
 
 log = logging.getLogger(__name__)
@@ -68,19 +72,16 @@ class CorpusIndexer:
             texts = [texts[i] for i in fresh]
             ids = [ids[i] for i in fresh]
 
-        from .. import native
-
-        if native.is_available():
-            # C++ ingestion runtime: tokenize + BM25 stats + ELL arrays in
-            # one native pass (tests assert bit-level score parity)
-            stats, terms, impacts = native.build_ell_corpus_native(
-                texts, ell_width=self.ell_width
-            )
-        else:
-            token_lists = [tokenize_french_text(t) for t in texts]
-            stats = build_bm25_stats(token_lists)
-            terms, impacts = build_ell_corpus(token_lists, stats,
-                                              self.ell_width)
+        incremental = index is not None and mode in ("append", "update")
+        if incremental:
+            # the stored ELL arrays fix the width; ignore self.ell_width
+            self.ell_width = index.config.ell_width
+        replaced: list[str] = []
+        if incremental and mode == "update":
+            replaced = [cid for cid in ids if cid in index]
+        stats, terms, impacts, tf, dl = self._build_sparse(
+            texts, index if incremental else None, replaced
+        )
 
         out = self.embedder.embed(
             texts, return_colbert=self.with_colbert
@@ -112,7 +113,15 @@ class CorpusIndexer:
                 ),
                 mesh=self.mesh,
             )
-        index.add(ids, dense, metas, terms, impacts, colbert=colbert)
+        if incremental:
+            # avgdl moved: re-derive every existing row's impacts under
+            # the merged stats BEFORE adding the new rows (whose impacts
+            # were already computed under the merged stats).
+            index.recompute_impacts(stats)
+        else:
+            index.bm25_stats = stats
+        index.add(ids, dense, metas, terms, impacts, colbert=colbert,
+                  tf=tf, dl=dl)
 
         report = IndexerReport(
             n_indexed=len(ids),
@@ -123,6 +132,79 @@ class CorpusIndexer:
         log.info("indexed %d chunks in %.1fs", len(ids),
                  report.build_seconds)
         return index, stats, report
+
+    # -------------------------------------------------------------- sparse
+    def _build_sparse(self, texts: Sequence[str],
+                      existing: DeviceIndex | None,
+                      replaced_ids: Sequence[str] = ()):
+        """Tokenize + BM25 stats + ELL arrays for `texts`.
+
+        Fresh build (existing=None): stats come from the new corpus alone
+        (C++ runtime when available). Incremental (existing index given):
+        the persisted stats are *extended* — same term-id space, df/avgdl
+        updated over the full corpus — and the new rows' arrays are
+        computed under the merged stats. Returns
+        (stats, terms, impacts, tf, dl)."""
+        from .. import native
+        from ..retrieval.bm25 import (
+            extend_bm25_stats,
+            impacts_from_tf,
+            retract_bm25_stats,
+        )
+
+        if existing is not None:
+            base = existing.bm25_stats
+            if base is None or base.df is None:
+                # legacy checkpoint without persisted stats: rebuild from
+                # the full corpus (existing metadata texts + new texts)
+                # so the id space is at least self-consistent.
+                log.warning(
+                    "index has no persisted BM25 stats — rebuilding the "
+                    "vocab over the full corpus (legacy checkpoint)"
+                )
+                old_texts = [
+                    str(existing.meta.row(i).get("text", ""))
+                    for i in range(existing.n_rows)
+                ]
+                old_tokens = [tokenize_french_text(t) for t in old_texts]
+                base = build_bm25_stats(old_tokens)
+                old_terms, old_tf, old_dl = build_ell_corpus_tf(
+                    old_tokens, base, self.ell_width
+                )
+                existing._terms = old_terms
+                existing._tf = old_tf
+                existing._dl = old_dl
+                existing.bm25_stats = base
+            if replaced_ids:
+                # update mode: the OLD versions of re-indexed docs leave
+                # the corpus — retract their df/length contributions
+                # (exact: old texts live in the metadata rows)
+                old_texts = [
+                    str(existing.meta.row(existing._id_pos[cid])
+                        .get("text", ""))
+                    for cid in replaced_ids
+                ]
+                base = retract_bm25_stats(
+                    base, [tokenize_french_text(t) for t in old_texts]
+                )
+            token_lists = [tokenize_french_text(t) for t in texts]
+            stats = extend_bm25_stats(base, token_lists)
+            terms, tf, dl = build_ell_corpus_tf(token_lists, stats,
+                                                self.ell_width)
+            return stats, terms, impacts_from_tf(tf, dl, stats), tf, dl
+
+        if native.is_available():
+            # C++ ingestion runtime: tokenize + BM25 stats + ELL arrays
+            # in one native pass (tests assert bit-level score parity)
+            stats, terms, impacts, tf, dl = native.build_ell_corpus_native(
+                texts, ell_width=self.ell_width, return_tf=True
+            )
+            return stats, terms, impacts, tf, dl
+        token_lists = [tokenize_french_text(t) for t in texts]
+        stats = build_bm25_stats(token_lists)
+        terms, tf, dl = build_ell_corpus_tf(token_lists, stats,
+                                            self.ell_width)
+        return stats, terms, impacts_from_tf(tf, dl, stats), tf, dl
 
     # -------------------------------------------------------------- verify
     def verify(self, index: DeviceIndex, probe_texts: Sequence[str],

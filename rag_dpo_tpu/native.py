@@ -57,7 +57,10 @@ def _load():
             lib.ell_avgdl.argtypes = [ctypes.c_void_p]
             lib.ell_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_void_p]
+            lib.ell_fill_tf.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_void_p]
             lib.ell_idf.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+            lib.ell_df.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
             lib.ell_vocab_blob_len.restype = ctypes.c_int64
             lib.ell_vocab_blob_len.argtypes = [ctypes.c_void_p]
             lib.ell_vocab_blob.argtypes = [ctypes.c_void_p,
@@ -124,16 +127,23 @@ def invert_postings_native(terms: np.ndarray, impacts: np.ndarray,
 
 
 def build_ell_corpus_native(texts, ell_width: int = 32, k1: float = 1.5,
-                            b: float = 0.75, epsilon: float = 0.25):
+                            b: float = 0.75, epsilon: float = 0.25,
+                            return_tf: bool = False):
     """→ (Bm25Stats, terms [N,L] i32, impacts [N,L] f32), matching the
-    Python build path's outputs."""
+    Python build path's outputs. With `return_tf`, returns
+    (stats, terms, impacts, tf [N,L] i32, dl [N] i32) so impacts can be
+    recomputed exactly on incremental appends."""
     from .retrieval.bm25 import Bm25Stats
 
     lib = _load()
     assert lib is not None, "native library unavailable"
     handle = lib.ell_create(ell_width, k1, b, epsilon)
     try:
-        blob = "\x01".join(texts).encode("utf-8")
+        # '\x01' is the FFI document separator — a text containing that
+        # byte would silently split into extra documents, so scrub it.
+        blob = "\x01".join(
+            t.replace("\x01", " ") for t in texts
+        ).encode("utf-8")
         lib.ell_add_blob(handle, blob, len(blob))
         lib.ell_finalize(handle)
 
@@ -144,17 +154,31 @@ def build_ell_corpus_native(texts, ell_width: int = 32, k1: float = 1.5,
         lib.ell_fill(handle,
                      terms.ctypes.data_as(ctypes.c_void_p),
                      impacts.ctypes.data_as(ctypes.c_void_p))
+        tf = dl = None
+        if return_tf:
+            tf = np.empty((n, ell_width), np.int32)
+            dl = np.empty((n,), np.int32)
+            terms2 = np.empty((n, ell_width), np.int32)
+            lib.ell_fill_tf(handle,
+                            terms2.ctypes.data_as(ctypes.c_void_p),
+                            tf.ctypes.data_as(ctypes.c_void_p),
+                            dl.ctypes.data_as(ctypes.c_void_p))
         idf = np.empty((v,), np.float32)
+        df = np.empty((v,), np.int64)
         if v:
             lib.ell_idf(handle, idf.ctypes.data_as(ctypes.c_void_p))
+            lib.ell_df(handle, df.ctypes.data_as(ctypes.c_void_p))
         blob_len = lib.ell_vocab_blob_len(handle)
         vb = ctypes.create_string_buffer(int(blob_len) + 1)
         lib.ell_vocab_blob(handle, vb)
         vocab_terms = vb.raw[:blob_len].decode("utf-8").split("\n")[:-1]
         vocab = {t: i for i, t in enumerate(vocab_terms)}
-        stats = Bm25Stats(vocab=vocab, idf=idf,
-                          avgdl=float(lib.ell_avgdl(handle)),
-                          n_docs=int(n), k1=k1, b=b)
+        avgdl = float(lib.ell_avgdl(handle))
+        stats = Bm25Stats(vocab=vocab, idf=idf, avgdl=avgdl,
+                          n_docs=int(n), k1=k1, b=b, epsilon=epsilon,
+                          df=df, total_len=avgdl * int(n))
+        if return_tf:
+            return stats, terms, impacts, tf, dl
         return stats, terms, impacts
     finally:
         lib.ell_free(handle)

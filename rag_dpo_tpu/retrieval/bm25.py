@@ -32,6 +32,45 @@ class Bm25Stats:
     n_docs: int
     k1: float = 1.5
     b: float = 0.75
+    epsilon: float = 0.25
+    # document frequency per term + total token count: kept so the stats
+    # can be *extended* on incremental appends (same term-id space) with
+    # idf/avgdl recomputed exactly over the full corpus.
+    df: np.ndarray | None = None        # [V] i64
+    total_len: float = 0.0
+
+    # ---------------------------------------------------------- serialize
+    def to_dict(self) -> dict:
+        terms = [""] * len(self.vocab)
+        for t, i in self.vocab.items():
+            terms[i] = t
+        return {
+            "terms": terms,
+            "idf": np.asarray(self.idf, np.float32).tolist(),
+            "avgdl": float(self.avgdl),
+            "n_docs": int(self.n_docs),
+            "k1": float(self.k1),
+            "b": float(self.b),
+            "epsilon": float(self.epsilon),
+            "df": (np.asarray(self.df, np.int64).tolist()
+                   if self.df is not None else None),
+            "total_len": float(self.total_len),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Bm25Stats":
+        return cls(
+            vocab={t: i for i, t in enumerate(d["terms"])},
+            idf=np.asarray(d["idf"], np.float32),
+            avgdl=float(d["avgdl"]),
+            n_docs=int(d["n_docs"]),
+            k1=float(d.get("k1", 1.5)),
+            b=float(d.get("b", 0.75)),
+            epsilon=float(d.get("epsilon", 0.25)),
+            df=(np.asarray(d["df"], np.int64)
+                if d.get("df") is not None else None),
+            total_len=float(d.get("total_len", 0.0)),
+        )
 
     def query_terms(
         self, text: str, max_terms: int = 32
@@ -77,7 +116,141 @@ def build_bm25_stats(
         avg_idf = float(idf.mean())
         idf[neg] = epsilon * avg_idf
     avgdl = total_len / max(n, 1)
-    return Bm25Stats(vocab=vocab, idf=idf, avgdl=avgdl, n_docs=n, k1=k1, b=b)
+    df_arr = np.zeros((len(vocab),), np.int64)
+    for term, i in vocab.items():
+        df_arr[i] = df[term]
+    return Bm25Stats(vocab=vocab, idf=idf, avgdl=avgdl, n_docs=n, k1=k1,
+                     b=b, epsilon=epsilon, df=df_arr,
+                     total_len=float(total_len))
+
+
+def _recompute_idf(df: np.ndarray, n: int, epsilon: float) -> np.ndarray:
+    """rank_bm25 idf: ln((N−df+0.5)/(df+0.5)), negatives → ε·avg_idf."""
+    idf = np.log((n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    if len(idf):
+        avg = float(idf.mean())
+        idf[idf < 0] = epsilon * avg
+    return idf
+
+
+def extend_bm25_stats(
+    stats: Bm25Stats, token_lists: Sequence[Sequence[str]]
+) -> Bm25Stats:
+    """Extend stats with new documents WITHOUT renumbering existing term
+    ids: new terms are appended to the vocab in first-seen order, df /
+    n_docs / avgdl are updated, and idf is recomputed exactly over the
+    full corpus. This is the append/update-mode path — a fresh subset
+    vocabulary would silently mismatch the term ids already written into
+    the index's ELL arrays (advisor finding, round 1)."""
+    assert stats.df is not None, (
+        "stats lack df counts — rebuilt from a legacy checkpoint; "
+        "run a reset build to enable incremental updates"
+    )
+    vocab = dict(stats.vocab)
+    df = list(np.asarray(stats.df, np.int64))
+    n = stats.n_docs
+    total_len = stats.total_len
+    for toks in token_lists:
+        total_len += len(toks)
+        n += 1
+        for term in set(toks):
+            tid = vocab.get(term)
+            if tid is None:
+                tid = len(vocab)
+                vocab[term] = tid
+                df.append(0)
+            df[tid] += 1
+    df_arr = np.asarray(df, np.int64)
+    return Bm25Stats(
+        vocab=vocab,
+        idf=_recompute_idf(df_arr, n, stats.epsilon),
+        avgdl=total_len / max(n, 1),
+        n_docs=n,
+        k1=stats.k1,
+        b=stats.b,
+        epsilon=stats.epsilon,
+        df=df_arr,
+        total_len=float(total_len),
+    )
+
+
+def retract_bm25_stats(
+    stats: Bm25Stats, token_lists: Sequence[Sequence[str]]
+) -> Bm25Stats:
+    """Remove documents' contributions from the stats (update-mode
+    prelude: the OLD version of a re-indexed doc must not keep counting
+    toward df/avgdl). Term ids never renumber — a term whose df hits 0
+    keeps its slot with idf recomputed over the remaining corpus."""
+    assert stats.df is not None
+    df = np.asarray(stats.df, np.int64).copy()
+    n = stats.n_docs
+    total_len = stats.total_len
+    for toks in token_lists:
+        total_len -= len(toks)
+        n -= 1
+        for term in set(toks):
+            tid = stats.vocab.get(term)
+            if tid is not None and df[tid] > 0:
+                df[tid] -= 1
+    n = max(n, 0)
+    total_len = max(total_len, 0.0)
+    return Bm25Stats(
+        vocab=dict(stats.vocab),
+        idf=_recompute_idf(df, n, stats.epsilon),
+        avgdl=total_len / max(n, 1),
+        n_docs=n,
+        k1=stats.k1,
+        b=stats.b,
+        epsilon=stats.epsilon,
+        df=df,
+        total_len=float(total_len),
+    )
+
+
+def build_ell_corpus_tf(
+    token_lists: Sequence[Sequence[str]],
+    stats: Bm25Stats,
+    ell_width: int = 32,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (doc_terms [N, L] i32 padded -1, doc_tf [N, L] i32, doc_len [N]).
+
+    Raw term-frequency form of the ELL corpus: impacts are *derived* from
+    (tf, dl, stats) via `impacts_from_tf`, so they can be recomputed
+    exactly when avgdl shifts on an incremental append — without
+    retokenizing the corpus. Terms beyond `ell_width` are dropped,
+    highest-tf-first kept (rare at chunk scale: ~600-word chunks have
+    < 300 unique terms; width is configurable).
+    """
+    n = len(token_lists)
+    terms = np.full((n, ell_width), -1, np.int32)
+    tf_arr = np.zeros((n, ell_width), np.int32)
+    dl_arr = np.zeros((n,), np.int32)
+    for i, toks in enumerate(token_lists):
+        tf = Counter(toks)
+        dl_arr[i] = len(toks)
+        items = sorted(tf.items(), key=lambda kv: -kv[1])[:ell_width]
+        for slot, (term, f) in enumerate(items):
+            tid = stats.vocab.get(term)
+            if tid is None:
+                continue
+            terms[i, slot] = tid
+            tf_arr[i, slot] = f
+    return terms, tf_arr, dl_arr
+
+
+def impacts_from_tf(
+    tf: np.ndarray, dl: np.ndarray, stats: Bm25Stats
+) -> np.ndarray:
+    """impact(t, d) = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — the
+    document side of BM25 Okapi; the query side multiplies by idf.
+    Vectorized over the whole corpus ([N, L] tf, [N] dl)."""
+    k1, b = stats.k1, stats.b
+    tf = np.asarray(tf, np.float32)
+    norm = k1 * (1 - b + b * np.asarray(dl, np.float32)
+                 / max(stats.avgdl, 1e-9))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        imp = tf * (k1 + 1) / (tf + norm[:, None])
+    return np.where(tf > 0, imp, 0.0).astype(np.float32)
 
 
 def build_ell_corpus(
@@ -85,29 +258,9 @@ def build_ell_corpus(
     stats: Bm25Stats,
     ell_width: int = 32,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """→ (doc_terms [N, L] i32 padded -1, doc_impacts [N, L] f32).
-
-    impact(t, d) = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — the document
-    side of BM25; query side multiplies by idf. Terms beyond `ell_width`
-    are dropped highest-tf-first kept (rare at chunk scale: ~600-word
-    chunks have < 300 unique terms; width is configurable).
-    """
-    n = len(token_lists)
-    terms = np.full((n, ell_width), -1, np.int32)
-    impacts = np.zeros((n, ell_width), np.float32)
-    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
-    for i, toks in enumerate(token_lists):
-        tf = Counter(toks)
-        dl = len(toks)
-        norm = k1 * (1 - b + b * dl / max(avgdl, 1e-9))
-        items = sorted(tf.items(), key=lambda kv: -kv[1])[:ell_width]
-        for slot, (term, f) in enumerate(items):
-            tid = stats.vocab.get(term)
-            if tid is None:
-                continue
-            terms[i, slot] = tid
-            impacts[i, slot] = f * (k1 + 1) / (f + norm)
-    return terms, impacts
+    """→ (doc_terms [N, L] i32 padded -1, doc_impacts [N, L] f32)."""
+    terms, tf, dl = build_ell_corpus_tf(token_lists, stats, ell_width)
+    return terms, impacts_from_tf(tf, dl, stats)
 
 
 def tokenize_corpus(texts: Sequence[str]) -> list[list[str]]:
