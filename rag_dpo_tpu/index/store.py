@@ -33,7 +33,6 @@ import numpy as np
 from ..ops import approx_topk, blocked_topk
 from ..ops.sparse import ell_topk
 from ..parallel.mesh import AXIS_SHARD
-from ..parallel.collectives import sharded_topk
 from .metadata import MetadataStore, compile_filter
 
 NEG_INF = -1e30
@@ -247,10 +246,25 @@ class DeviceIndex:
         else:
             put = lambda x: jax.device_put(jnp.asarray(x))
         embs_d = put(embs)
-        if cfg.quantize_int8 and self.mesh is None:
+        if cfg.quantize_int8:
             from ..ops.quantize import quantize_rows
 
-            embs_i8, embs_scale = jax.jit(quantize_rows)(embs_d)
+            if self.mesh is not None:
+                # per-row quantization is embarrassingly row-parallel:
+                # keep outputs sharded along the same row axis
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                embs_i8, embs_scale = jax.jit(
+                    quantize_rows,
+                    out_shardings=(
+                        NamedSharding(self.mesh,
+                                      PartitionSpec(AXIS_SHARD)),
+                        NamedSharding(self.mesh,
+                                      PartitionSpec(AXIS_SHARD)),
+                    ),
+                )(embs_d)
+            else:
+                embs_i8, embs_scale = jax.jit(quantize_rows)(embs_d)
             embs_d = None
         else:
             embs_i8, embs_scale = None, None
@@ -284,35 +298,60 @@ class DeviceIndex:
             mask = mask & alive
         return mask
 
+    def _combined_penalty(self, mask, dev):
+        """[n_pad] additive score penalty: 0 for selectable rows, −1e4 for
+        padding, tombstones, and filtered-out rows. One vector serves every
+        engine (dense bf16/int8, ELL, postings) — cosine scores live in
+        [−1, 1] and BM25 in [0, ~30], so −1e4 excludes deterministically.
+        Sharded along the row axis when a mesh is attached (round-1 advisor
+        fix: the sharded path previously applied NO alive/padding penalty,
+        letting zero-padded rows outrank valid negative-cosine hits)."""
+        if mask is None:
+            return dev["alive_penalty"]
+        m = np.full((dev["n_pad"],), -1e4, np.float32)
+        m[: len(mask)] = np.where(mask, 0.0, -1e4)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_leading_axis
+
+            return jax.device_put(jnp.asarray(m),
+                                  shard_leading_axis(self.mesh))
+        return jnp.asarray(m)
+
+    def _finish(self, s, i, k):
+        """Post-merge cleanup shared by all penalty-folded engines: any
+        slot whose score carries the −1e4 penalty (or points past the live
+        corpus) becomes (-inf, -1)."""
+        s, i = np.asarray(s), np.asarray(i)
+        i = np.where((i >= 0) & (i < self.n_rows) & (s > -5e3), i, -1)
+        s = np.where(i >= 0, s, NEG_INF).astype(np.float32)
+        return s, i
+
     def search_dense(self, queries: np.ndarray, k: int, where=None,
                      exact: bool = False):
         """queries [Q, D] (L2-normalized) → (scores [Q,k], ids [Q,k] int
         rows; -1 = empty). Filter `where` is a ChromaDB-style tree.
 
         Default path is approx_topk (recall ≈ 0.99, fastest measured);
-        `exact=True` switches to the exact blocked kernel (recall 1.0)."""
+        `exact=True` switches to the exact blocked kernel (recall 1.0).
+        With a mesh attached, the corpus is row-sharded and per-shard
+        top-k results merge through one all-gather (dense, int8, masked
+        and unmasked all ride the same penalty-folded program)."""
         dev = self.device_image()
         mask = self._mask_vector(where)
+        if self.mesh is not None:
+            qf = jnp.asarray(np.asarray(queries, np.float32))
+            if dev["embs_i8"] is not None:
+                return self._sharded_int8(qf, k, mask, dev)
+            return self._sharded_dense(
+                qf.astype(self.config.device_dtype), k, mask, dev)
         if dev["embs_i8"] is not None:
             return self._int8_dense(queries, k, mask, dev)
         q = jnp.asarray(np.asarray(queries, np.float32)).astype(
             self.config.device_dtype
         )
-        if self.mesh is not None:
-            key = ("sharded_dense", k)
-            if key not in self._searchers:
-                def scores_fn(qs, shard_embs):
-                    return jnp.dot(
-                        qs, shard_embs.T, preferred_element_type=jnp.float32
-                    )
-                self._searchers[key] = sharded_topk(self.mesh, scores_fn, k)
-            if mask is not None:
-                # masked path: fold mask into scores via a penalty column
-                return self._masked_dense(q, k, mask)
-            s, i = self._searchers[key](q, dev["embs"], dev["row_ids"])
-        elif mask is not None:
+        if mask is not None:
             return self._masked_dense(q, k, mask)
-        elif exact:
+        if exact:
             s, i = blocked_topk(q, dev["embs"], k)
         else:
             s, i = approx_topk(q, dev["embs"], k,
@@ -320,6 +359,143 @@ class DeviceIndex:
         s, i = np.asarray(s), np.asarray(i)
         i = np.where((i >= 0) & (i < self.n_rows), i, -1)
         return self._strip_dead(s, i, k)
+
+    # --------------------------------------------------- sharded engines
+    def _sharded_dense(self, q, k: int, mask, dev):
+        from ..parallel.collectives import sharded_topk_multi
+
+        key = ("sharded_dense", k)
+        if key not in self._searchers:
+            def local_fn(qs, shard_embs, pen):
+                s = jnp.dot(qs, shard_embs.T,
+                            preferred_element_type=jnp.float32)
+                s = s + pen[None, :]
+                kk = min(4 * k, s.shape[1])
+                return jax.lax.approx_max_k(s, kk)
+
+            self._searchers[key] = sharded_topk_multi(
+                self.mesh, local_fn, k, n_sharded=2)
+        pen = self._combined_penalty(mask, dev)
+        s, i = self._searchers[key](q, dev["row_ids"], dev["embs"], pen)
+        return self._finish(s, i, k)
+
+    def _sharded_int8(self, qf, k: int, mask, dev):
+        from ..ops.quantize import quantize_rows
+        from ..parallel.collectives import sharded_topk_multi
+
+        q_i8, q_scale = jax.jit(quantize_rows)(qf)
+        key = ("sharded_int8", k)
+        if key not in self._searchers:
+            def local_fn(q_pack, e_i8, e_scale, pen):
+                qi, qsc = q_pack
+                raw = jax.lax.dot_general(
+                    qi, e_i8,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s = (raw.astype(jnp.float32) * qsc[:, None]
+                     * e_scale[None, :] + pen[None, :])
+                kk = min(4 * k, s.shape[1])
+                return jax.lax.approx_max_k(s, kk)
+
+            self._searchers[key] = sharded_topk_multi(
+                self.mesh, local_fn, k, n_sharded=3)
+        pen = self._combined_penalty(mask, dev)
+        s, i = self._searchers[key](
+            (q_i8, q_scale), dev["row_ids"],
+            dev["embs_i8"], dev["embs_scale"], pen,
+        )
+        return self._finish(s, i, k)
+
+    def _sharded_postings(self, dev):
+        """Per-shard impact-ordered posting tables, stacked [S, V, cap]
+        and row-sharded so each device inverts only its own corpus rows
+        (local doc ids; the merge translates them to global)."""
+        if "postings_sharded" in dev:
+            return dev["postings_sharded"]
+        from ..ops.postings import PostingsIndex
+        from ..parallel.mesh import shard_leading_axis
+
+        n_shards = self.mesh.shape[AXIS_SHARD]
+        n_pad = dev["n_pad"]
+        nloc = n_pad // n_shards
+        vocab = int(self._terms.max()) + 1 if self.n_rows else 1
+        cap = min(self.config.postings_cap, max(64, -(-nloc // 64) * 64))
+        w = self.config.ell_width
+        terms_h = np.full((n_pad, w), -1, np.int32)
+        terms_h[: self.n_rows] = self._terms
+        imps_h = np.zeros((n_pad, w), np.float32)
+        imps_h[: self.n_rows] = self._impacts
+        docs_s, imps_s = [], []
+        for s in range(n_shards):
+            pidx = PostingsIndex.build(
+                terms_h[s * nloc:(s + 1) * nloc],
+                imps_h[s * nloc:(s + 1) * nloc],
+                vocab_size=max(vocab, 1), cap=cap,
+            )
+            docs_s.append(pidx.post_docs)
+            imps_s.append(pidx.post_impacts)
+        sh = shard_leading_axis(self.mesh)
+        dev["postings_sharded"] = (
+            jax.device_put(jnp.asarray(np.stack(docs_s)), sh),
+            jax.device_put(jnp.asarray(np.stack(imps_s)), sh),
+        )
+        return dev["postings_sharded"]
+
+    def _sharded_sparse(self, q_terms, q_weights, k: int, mask, dev):
+        """Row-sharded lexical top-k: each shard scores its ELL slice
+        (equality-join small, impact-ordered postings at scale), penalty
+        folds filters/tombstones, all-gather merges. Mirrors the single-
+        device engine choice in `search_sparse`."""
+        from ..parallel.collectives import sharded_topk_multi
+
+        n_shards = self.mesh.shape[AXIS_SHARD]
+        nloc = dev["n_pad"] // n_shards
+        heavy = q_terms.shape[0] * q_terms.shape[1] > 128
+        use_postings = nloc > self.config.postings_threshold or heavy
+        pen = self._combined_penalty(mask, dev)
+        qt = jnp.asarray(np.asarray(q_terms), jnp.int32)
+        qw = jnp.asarray(np.asarray(q_weights), jnp.float32)
+
+        if use_postings:
+            post_docs, post_imps = self._sharded_postings(dev)
+            key = ("sharded_sparse_post", k)
+            if key not in self._searchers:
+                from ..ops.postings import postings_candidates_topk
+
+                def local_fn(q_pack, pd, pi, terms, impacts, pen_l):
+                    qt_, qw_ = q_pack
+                    s, ids = postings_candidates_topk(
+                        pd[0], pi[0], terms, impacts, qt_, qw_,
+                        k=min(k, terms.shape[0]), n_candidates=512,
+                        penalty=pen_l,
+                    )
+                    return s, jnp.where(ids >= 0, ids, 0)
+
+                self._searchers[key] = sharded_topk_multi(
+                    self.mesh, local_fn, k, n_sharded=5)
+            s, i = self._searchers[key](
+                (qt, qw), dev["row_ids"], post_docs, post_imps,
+                dev["terms"], dev["impacts"], pen,
+            )
+            return self._finish(s, i, k)
+
+        key = ("sharded_sparse_ell", k)
+        if key not in self._searchers:
+            from ..ops.sparse import ell_scores
+
+            def local_fn(q_pack, terms, impacts, pen_l):
+                qt_, qw_ = q_pack
+                s = ell_scores(terms, impacts, qt_, qw_) + pen_l[None, :]
+                kk = min(k, s.shape[1])
+                return jax.lax.top_k(s, kk)
+
+            self._searchers[key] = sharded_topk_multi(
+                self.mesh, local_fn, k, n_sharded=3)
+        s, i = self._searchers[key](
+            (qt, qw), dev["row_ids"], dev["terms"], dev["impacts"], pen,
+        )
+        return self._finish(s, i, k)
 
     def _int8_dense(self, queries, k: int, mask, dev):
         """Quantized dense search; filters fold into the score penalty."""
@@ -383,6 +559,8 @@ class DeviceIndex:
         to the postings engine."""
         dev = self.device_image()
         mask = self._mask_vector(where)
+        if self.mesh is not None:
+            return self._sharded_sparse(q_terms, q_weights, k, mask, dev)
         heavy_query = q_terms.shape[0] * q_terms.shape[1] > 128
         if mask is None and (
             self.n_rows > self.config.postings_threshold or heavy_query

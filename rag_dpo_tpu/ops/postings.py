@@ -101,14 +101,17 @@ class PostingsIndex:
 def postings_candidates_topk(post_docs, post_impacts,
                              ell_terms, ell_impacts,
                              q_terms, q_weights, k: int,
-                             n_candidates: int = 256):
+                             n_candidates: int = 256,
+                             penalty=None):
     """Two-phase sparse top-k.
 
     post_docs/post_impacts: [V, cap]; ell_terms/ell_impacts: [N, L];
     q_terms [Q, T] int32 (−2 = empty), q_weights [Q, T] f32 →
     ([Q, k] scores, [Q, k] doc ids, -1 padded). Scores are exact BM25
     totals for every returned doc; recall is bounded by candidate-pool
-    coverage (cap × n_candidates — see module docstring).
+    coverage (cap × n_candidates — see module docstring). `penalty` [N]
+    (0 = keep, large-negative = exclude) folds tombstone/filter masks
+    into the rescore so excluded docs never claim top-k slots.
     """
     q, t = q_terms.shape
     cap = post_docs.shape[1]
@@ -136,6 +139,8 @@ def postings_candidates_topk(post_docs, post_impacts,
         match, ci[:, :, :, None] * q_weights[:, None, None, :], 0.0
     )
     total = jnp.sum(contrib, axis=(2, 3))                # [Q, C]
+    if penalty is not None:
+        total = total + penalty[safe]
 
     # first-occurrence dedup of candidate doc ids
     same = safe[:, :, None] == safe[:, None, :]

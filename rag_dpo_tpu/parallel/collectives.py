@@ -83,6 +83,60 @@ def sharded_topk(
     return jax.jit(fn)
 
 
+def sharded_topk_multi(
+    mesh: Mesh,
+    local_fn,
+    k: int,
+    n_sharded: int,
+    *,
+    n_replicated: int = 0,
+    shard_axis: str = AXIS_SHARD,
+):
+    """General sharded top-k: per-shard scoring over ANY set of row-sharded
+    operands (dense embeddings, ELL term/impact arrays, posting tables,
+    penalty vectors, …) with the same all-gather merge as `sharded_topk`.
+
+    local_fn(queries, *operands) -> ([Q, kk] local scores desc,
+                                     [Q, kk] LOCAL row positions)
+    where operands = the shard-local views of `n_sharded` row-sharded
+    arrays followed by `n_replicated` replicated arrays. Local positions
+    are translated to global ids through the sharded `shard_ids` operand
+    (always passed first), so tombstone renumbering stays supported.
+
+    Returns search(queries, shard_ids, *arrays) -> (scores [Q, k],
+    global ids [Q, k]) replicated on every device.
+    """
+
+    def _local(queries, shard_ids, *arrays):
+        loc_scores, loc_pos = local_fn(queries, *arrays)
+        kk = loc_scores.shape[1]
+        if kk < k:  # static pad so the merge shape is uniform
+            pad = k - kk
+            loc_scores = jnp.pad(
+                loc_scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+            )
+            loc_pos = jnp.pad(loc_pos, ((0, 0), (0, pad)))
+        elif kk > k:
+            loc_scores, keep = jax.lax.top_k(loc_scores, k)
+            loc_pos = jnp.take_along_axis(loc_pos, keep, axis=1)
+        loc_ids = shard_ids[jnp.clip(loc_pos, 0, shard_ids.shape[0] - 1)]
+        return merge_sharded_topk(loc_scores, loc_ids, k, shard_axis)
+
+    in_specs = (
+        (P(), P(shard_axis))
+        + (P(shard_axis),) * n_sharded
+        + (P(),) * n_replicated
+    )
+    fn = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_merge_pairs(scores_a, ids_a, scores_b, ids_b, k: int):
     """Host-callable merge of two (score, id) top-k lists (e.g. two indexes)."""
