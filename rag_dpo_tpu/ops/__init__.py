@@ -24,6 +24,7 @@ from .topk import (  # noqa: E402,F401
     approx_topk,
     blocked_topk,
     cosine_topk_reference,
+    fused_candidates_topk,
     fused_topk,
 )
 from .fusion import rrf_fuse, rrf_fuse_reference  # noqa: E402,F401

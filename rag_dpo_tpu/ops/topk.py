@@ -119,6 +119,180 @@ def approx_topk(queries, embs, k: int, oversample: int = 4, penalty=None):
     return vals, idxs.astype(jnp.int32)
 
 
+# ----------------------------------------------- Pallas fused candidates
+
+def _seg_candidates_kernel(q_ref, e_ref, pen_ref, out_s_ref, out_i_ref,
+                           *, block_n: int, seg: int, per_seg: int,
+                           n_valid: int):
+    """One (query-tile, corpus-block) step: MXU matmul in VMEM, then keep
+    the top `per_seg` scores of every `seg`-wide column segment. The full
+    [TQ, BN] score block never leaves VMEM — HBM traffic is the corpus
+    read plus a [Q, N/seg·per_seg] candidate strip (~0.8% of the score
+    matrix at seg=128)."""
+    j = pl.program_id(1)
+    base = j * block_n
+
+    s = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, BN]
+    s = s + pen_ref[:]  # [1, BN] penalty broadcast (padding/masks)
+
+    tq = s.shape[0]
+    nseg = block_n // seg
+    s3 = s.reshape(tq, nseg, seg)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, nseg, seg), 2)
+    col3 = base + jax.lax.broadcasted_iota(
+        jnp.int32, (tq, nseg, seg), 1) * seg + lane
+    s3 = jnp.where(col3 < n_valid, s3, NEG_INF)
+
+    outs, outi = [], []
+    cur = s3
+    for _ in range(per_seg):
+        m = jnp.max(cur, axis=2)                       # [TQ, nseg]
+        pos = jnp.min(jnp.where(cur == m[:, :, None], lane, seg),
+                      axis=2)                          # first argmax lane
+        sel = lane == pos[:, :, None]
+        ids = jnp.sum(jnp.where(sel, col3, 0), axis=2)
+        ids = jnp.where(m > NEG_INF / 2, ids, -1)
+        outs.append(m)
+        outi.append(ids)
+        if per_seg > 1:
+            cur = jnp.where(sel, NEG_INF, cur)
+    cand_s = jnp.concatenate(outs, axis=1)
+    cand_i = jnp.concatenate(outi, axis=1)
+    width = out_s_ref.shape[1]  # 128-aligned (Mosaic lane constraint)
+    if cand_s.shape[1] < width:
+        pad = width - cand_s.shape[1]
+        cand_s = jnp.pad(cand_s, ((0, 0), (0, pad)),
+                         constant_values=NEG_INF)
+        cand_i = jnp.pad(cand_i, ((0, 0), (0, pad)), constant_values=-1)
+    out_s_ref[:] = cand_s
+    out_i_ref[:] = cand_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_n", "tile_q", "seg", "per_seg",
+                     "interpret"),
+)
+def fused_candidates_topk(
+    queries,
+    embs,
+    k: int,
+    *,
+    penalty=None,
+    block_n: int = 2048,
+    tile_q: int = 64,
+    seg: int = 128,
+    per_seg: int = 2,
+    interpret: bool | None = None,
+):
+    """Dense top-k without materializing [Q, N] scores in HBM.
+
+    Phase 1 (Pallas): fused matmul + per-segment top-`per_seg` reduction —
+    the same candidate-generation idea as `lax.approx_max_k`'s
+    PartialReduce, but fused INTO the matmul so HBM traffic collapses to
+    the corpus read (the approx path writes + re-reads a [Q, N] f32
+    score matrix: +0.5 GB per 1M×batch-64 sweep).
+    Phase 2 (XLA): exact `top_k` over the [Q, N/seg·per_seg] candidate
+    strip. Scores of returned docs are exact dot products.
+
+    Recall vs exact: a true top-k doc is lost only when > `per_seg` of
+    the true top-k land in one `seg`-wide segment — at k=40, N=1M,
+    seg=128, per_seg=2 the expected loss is < 1e-4 (better than the
+    unfused approx path's measured 0.998).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    q, d = queries.shape
+    n = embs.shape[0]
+    k_eff = min(k, n)
+
+    tq = min(tile_q, max(8, q))
+    q_pad = -(-q // tq) * tq
+    n_pad = -(-n // block_n) * block_n
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    if n_pad != n:
+        embs = jnp.pad(embs, ((0, n_pad - n), (0, 0)))
+    if penalty is None:
+        pen = jnp.zeros((1, n_pad), jnp.float32)
+    else:
+        pen = jnp.pad(penalty, (0, n_pad - penalty.shape[0]),
+                      constant_values=NEG_INF / 2).reshape(1, n_pad)
+
+    nseg_blk = -(-((block_n // seg) * per_seg) // 128) * 128  # lane-align
+    n_cand = (n_pad // block_n) * nseg_blk
+    grid = (q_pad // tq, n_pad // block_n)
+    kernel = functools.partial(
+        _seg_candidates_kernel, block_n=block_n, seg=seg,
+        per_seg=per_seg, n_valid=n,
+    )
+    cand_s, cand_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, nseg_blk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, nseg_blk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, n_cand), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, n_cand), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d,
+            bytes_accessed=(
+                n_pad * d * embs.dtype.itemsize
+                + q_pad * d * queries.dtype.itemsize
+                + q_pad * n_cand * 8
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(queries, embs, pen)
+
+    real = (block_n // seg) * per_seg
+    if real < nseg_blk:  # drop the lane-alignment padding columns
+        nb = n_pad // block_n
+        cand_s = cand_s.reshape(q_pad, nb, nseg_blk)[:, :, :real] \
+            .reshape(q_pad, nb * real)
+        cand_i = cand_i.reshape(q_pad, nb, nseg_blk)[:, :, :real] \
+            .reshape(q_pad, nb * real)
+    cand_s = cand_s[:q]
+    cand_i = cand_i[:q]
+    if cand_s.shape[1] > 4096:
+        # long candidate strip: high-recall PartialReduce first, exact
+        # sort after — a full lax.top_k sort over ~15k columns costs
+        # milliseconds and would eat the fusion win
+        red = min(max(4 * k_eff, 128), cand_s.shape[1])
+        cand_s, pos = jax.lax.approx_max_k(cand_s, red,
+                                           recall_target=0.99)
+        cand_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    kk = min(k_eff, cand_s.shape[1])
+    top, pos = jax.lax.top_k(cand_s, kk)
+    ids = jnp.take_along_axis(cand_i, pos, axis=1)
+    ids = jnp.where(top > NEG_INF / 2, ids, -1)
+    if kk < k:
+        top = jnp.pad(top, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    return top, ids
+
+
 # ------------------------------------------------------------ Pallas fused
 
 def _rank_merge(run_s, run_i, cand_s, cand_i, k: int):

@@ -59,7 +59,10 @@ class FakeLLMProvider(BaseLLMProvider):
                 "wants_sources": True,
                 "is_comparison": False,
             })
-        if "reformul" in low:
+        if "reformule la question suivante" in low:
+            # query-expansion prompt signature (rag/expander.py) — keyed
+            # on the full phrase: the intent system prompts legitimately
+            # contain words like « reformulation »
             q = _last_question(prompt)
             return (f"1. {q} selon le RGPD\n"
                     f"2. {q} obligations CNIL\n"

@@ -79,6 +79,96 @@ ACRONYMS: dict[str, str] = {
     "pra": "plan de reprise d'activité",
     "tia": "évaluation des transferts internationaux",
     "dtia": "évaluation des transferts internationaux de données",
+    # institutions / textes  (nota: pas d'entrée « ce » — collision avec
+    # le déterminant français)
+    "cnam": "caisse nationale de l'assurance maladie",
+    "cnaf": "caisse nationale des allocations familiales",
+    "dgccrf": "direction générale de la concurrence, de la consommation "
+              "et de la répression des fraudes",
+    "arcep": "autorité de régulation des communications électroniques",
+    "arcom": "autorité de régulation de la communication audiovisuelle "
+             "et numérique",
+    "hatvp": "haute autorité pour la transparence de la vie publique",
+    "has": "haute autorité de santé",
+    "ans": "agence du numérique en santé",
+    "ico": "autorité britannique de protection des données",
+    "aepd": "autorité espagnole de protection des données",
+    "g29": "groupe de travail article 29",
+    "wp29": "groupe de travail article 29",
+    "eprivacy": "directive vie privée et communications électroniques",
+    "lcen": "loi pour la confiance dans l'économie numérique",
+    "lpm": "loi de programmation militaire",
+    "sren": "loi visant à sécuriser et réguler l'espace numérique",
+    "dga": "règlement sur la gouvernance des données",
+    "data act": "règlement sur les données",
+    "ai act": "règlement sur l'intelligence artificielle",
+    "dora": "règlement sur la résilience opérationnelle numérique",
+    "psd2": "directive sur les services de paiement",
+    # santé / social
+    "snds": "système national des données de santé",
+    "dmp": "dossier médical partagé",
+    "pmsi": "programme de médicalisation des systèmes d'information",
+    "cpp": "comité de protection des personnes",
+    "cnrips": "référentiels de sécurité des données de santé",
+    "mdph": "maison départementale des personnes handicapées",
+    "esms": "établissements et services sociaux et médico-sociaux",
+    # sécurité / technique
+    "ids": "système de détection d'intrusion",
+    "ips": "système de prévention d'intrusion",
+    "waf": "pare-feu applicatif",
+    "soc": "centre opérationnel de sécurité",
+    "csirt": "équipe de réponse aux incidents de sécurité",
+    "cert": "centre d'alerte et de réaction aux attaques informatiques",
+    "pki": "infrastructure de gestion de clés",
+    "hsm": "module matériel de sécurité",
+    "tls": "protocole de chiffrement des communications",
+    "ssl": "protocole de chiffrement des communications",
+    "https": "protocole web sécurisé",
+    "sftp": "protocole de transfert de fichiers sécurisé",
+    "ad": "annuaire d'entreprise active directory",
+    "ldap": "annuaire d'entreprise",
+    "iam": "gestion des identités et des accès",
+    "pam": "gestion des accès à privilèges",
+    "byod": "utilisation d'équipements personnels au travail",
+    "mdm": "gestion des terminaux mobiles",
+    "ocr": "reconnaissance optique de caractères",
+    "rfid": "identification par radiofréquence",
+    "iot": "objets connectés",
+    "gps": "géolocalisation par satellite",
+    "ip": "adresse de protocole internet",
+    "mac": "adresse matérielle réseau",
+    "dns": "système de noms de domaine",
+    "cdn": "réseau de diffusion de contenu",
+    "cms": "système de gestion de contenu",
+    "etl": "extraction, transformation et chargement de données",
+    "bi": "informatique décisionnelle",
+    "ml": "apprentissage automatique",
+    "llm": "grand modèle de langage",
+    "nlp": "traitement automatique du langage",
+    # métier / conformité
+    "cgu": "conditions générales d'utilisation",
+    "cgv": "conditions générales de vente",
+    "dpa": "accord de traitement des données",
+    "nda": "accord de confidentialité",
+    "sla": "accord de niveau de service",
+    "rfp": "appel d'offres",
+    "poc": "preuve de concept",
+    "mssi": "mesures de sécurité des systèmes d'information",
+    "ebios": "méthode d'analyse de risques de l'anssi",
+    "iso 27001": "norme de management de la sécurité de l'information",
+    "iso 27701": "norme de management de la protection de la vie privée",
+    "secnumcloud": "qualification de sécurité cloud de l'anssi",
+    "violation": "violation de données à caractère personnel",
+    "pseudonymisation": "traitement rendant les données non directement "
+                        "identifiantes",
+    "dcn": "données de connexion",
+    "teletravail": "travail à distance",
+    "whistleblowing": "dispositif d'alerte professionnelle",
+    "cil": "correspondant informatique et libertés",
+    "privacy by design": "protection des données dès la conception",
+    "privacy by default": "protection des données par défaut",
+    "accountability": "principe de responsabilité démontrable",
+    "profilage": "traitement automatisé d'évaluation de personnes",
 }
 
 _METHOD_HINTS = {
