@@ -48,7 +48,13 @@ def supported_formats() -> list[str]:
     return sorted(_PARSERS)
 
 
-def parse_document(path_or_bytes, fmt: str | None = None) -> list[Section]:
+def parse_document(path_or_bytes, fmt: str | None = None,
+                   vision=None) -> list[Section]:
+    """Parse a document into ordered Sections.
+
+    `vision`: optional callable (pdf_bytes, page_index) → description,
+    used by the PDF parser as the infographic/scanned-page fallback when
+    no text layer exists (reference `process_and_chunk.py:413-516`)."""
     if isinstance(path_or_bytes, (str, pathlib.Path)):
         path = pathlib.Path(path_or_bytes)
         fmt = fmt or path.suffix.lstrip(".").lower()
@@ -60,9 +66,13 @@ def parse_document(path_or_bytes, fmt: str | None = None) -> list[Section]:
     if parser is None:
         raise ValueError(
             f"no parser for format '{fmt}' (available: "
-            f"{supported_formats()}; PDF/DOCX/XLSX parsers require "
-            f"PyMuPDF/python-docx/openpyxl on the host)"
+            f"{supported_formats()})"
         )
+    if vision is not None:
+        import inspect
+
+        if "vision" in inspect.signature(parser).parameters:
+            return parser(data, vision=vision)
     return parser(data)
 
 
@@ -159,7 +169,11 @@ def _html_table(el) -> Table:
     return Table(headers=headers, rows=rows[1:])
 
 
-# --------------------------------------------------- gated binary formats
+# ------------------------------------------------------- binary formats
+# Rich third-party parsers are preferred when importable; the pure-stdlib
+# implementations in ingest/office.py + ingest/pdf.py register below as
+# the always-available floor (this image has none of PyMuPDF/python-docx/
+# openpyxl/odfpy and nothing may be installed).
 
 try:  # PDF via PyMuPDF when present
     import fitz  # noqa: F401
@@ -244,3 +258,21 @@ try:  # XLSX via openpyxl when present
         return sections
 except ImportError:
     pass
+
+
+def _register_stdlib_fallbacks():
+    """Pure-stdlib parsers fill every format slot the optional libraries
+    left empty (including ODT/ODS, which have no third-party path here)."""
+    from . import office, pdf as pdf_mod
+
+    if "pdf" not in _PARSERS:
+        _PARSERS["pdf"] = pdf_mod.parse_pdf
+    if "docx" not in _PARSERS:
+        _PARSERS["docx"] = office.parse_docx
+    if "xlsx" not in _PARSERS:
+        _PARSERS["xlsx"] = office.parse_xlsx
+    _PARSERS.setdefault("odt", office.parse_odt)
+    _PARSERS.setdefault("ods", office.parse_ods)
+
+
+_register_stdlib_fallbacks()

@@ -196,15 +196,34 @@ class IngestPipeline:
         ))
         return {"n_classified": len(self.ctx.docs)}
 
+    def _pdf_vision(self):
+        """Infographic-PDF fallback: hand pages with no text layer to the
+        vision-capable LLM (reference `process_and_chunk.py:413-516`)."""
+        llm = self.ctx.llm
+        if llm is None or not hasattr(llm, "generate_with_image"):
+            return None
+
+        def describe(pdf_bytes: bytes, page_index: int) -> str:
+            resp = llm.generate_with_image(
+                "Décris précisément le contenu informatif de cette page "
+                "(schéma, infographie ou tableau) en français : acteurs, "
+                "flux, obligations, chiffres. Ignore la décoration.",
+                pdf_bytes,
+            )
+            return resp.text if getattr(resp, "ok", False) else ""
+
+        return describe
+
     def step_chunk(self) -> dict:
         chunk_classifier = ChunkClassifier(llm=self.ctx.llm)
+        vision = self._pdf_vision()
         all_chunks: list[dict] = []
         for doc in self.ctx.docs:
             data = pathlib.Path(doc["path"]).read_bytes()
             try:
                 sections = parse_document(data, doc["kind"]
                                           if doc["kind"] != "image"
-                                          else "txt")
+                                          else "txt", vision=vision)
             except ValueError:
                 continue
             for chunk in self.chunker.chunk_sections(sections,

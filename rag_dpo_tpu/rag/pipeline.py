@@ -41,9 +41,14 @@ def build_enterprise_where_filter(
     metadata fields from ingest, $or-composed with the base filter)."""
     if not enterprise_tags:
         return base_filter
+    from ..ingest.enterprise import _slug
+
     clauses: list[dict] = [{"source": "CNIL"}]
     for tag in enterprise_tags:
-        clauses.append({f"tag_{tag}": True})
+        # same slug normalization the ingestor applies when it writes
+        # the tag_<slug> metadata fields — a raw UI label ("RH") must
+        # match the stored field ("tag_rh")
+        clauses.append({f"tag_{_slug(tag)}": True})
     tag_filter = {"$or": clauses}
     if base_filter:
         return {"$and": [base_filter, tag_filter]}

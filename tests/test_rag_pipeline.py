@@ -87,6 +87,10 @@ def test_enterprise_filter_builder():
     f2 = build_enterprise_where_filter(["rh"], {"nature": "GUIDE"})
     assert "$and" in f2
     assert build_enterprise_where_filter(None, {"a": 1}) == {"a": 1}
+    # raw UI labels normalize to the ingestor's tag_<slug> fields
+    f3 = build_enterprise_where_filter(["RH", "Juridique & Contrats"])
+    assert f3 == {"$or": [{"source": "CNIL"}, {"tag_rh": True},
+                          {"tag_juridique_contrats": True}]}
 
 
 def test_detect_stance():
