@@ -35,7 +35,10 @@ from typing import Any, Sequence
 from ..rag.intent import extract_json_object
 from ..rag.validators import extract_citations
 
-DEFAULT_DATASET = pathlib.Path("/root/reference/eval/qa_dataset.json")
+# Vendored copy of the 48-question CNIL benchmark (data, not code) — the
+# framework is self-contained; no reference checkout required.
+DEFAULT_DATASET = (pathlib.Path(__file__).resolve().parent / "data"
+                   / "qa_dataset.json")
 
 
 def _norm(text: str) -> str:
@@ -45,6 +48,11 @@ def _norm(text: str) -> str:
 
 def load_qa_dataset(path=None) -> list[dict]:
     p = pathlib.Path(path) if path else DEFAULT_DATASET
+    if not p.exists():
+        raise FileNotFoundError(
+            f"QA dataset not found at {p} — pass an explicit path "
+            "(the default is the vendored copy shipped with the package)"
+        )
     with open(p, encoding="utf-8") as f:
         return json.load(f)
 
@@ -105,6 +113,53 @@ def source_quality_score(item: dict, sources: list[dict],
     ) + " " + answer)
     hits = sum(1 for kw in expected if keyword_found(kw, blob))
     return hits / len(expected)
+
+
+# Conciseness (traced axis — reported per question, NOT folded into the
+# global score, matching the reference's treatment of
+# `eval/run_eval.py:259-314`). Word budgets depend on the question
+# category; the classified intent scales them, because structured
+# formats (méthodologie = steps + actors + deliverables) are legitimately
+# longer — that's the requested format, not verbosity.
+_CONCISENESS_BUDGETS = {
+    # category: (ideal, soft_max, hard_max) in words
+    "definition": (150, 400, 600),
+    "obligation": (200, 500, 800),
+    "recommandation": (200, 500, 800),
+    "piège": (80, 250, 400),
+    "hors_perimetre": (50, 150, 300),
+}
+_INTENT_LENGTH_FACTOR = {
+    "factuel": 1.0,
+    "methodologique": 1.6,
+    "organisationnel": 1.4,
+    "comparaison": 1.3,
+    "cas_pratique": 1.4,
+    "liste_exhaustive": 1.5,
+    "refus": 0.3,
+}
+
+
+def conciseness_score(answer: str, category: str | None,
+                      intent: str = "factuel") -> tuple[float, str]:
+    """→ (score 0-1, human-readable assessment)."""
+    words = len(answer.split())
+    ideal, soft, hard = _CONCISENESS_BUDGETS.get(
+        category or "", (200, 500, 800))
+    factor = _INTENT_LENGTH_FACTOR.get(intent, 1.0)
+    ideal, soft, hard = (int(ideal * factor), int(soft * factor),
+                         int(hard * factor))
+    if words <= ideal:
+        return 1.0, f"ok: {words} mots (idéal ≤{ideal})"
+    if words <= soft:
+        frac = (words - ideal) / max(soft - ideal, 1)
+        return round(1.0 - 0.3 * frac, 4), \
+            f"long: {words} mots (idéal ≤{ideal}, souple ≤{soft})"
+    if words <= hard:
+        frac = (words - soft) / max(hard - soft, 1)
+        return round(0.7 - 0.3 * frac, 4), \
+            f"trop long: {words} mots (souple ≤{soft}, dur ≤{hard})"
+    return 0.3, f"excessif: {words} mots (dur ≤{hard})"
 
 
 JUDGE_PROMPT = """Tu évalues la réponse d'un assistant RGPD.
@@ -200,6 +255,10 @@ class EvalHarness:
             0.0, 1.0 - 0.25 * len(response.grounding_issues)
         )
         sources = source_quality_score(item, response.sources, answer)
+        concise, concise_note = conciseness_score(
+            answer, item.get("category"),
+            getattr(response, "intent", "factuel") or "factuel",
+        )
         global_score = (
             cfg.weight_correctness * correctness
             + cfg.weight_faithfulness * faithfulness
@@ -215,6 +274,8 @@ class EvalHarness:
             "correctness": round(correctness, 4),
             "faithfulness": round(faithfulness, 4),
             "source_score": round(sources, 4),
+            "conciseness_score": concise,     # traced, not in global
+            "conciseness_note": concise_note,
             "global_score": round(global_score, 4),
             "missing_keywords": missing,
             "n_sources": len(response.sources),
@@ -258,6 +319,9 @@ class EvalHarness:
             ) if n else 0.0,
             "source_score": round(
                 sum(r["source_score"] for r in results) / n, 4
+            ) if n else 0.0,
+            "conciseness": round(
+                sum(r["conciseness_score"] for r in results) / n, 4
             ) if n else 0.0,
             "avg_time_per_question": round(
                 sum(r["time_s"] for r in results) / n, 2

@@ -34,6 +34,14 @@ def main(argv=None) -> int:
     ap.add_argument("--root", default=None)
     ap.add_argument("--llm-mode", default="local",
                     choices=["local", "hybrid", "hosted", "fake"])
+    ap.add_argument("--weights", default=None, metavar="NPZ",
+                    help="converted BGE-M3 params "
+                         "(scripts/convert_weights.py output); default "
+                         "is deterministic random init")
+    ap.add_argument("--corpus", default=None, metavar="JSONL",
+                    help="pre-chunked corpus (processed_chunks.jsonl "
+                         "format): skip the scrape/chunk phases and "
+                         "index this directly")
     args = ap.parse_args(argv)
 
     paths = default_paths(args.root).ensure()
@@ -48,16 +56,36 @@ def main(argv=None) -> int:
     from ..providers import Embedder
     from ..providers.factory import create_llm
 
+    embedder = Embedder()
+    if args.weights:
+        from ..models.bge_m3 import BgeM3Config
+        from ..models.convert import load_params_npz
+        from ..providers.embedding import EmbedderConfig
+
+        # real converted weights imply the production architecture
+        # (XLM-RoBERTa-large backbone), not the default test-tiny config
+        embedder = Embedder(
+            EmbedderConfig(model=BgeM3Config()),
+            params=load_params_npz(args.weights),
+        )
+
     ctx = PipelineContext(
         paths=paths,
         llm=create_llm(args.llm_mode),
-        embedder=Embedder(),
+        embedder=embedder,
     )
+    if args.corpus:
+        from .indexer import load_chunks_jsonl
+
+        ctx.chunks = load_chunks_jsonl(args.corpus)
     pipeline = IngestPipeline(ctx, test_limit=args.test)
+    steps = args.steps.split(",") if args.steps else None
+    if args.corpus and not (args.from_step or args.only or steps):
+        args.from_step = "index"  # chunks supplied: start at indexing
     reports = pipeline.run(
         from_step=args.from_step,
         only=args.only,
-        steps=args.steps.split(",") if args.steps else None,
+        steps=steps,
         check=args.check,
     )
     print(json.dumps(reports, ensure_ascii=False, indent=1, default=str))

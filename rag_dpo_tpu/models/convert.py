@@ -22,6 +22,36 @@ def _set(tree: dict, path: tuple[str, ...], value):
     node[path[-1]] = value
 
 
+def flatten_params(tree: dict, prefix: str = "") -> dict:
+    """Nested param tree → flat {'a/b/c': ndarray} (npz-serializable)."""
+    out = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else key
+        if isinstance(value, dict):
+            out.update(flatten_params(value, path))
+        else:
+            out[path] = np.asarray(value)
+    return out
+
+
+def save_params_npz(params: dict, path):
+    np.savez(path, **flatten_params(params))
+
+
+def load_params_npz(path) -> dict:
+    """npz ('/'-joined keys, as written by scripts/convert_weights.py)
+    → {'params': nested tree} ready for `model.apply`."""
+    flat = dict(np.load(path))
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return {"params": tree}
+
+
 def convert_xlmr_state_dict(state: dict, prefix: str = "") -> dict:
     """torch state-dict (name → np.ndarray) → Flax param tree for
     `TransformerEncoder` (call with scope name 'encoder' stripped off by

@@ -57,28 +57,10 @@ def load_state_dict(snapshot: pathlib.Path) -> dict:
     return state
 
 
-def flatten(tree: dict, prefix: str = "") -> dict:
-    out = {}
-    for key, value in tree.items():
-        path = f"{prefix}/{key}" if prefix else key
-        if isinstance(value, dict):
-            out.update(flatten(value, path))
-        else:
-            out[path] = np.asarray(value)
-    return out
-
-
-def load_params_npz(path):
-    """npz → nested Flax param tree ({'params': …})."""
-    flat = dict(np.load(path))
-    tree: dict = {}
-    for key, value in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = value
-    return {"params": tree}
+from rag_dpo_tpu.models.convert import (  # noqa: E402
+    flatten_params as flatten,
+    load_params_npz,
+)
 
 
 def main() -> int:
