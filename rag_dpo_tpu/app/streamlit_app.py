@@ -1,16 +1,26 @@
-"""Streamlit multipage web app (gated on streamlit availability).
+"""Streamlit multipage web app — feature parity with the reference UI.
 
-Role parity with the reference's front-end (`app.py` + `pages/1_Chat`,
-`2_Dashboard`, `3_Documents`, `4_About`): a chat page with agent/native
-toggle, nature filter, enterprise-tag multiselect, depth slider and 👍/👎
-feedback; a stats dashboard with alert check; an enterprise-document
-management page. Launch: `streamlit run rag_dpo_tpu/app/streamlit_app.py`.
+Reference surface (`app.py` + `pages/1_💬_Chat.py` 415 LoC,
+`2_📊_Dashboard.py`, `3_📂_Documents.py`, `4_About`): chat with
+agent/native toggle, nature filter, enterprise-tag multiselect, depth
+slider, source cards with origin badges, composite-question expanders
+and 👍/👎 feedback; a dashboard with window-selectable stats, recent
+queries/feedback tables, alert check and JSON export; an enterprise
+document page with upload → ingest, tag create/select, list and purge.
 
-Streamlit is not a baked dependency of this image; the CLI (`app.cli`)
-offers the same surfaces in the terminal.
+Every page is a plain function taking (st, system) so the whole surface
+is testable with a stubbed `st` — streamlit itself is not baked into
+this image. Launch (where streamlit exists):
+`streamlit run rag_dpo_tpu/app/streamlit_app.py`; the CLI (`app.cli`)
+mirrors the same features in the terminal.
 """
 
 from __future__ import annotations
+
+import json
+
+NATURES = [None, "DOCTRINE", "GUIDE", "SANCTION", "TECHNIQUE", "MIXTE"]
+DEPTHS = [5, 8, 12]
 
 
 def _require_streamlit():
@@ -25,78 +35,216 @@ def _require_streamlit():
         ) from e
 
 
-def main():  # pragma: no cover — requires streamlit runtime
-    st = _require_streamlit()
+def build_system():
+    """Assemble both pipelines + logging once (st.cache_resource target,
+    mirroring the reference's init_rag_system, app.py:42-124)."""
+    from ..ingest.enterprise import EnterpriseIngestor, TagRegistry
     from ..utils import Alerter, QueryLogger, default_paths
     from .demo import build_demo_stack
 
+    native, ctx = build_demo_stack(agent=False)
+    agent, _ = build_demo_stack(llm=ctx["llm"], agent=True)
+    paths = default_paths().ensure()
+    qlog = QueryLogger(paths.queries_log, paths.feedback_log)
+    tags = TagRegistry(paths.root / "configs" / "enterprise_tags.json")
+    ingestor = EnterpriseIngestor(
+        ctx["index"], ctx["embedder"], ctx["bm25_stats"], tags)
+    return {
+        "native": native, "agent": agent, "qlog": qlog,
+        "alerter": Alerter(qlog, paths.alerts_log),
+        "tags": tags, "ingestor": ingestor, "index": ctx["index"],
+    }
+
+
+# ----------------------------------------------------------------- chat
+
+def _origin_badge(source: dict) -> str:
+    meta_url = str(source.get("url", ""))
+    if meta_url.startswith("enterprise://") or \
+            source.get("source") == "ENTERPRISE":
+        return "🏢 ENTREPRISE"
+    return "🏛️ CNIL"
+
+
+def render_source_cards(st, sources: list[dict]):
+    """Source cards with origin badges (reference Chat page :63-110)."""
+    for src in sources:
+        badge = _origin_badge(src)
+        title = src.get("title") or src.get("url") or f"Source {src['n']}"
+        with st.expander(f"[{src['n']}] {badge} — {title}"):
+            if src.get("url"):
+                st.caption(src["url"])
+            for cid in src.get("chunk_ids", []):
+                st.caption(f"chunk: {cid}")
+
+
+def render_chat(st, system):
+    use_agent = st.sidebar.toggle("Pipeline agent", value=True)
+    nature = st.sidebar.selectbox("Filtrer par nature", NATURES)
+    tag_options = list(system["tags"].tags)
+    selected_tags = st.sidebar.multiselect(
+        "Documents d'entreprise (tags)", tag_options)
+    depth = st.sidebar.select_slider(
+        "Profondeur de recherche", DEPTHS, value=5)
+
+    if "history" not in st.session_state:
+        st.session_state["history"] = []
+    for turn in st.session_state["history"]:
+        st.chat_message(turn["role"]).write(turn["content"])
+
+    q = st.chat_input("Votre question RGPD…")
+    if not q:
+        return None
+    st.chat_message("user").write(q)
+    pipe = system["agent"] if use_agent else system["native"]
+    resp = pipe.query(
+        q,
+        where_filter={"nature": nature} if nature else None,
+        enterprise_tags=selected_tags or None,
+        conversation_history=st.session_state["history"],
+        n_documents=depth,
+    )
+    st.chat_message("assistant").write(resp.answer)
+
+    # composite-question expander (reference :255-262, 345-350)
+    subs = (resp.extras or {}).get("sub_questions") or []
+    if len(subs) > 1:
+        with st.expander(f"Question composite — {len(subs)} sous-questions"):
+            for i, sub in enumerate(subs, 1):
+                st.write(f"{i}. {sub}")
+
+    if resp.sources:
+        st.subheader("Sources")
+        render_source_cards(st, resp.sources)
+
+    qid = system["qlog"].log_query(
+        resp, pipeline="agent" if use_agent else "native")
+    col_up, col_down = st.columns(2)
+    if col_up.button("👍 Utile", key=f"up_{qid}"):
+        system["qlog"].log_feedback(qid, 1)
+        st.toast("Merci pour votre retour !")
+    if col_down.button("👎 À améliorer", key=f"down_{qid}"):
+        system["qlog"].log_feedback(qid, -1)
+        st.toast("Retour enregistré.")
+
+    st.session_state["history"] = (
+        st.session_state["history"]
+        + [{"role": "user", "content": q},
+           {"role": "assistant", "content": resp.answer}]
+    )[-10:]  # last 5 turns (reference keeps a bounded history)
+    return resp
+
+
+# ------------------------------------------------------------ dashboard
+
+def render_dashboard(st, system):
+    hours = st.slider("Fenêtre (heures)", 1, 720, 24)
+    window_s = hours * 3600
+    stats = system["qlog"].get_stats(window_s)
+    cols = st.columns(4)
+    cols[0].metric("Requêtes", stats.get("n_queries", 0))
+    cols[1].metric("Taux d'erreur",
+                   f"{100 * stats.get('error_rate', 0):.0f}%")
+    cols[2].metric("Taux de citation",
+                   f"{100 * stats.get('citation_rate', 0):.0f}%")
+    cols[3].metric("Satisfaction",
+                   f"{100 * (stats.get('satisfaction') or 0):.0f}%")
+
+    st.subheader("Requêtes récentes")
+    st.table(system["qlog"].recent_queries(window_s)[-20:])
+    st.subheader("Retours récents")
+    st.table(system["qlog"].recent_feedback(window_s)[-20:])
+
+    if st.button("Vérifier les alertes"):
+        alerts = system["alerter"].check_and_alert()
+        for a in alerts:
+            st.warning(a["message"])
+        if not alerts:
+            st.success("Aucune alerte.")
+    st.download_button(
+        "Exporter JSON", data=json.dumps(stats, ensure_ascii=False),
+        file_name="stats.json")
+    return stats
+
+
+# ------------------------------------------------------------ documents
+
+def render_documents(st, system):
+    ingestor = system["ingestor"]
+
+    st.subheader("Ajouter un document")
+    upload = st.file_uploader(
+        "Document interne (pdf, docx, xlsx, odt, ods, html, txt)",
+        type=["pdf", "docx", "xlsx", "odt", "ods", "html", "txt", "md"])
+    existing = list(system["tags"].tags)
+    chosen = st.multiselect("Tags existants", existing)
+    new_tag = st.text_input("Nouveau tag (optionnel)")
+    result = None
+    if upload is not None and st.button("Indexer"):
+        import pathlib
+        import tempfile
+
+        tags = chosen + ([new_tag] if new_tag else [])
+        tmp = pathlib.Path(tempfile.mkdtemp()) / upload.name
+        tmp.write_bytes(upload.getvalue())
+        result = ingestor.ingest(tmp, tags=tags)
+        st.success(
+            f"{result['n_chunks']} extraits indexés "
+            f"({result['doc_id']}, tags: {', '.join(result['tags'])})")
+
+    st.subheader("Documents indexés")
+    docs = ingestor.list_documents()
+    if docs:
+        st.table(docs)
+    else:
+        st.caption("Aucun document d'entreprise indexé.")
+    target = st.selectbox(
+        "Supprimer un document",
+        [None] + [d["doc_id"] for d in docs])
+    if target and st.button("Purger"):
+        n = ingestor.purge(target)
+        st.success(f"{n} extraits supprimés.")
+    return result or docs
+
+
+# ----------------------------------------------------------------- main
+
+def render_home(st, system):
+    st.markdown(
+        "## RAG-DPO TPU\nMoteur de recherche documentaire RGPD "
+        "TPU-natif : index dense+lexical sur puce, encodeur BGE-M3 "
+        "multi-représentations, agent de validation."
+    )
+    n_live = len(system["index"]) if system.get("index") is not None else 0
+    st.metric("Extraits indexés", n_live)
+    stats = system["qlog"].get_stats()
+    st.metric("Requêtes (24 h)", stats.get("n_queries", 0))
+
+
+def main():  # pragma: no cover — requires streamlit runtime
+    st = _require_streamlit()
     st.set_page_config(page_title="RAG-DPO TPU", layout="wide")
 
     @st.cache_resource
-    def init_system():
-        native, ctx = build_demo_stack(agent=False)
-        agent, _ = build_demo_stack(llm=ctx["llm"], agent=True)
-        paths = default_paths().ensure()
-        qlog = QueryLogger(paths.queries_log, paths.feedback_log)
-        return {"native": native, "agent": agent, "qlog": qlog,
-                "alerter": Alerter(qlog, paths.alerts_log)}
+    def _system():
+        return build_system()
 
-    system = init_system()
-    page = st.sidebar.radio("Page", ["Chat", "Dashboard", "Documents",
-                                     "À propos"])
-
+    system = _system()
+    page = st.sidebar.radio(
+        "Page", ["Accueil", "Chat", "Dashboard", "Documents", "À propos"])
     if page == "Chat":
-        use_agent = st.sidebar.toggle("Pipeline agent", value=True)
-        nature = st.sidebar.selectbox(
-            "Nature", [None, "DOCTRINE", "GUIDE", "SANCTION", "TECHNIQUE"])
-        depth = st.sidebar.select_slider("Profondeur", [5, 8, 12], value=5)
-        if "history" not in st.session_state:
-            st.session_state.history = []
-        for turn in st.session_state.history:
-            st.chat_message(turn["role"]).write(turn["content"])
-        if q := st.chat_input("Votre question RGPD…"):
-            st.chat_message("user").write(q)
-            pipe = system["agent"] if use_agent else system["native"]
-            resp = pipe.query(
-                q, where_filter={"nature": nature} if nature else None,
-                conversation_history=st.session_state.history,
-                n_documents=depth,
-            )
-            st.chat_message("assistant").write(resp.answer)
-            qid = system["qlog"].log_query(
-                resp, pipeline="agent" if use_agent else "native")
-            col1, col2 = st.columns(2)
-            if col1.button("👍", key=f"up{qid}"):
-                system["qlog"].log_feedback(qid, 1)
-            if col2.button("👎", key=f"dn{qid}"):
-                system["qlog"].log_feedback(qid, -1)
-            st.session_state.history += [
-                {"role": "user", "content": q},
-                {"role": "assistant", "content": resp.answer},
-            ]
-
+        render_chat(st, system)
     elif page == "Dashboard":
-        hours = st.slider("Fenêtre (heures)", 1, 720, 24)
-        stats = system["qlog"].get_stats(hours * 3600)
-        st.json(stats)
-        if st.button("Vérifier les alertes"):
-            alerts = system["alerter"].check_and_alert()
-            for a in alerts:
-                st.warning(a["message"])
-            if not alerts:
-                st.success("Aucune alerte.")
-        st.download_button("Exporter JSON", data=str(stats),
-                           file_name="stats.json")
-
+        render_dashboard(st, system)
     elif page == "Documents":
-        st.write("Gestion des documents d'entreprise — voir le CLI "
-                 "`python -m rag_dpo_tpu.app.cli docs` pour l'ingestion.")
-
+        render_documents(st, system)
+    elif page == "Accueil":
+        render_home(st, system)
     else:
         st.markdown(
-            "## RAG-DPO TPU\nMoteur de recherche documentaire RGPD "
-            "TPU-natif : index dense+lexical sur puce, encodeur BGE-M3 "
-            "multi-représentations, agent de validation."
+            "### À propos\nPile 100 % locale : récupération hybride "
+            "(dense + BM25 + RRF), re-ranking cross-encoder, génération "
+            "validée (ancrage, sources), le tout sur TPU."
         )
 
 

@@ -1,0 +1,243 @@
+"""Web-UI parity smoke tests with a stubbed streamlit (round-1 verdict
+item 7): every page function renders end-to-end against the real demo
+stack, and the chat page exercises the enterprise-tag multiselect,
+source cards with origin badges, composite expanders and 👍 feedback."""
+
+import pathlib
+
+import pytest
+
+from rag_dpo_tpu.app.streamlit_app import (
+    build_system,
+    render_chat,
+    render_dashboard,
+    render_documents,
+    render_home,
+    render_source_cards,
+)
+
+
+class _Ctx:
+    def __init__(self, rec, label=""):
+        self.rec = rec
+        self.label = label
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def write(self, *a, **k):
+        self.rec.append(("write", a))
+
+    def caption(self, *a, **k):
+        self.rec.append(("caption", a))
+
+
+class FakeSt:
+    """Records every call; scripted return values per widget key/label."""
+
+    def __init__(self, script=None):
+        self.calls = []
+        self.script = script or {}
+        self.session_state = {}
+        self.sidebar = self
+
+    # --- widgets (return scripted or default values)
+    def _get(self, kind, label, default):
+        self.calls.append((kind, label))
+        return self.script.get(label, default)
+
+    def toggle(self, label, value=False, **k):
+        return self._get("toggle", label, value)
+
+    def selectbox(self, label, options, **k):
+        return self._get("selectbox", label, options[0])
+
+    def multiselect(self, label, options, **k):
+        return self._get("multiselect", label, [])
+
+    def select_slider(self, label, options, value=None, **k):
+        return self._get("select_slider", label, value or options[0])
+
+    def slider(self, label, lo, hi, value, **k):
+        return self._get("slider", label, value)
+
+    def chat_input(self, label, **k):
+        return self._get("chat_input", label, None)
+
+    def text_input(self, label, **k):
+        return self._get("text_input", label, "")
+
+    def button(self, label, **k):
+        return self._get("button", label, False)
+
+    def download_button(self, label, **k):
+        return self._get("download_button", label, False)
+
+    def file_uploader(self, label, **k):
+        return self._get("file_uploader", label, None)
+
+    # --- layout / output (recorded)
+    def chat_message(self, role):
+        self.calls.append(("chat_message", role))
+        return _Ctx(self.calls)
+
+    def expander(self, label, **k):
+        self.calls.append(("expander", label))
+        return _Ctx(self.calls, label)
+
+    def columns(self, n):
+        return [self for _ in range(n if isinstance(n, int) else len(n))]
+
+    def write(self, *a, **k):
+        self.calls.append(("write", a))
+
+    def markdown(self, *a, **k):
+        self.calls.append(("markdown", a))
+
+    def subheader(self, *a, **k):
+        self.calls.append(("subheader", a))
+
+    def caption(self, *a, **k):
+        self.calls.append(("caption", a))
+
+    def metric(self, label, value, **k):
+        self.calls.append(("metric", label, value))
+
+    def table(self, *a, **k):
+        self.calls.append(("table", a))
+
+    def json(self, *a, **k):
+        self.calls.append(("json", a))
+
+    def success(self, *a, **k):
+        self.calls.append(("success", a))
+
+    def warning(self, *a, **k):
+        self.calls.append(("warning", a))
+
+    def toast(self, *a, **k):
+        self.calls.append(("toast", a))
+
+    def labels(self, kind):
+        return [c[1] for c in self.calls if c[0] == kind]
+
+
+class FakeUpload:
+    def __init__(self, name, data):
+        self.name = name
+        self._data = data
+
+    def getvalue(self):
+        return self._data
+
+
+@pytest.fixture(scope="module")
+def system(tmp_path_factory):
+    # build_system resolves default_paths through the rag_dpo_tpu.utils
+    # re-export — patch BOTH bindings so nothing writes into the repo
+    import rag_dpo_tpu.utils as utils_mod
+    import rag_dpo_tpu.utils.paths as paths_mod
+
+    root = tmp_path_factory.mktemp("webapp")
+    orig = paths_mod.default_paths
+    patched = lambda base=None: orig(root)  # noqa: E731
+    paths_mod.default_paths = patched
+    utils_mod.default_paths = patched
+    try:
+        sys_obj = build_system()
+    finally:
+        paths_mod.default_paths = orig
+        utils_mod.default_paths = orig
+    return sys_obj
+
+
+def test_home_renders(system):
+    st = FakeSt()
+    render_home(st, system)
+    assert ("metric", "Extraits indexés",
+            len(system["index"])) in st.calls
+
+
+def test_chat_full_flow(system):
+    system["tags"].ensure(["RH"])
+    st = FakeSt(script={
+        "Votre question RGPD…": "Quel délai pour notifier une violation "
+                                "de données à la CNIL ?",
+        "Documents d'entreprise (tags)": ["rh"],
+        "Pipeline agent": False,
+        "👍 Utile": True,
+    })
+    # widget keys are dynamic for feedback buttons: FakeSt matches on
+    # label, so the scripted 👍 fires
+    resp = render_chat(st, system)
+    assert resp is not None and resp.answer
+    # sidebar controls all rendered
+    assert "Filtrer par nature" in st.labels("selectbox")
+    assert "Documents d'entreprise (tags)" in st.labels("multiselect")
+    assert "Profondeur de recherche" in st.labels("select_slider")
+    # source cards rendered with origin badges
+    if resp.sources:
+        expanders = st.labels("expander")
+        assert any("CNIL" in e or "ENTREPRISE" in e for e in expanders)
+    # feedback recorded
+    fb = system["qlog"].recent_feedback()
+    assert fb and fb[-1]["rating"] == 1
+    # history trimmed and persisted
+    assert len(st.session_state["history"]) == 2
+
+
+def test_chat_no_input_returns_none(system):
+    st = FakeSt()
+    assert render_chat(st, system) is None
+
+
+def test_source_cards_badges(system):
+    st = FakeSt()
+    render_source_cards(st, [
+        {"n": 1, "title": "Guide CNIL", "url": "https://cnil.fr/x",
+         "chunk_ids": ["a"]},
+        {"n": 2, "title": "Procédure interne",
+         "url": "enterprise://proc.docx", "chunk_ids": ["b"]},
+    ])
+    expanders = st.labels("expander")
+    assert "🏛️ CNIL" in expanders[0]
+    assert "🏢 ENTREPRISE" in expanders[1]
+
+
+def test_dashboard_renders_stats_tables_alerts(system):
+    st = FakeSt(script={"Vérifier les alertes": True})
+    stats = render_dashboard(st, system)
+    assert stats["n_queries"] >= 1  # chat test logged queries
+    metrics = [c[1] for c in st.calls if c[0] == "metric"]
+    assert "Requêtes" in metrics and "Satisfaction" in metrics
+    assert len([c for c in st.calls if c[0] == "table"]) == 2
+    assert "Exporter JSON" in st.labels("download_button")
+
+
+def test_documents_upload_list_purge(system):
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from fixture_docs import make_docx
+
+    st = FakeSt(script={
+        "Document interne (pdf, docx, xlsx, odt, ods, html, txt)":
+            FakeUpload("procedure.docx", make_docx()),
+        "Nouveau tag (optionnel)": "juridique",
+        "Indexer": True,
+    })
+    render_documents(st, system)
+    docs = system["ingestor"].list_documents()
+    assert docs and any("juridique" in d["tags"] for d in docs)
+
+    # purge via the selectbox
+    st2 = FakeSt(script={
+        "Supprimer un document": docs[0]["doc_id"],
+        "Purger": True,
+    })
+    render_documents(st2, system)
+    assert all(d["doc_id"] != docs[0]["doc_id"]
+               for d in system["ingestor"].list_documents())
