@@ -60,6 +60,50 @@ _DOC_EXTENSIONS = {
 }
 
 
+_FR_MONTHS = {
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
+    "mai": 5, "juin": 6, "juillet": 7, "août": 8, "aout": 8,
+    "septembre": 9, "octobre": 10, "novembre": 11, "décembre": 12,
+    "decembre": 12,
+}
+
+
+def extract_page_dates(html: bytes) -> dict:
+    """Publication/update dates from stored HTML (no network): OpenGraph
+    / article meta tags, <time datetime=…>, then French prose dates
+    ('12 juillet 2024'). → {'published_at': iso_or_None, …}."""
+    text = html.decode("utf-8", errors="replace")
+    out: dict = {"published_at": None, "updated_at": None}
+    for field, props in (
+        ("published_at", ("article:published_time", "datePublished",
+                          "date")),
+        ("updated_at", ("article:modified_time", "dateModified")),
+    ):
+        for prop in props:
+            m = re.search(
+                rf'<meta[^>]+(?:property|name|itemprop)=["\']{prop}["\']'
+                rf'[^>]+content=["\']([^"\']+)["\']', text, re.I)
+            if m:
+                out[field] = m.group(1)[:25]
+                break
+    if not out["published_at"]:
+        m = re.search(r'<time[^>]+datetime=["\']([^"\']+)["\']', text,
+                      re.I)
+        if m:
+            out["published_at"] = m.group(1)[:25]
+    if not out["published_at"]:
+        m = re.search(
+            r"\b(\d{1,2})(?:er)?\s+(janvier|février|fevrier|mars|avril|"
+            r"mai|juin|juillet|août|aout|septembre|octobre|novembre|"
+            r"décembre|decembre)\s+(\d{4})\b", text, re.I)
+        if m:
+            day, month, year = (int(m.group(1)),
+                                _FR_MONTHS[m.group(2).lower()],
+                                int(m.group(3)))
+            out["published_at"] = f"{year:04d}-{month:02d}-{day:02d}"
+    return out
+
+
 @dataclasses.dataclass
 class ScraperConfig:
     scope_prefix: str = "https://www.cnil.fr/fr/"
@@ -162,6 +206,57 @@ class Scraper:
             if href.startswith(cfg.scope_prefix):
                 out.append(href)
         return list(dict.fromkeys(out))
+
+    # ------------------------------------------------------------ backfill
+    def backfill_metadata(self) -> dict:
+        """Enrich existing per-file metadata WITHOUT any HTTP request
+        (reference `cnil_scraper_final.py:787-863`): add the content
+        hash and url hash when missing, extract publication dates from
+        stored HTML, harmonize the timestamp field, and stamp the schema
+        version. Used to migrate corpora scraped by older versions."""
+        import hashlib
+
+        stats = {"processed": 0, "updated": 0, "errors": 0}
+        for meta_file in sorted(self.out.rglob("*.meta.json")):
+            try:
+                meta = json.loads(meta_file.read_text())
+                file_path = pathlib.Path(meta.get("path", ""))
+                if not file_path.exists():
+                    continue
+                stats["processed"] += 1
+                updated = False
+                if not meta.get("content_hash"):
+                    meta["content_hash"] = hashlib.sha256(
+                        file_path.read_bytes()).hexdigest()
+                    updated = True
+                if not meta.get("published_at") and \
+                        meta.get("kind") == "html":
+                    dates = extract_page_dates(file_path.read_bytes())
+                    if dates.get("published_at"):
+                        meta["published_at"] = dates["published_at"]
+                        meta["page_dates"] = dates
+                        updated = True
+                if not meta.get("fetched_at") and meta.get("scraped_at"):
+                    meta["fetched_at"] = meta["scraped_at"]
+                    updated = True
+                if not meta.get("url_hash") and meta.get("url"):
+                    meta["url_hash"] = hashlib.sha256(
+                        meta["url"].encode()).hexdigest()[:16]
+                    updated = True
+                if meta.get("schema_version") != "v2":
+                    meta["schema_version"] = "v2"
+                    updated = True
+                if updated:
+                    stats["updated"] += 1
+                    meta_file.write_text(
+                        json.dumps(meta, ensure_ascii=False))
+                    url = meta.get("url")
+                    if url and url in self.state["visited"]:
+                        self.state["visited"][url] = meta
+            except Exception:  # corrupt metadata: skip, keep going
+                stats["errors"] += 1
+        self._save_state()
+        return stats
 
     # -------------------------------------------------------------- update
     def update_existing(self) -> dict:

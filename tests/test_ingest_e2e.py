@@ -146,3 +146,44 @@ def test_scraper_resumable_state(built):
     # re-crawl skips all visited
     crawl = s2.crawl(["https://site.test/fr/"])
     assert crawl["n_fetched"] == 0
+
+
+def test_scraper_backfill_metadata(built):
+    """Local-only metadata migration (reference :787-863): hashes, page
+    dates, schema stamp — zero HTTP (fetch would explode here)."""
+    import json as _json
+
+    paths, _, _, scraper = built
+    # simulate a legacy metadata file: strip the enriched fields
+    meta_files = sorted(paths.raw.rglob("*.meta.json"))
+    assert meta_files
+    legacy = _json.loads(meta_files[0].read_text())
+    for key in ("content_hash", "url_hash", "schema_version"):
+        legacy.pop(key, None)
+    meta_files[0].write_text(_json.dumps(legacy, ensure_ascii=False))
+
+    s = Scraper(paths.raw, ScraperConfig(delay_s=0.0),
+                fetch=lambda *a, **k: (_ for _ in ()).throw(
+                    AssertionError("backfill must not fetch")))
+    stats = s.backfill_metadata()
+    assert stats["processed"] >= 4
+    assert stats["updated"] >= 1
+    assert stats["errors"] == 0
+    for mf in meta_files:
+        meta = _json.loads(mf.read_text())
+        assert meta["schema_version"] == "v2"
+        assert len(meta["content_hash"]) == 64
+        assert meta["url_hash"]
+
+
+def test_extract_page_dates():
+    from rag_dpo_tpu.ingest.scraper import extract_page_dates
+
+    html = (b'<html><head><meta property="article:published_time" '
+            b'content="2024-07-12T10:00:00+02:00"/></head></html>')
+    assert extract_page_dates(html)["published_at"].startswith("2024-07-12")
+    html2 = "<html><body>Publié le 3 février 2023.</body></html>".encode()
+    assert extract_page_dates(html2)["published_at"] == "2023-02-03"
+    html3 = b'<html><time datetime="2022-01-05">5 jan</time></html>'
+    assert extract_page_dates(html3)["published_at"] == "2022-01-05"
+    assert extract_page_dates(b"<html></html>")["published_at"] is None
