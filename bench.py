@@ -1,12 +1,15 @@
 """Headline benchmark: FULL hybrid retrieval throughput at 1M chunks.
 
-Runs on one real TPU chip. Builds a synthetic 1M×1024 bf16 dense corpus
-plus a 1M×24 lexical ELL corpus on device, then measures the complete
-hybrid retrieval recipe — dense approx top-40 + impact-ordered-postings
-sparse top-40 + weighted RRF fusion to top-10, all on device — at
-batch 64. BASELINE.json north star: ≥10k queries/sec at 1M chunks (the
-reference never publishes QPS; its single-user hnswlib stack was never
-load-tested).
+Runs on one real TPU chip. Builds a synthetic 1M×1024 corpus (int8 +
+per-row scales for the sweep, bf16 for the exact refine) plus a 1M×24
+lexical ELL corpus on device, then measures the complete hybrid
+retrieval recipe — int8 dense sweep → exact bf16 refine of the
+oversampled survivors (top-40) + impact-ordered-postings sparse top-40 +
+weighted RRF fusion to top-10, all on device — at batch 64.
+BASELINE.json north star: ≥10k queries/sec at 1M chunks (the reference
+never publishes QPS; its single-user hnswlib stack was never
+load-tested). Round-1 recipe (bf16 dense approx) measured 13.9k qps;
+the int8+refine dense arm halves the sweep's HBM traffic.
 
 Timing uses a dependent on-device chain (scan feeding results back into
 the query batch): host↔device round-trips through the axon tunnel are
@@ -40,10 +43,14 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from rag_dpo_tpu.ops import approx_topk, blocked_topk, rrf_fuse
+    from rag_dpo_tpu.ops import blocked_topk, rrf_fuse
     from rag_dpo_tpu.ops.postings import (
         PostingsIndex,
         postings_candidates_topk,
+    )
+    from rag_dpo_tpu.ops.quantize import (
+        approx_topk_int8_refined,
+        quantize_rows,
     )
 
     @jax.jit
@@ -55,6 +62,8 @@ def main():
 
     embs = make_corpus(jax.random.key(0))
     embs.block_until_ready()
+    e_i8, e_scale = jax.jit(quantize_rows)(embs)
+    e_i8.block_until_ready()
 
     rng = np.random.default_rng(2)
     terms_h = rng.integers(0, VOCAB, (N, ELL_W)).astype(np.int32)
@@ -72,28 +81,30 @@ def main():
     @jax.jit
     def make_queries(key):
         x = jax.random.normal(key, (Q, D), jnp.float32)
-        x = x / jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
-        return x.astype(jnp.bfloat16)
+        return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
 
     queries = make_queries(jax.random.key(1))
     steps = 20
     weights = jnp.asarray([2.0, 1.5], jnp.float32)
 
-    def hybrid(q, e, pd, pi, et, ei, qqt, qqw):
-        ds, di = approx_topk(q, e, 40)
-        ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw, k=40)
+    def hybrid(q, ei8, esc, eref, pd, pi, et, ei, qqt, qqw):
+        ds, di = approx_topk_int8_refined(q, ei8, esc, eref, 40,
+                                          oversample=2)
+        ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw,
+                                          k=40, n_candidates=256)
         arms = jnp.stack([di, si], axis=0)
         return rrf_fuse(arms, weights, topk=K)
 
-    def chain(q, e, pd, pi, et, ei, qqt, qqw):
+    def chain(q, *ops):
         def body(c, _):
-            s, i = hybrid(c, e, pd, pi, et, ei, qqt, qqw)
-            bump = (s[:, :1] * 0).astype(jnp.bfloat16)
+            s, i = hybrid(c, *ops)
+            bump = (s[:, :1] * 0).astype(c.dtype)
             return c + bump, s[0, 0]
         return jax.lax.scan(body, q, None, length=steps)[1]
 
     chain_j = jax.jit(chain)
-    args = (queries, embs, post_docs, post_imps, ell_t, ell_i, qt, qw)
+    args = (queries, e_i8, e_scale, embs, post_docs, post_imps,
+            ell_t, ell_i, qt, qw)
     np.asarray(chain_j(*args))  # compile + warm
     t0 = time.time()
     np.asarray(chain_j(*args))
@@ -101,8 +112,10 @@ def main():
     qps = Q / dt
 
     # dense-arm recall sanity vs exact blocked kernel
-    s_a, i_a = approx_topk(queries, embs, K)
-    s_e, i_e = blocked_topk(queries, embs, K, block_n=65_536)
+    s_a, i_a = approx_topk_int8_refined(queries, e_i8, e_scale, embs, K,
+                                        oversample=2)
+    s_e, i_e = blocked_topk(queries.astype(jnp.bfloat16), embs, K,
+                            block_n=65_536)
     i_a, i_e = np.asarray(i_a), np.asarray(i_e)
     recall = float(np.mean([
         len(set(i_a[r]) & set(i_e[r])) / K for r in range(Q)
@@ -116,9 +129,10 @@ def main():
         "latency_ms_per_batch64": round(dt * 1e3, 3),
         "dense_recall_at_10_vs_exact": round(recall, 4),
         "postings_invert_seconds": round(invert_s, 2),
-        "pipeline": "dense approx top-40 + postings sparse top-40 "
-                    "+ device RRF to top-10",
-        "corpus": {"n_chunks": N, "dim": D, "dtype": "bfloat16",
+        "pipeline": "int8 dense sweep + exact bf16 refine top-40 "
+                    "+ postings sparse top-40 + device RRF to top-10",
+        "corpus": {"n_chunks": N, "dim": D,
+                   "dtype": "int8 sweep + bf16 refine",
                    "ell_width": ELL_W, "postings_cap": 512},
     }))
 

@@ -158,6 +158,36 @@ def main() -> int:
         assert np.asarray(i)[0, 0] == 17 and np.asarray(i)[1, 0] == 444
     check("int8 search (XLA)", int8_case)
 
+    def int8_refined_case():
+        from rag_dpo_tpu.ops.quantize import (
+            approx_topk_int8_refined, quantize_rows)
+
+        e = rng.standard_normal((20_000, 256)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        q = jnp.asarray(e[[17, 444]])
+        ei, esc = quantize_rows(jnp.asarray(e))
+        s, i = approx_topk_int8_refined(q, ei, esc,
+                                        jnp.asarray(e, jnp.bfloat16), 5)
+        i = np.asarray(i)
+        assert i[0, 0] == 17 and i[1, 0] == 444
+        # refined scores are exact dot products, not int8 approximations
+        np.testing.assert_allclose(np.asarray(s)[:, 0], 1.0, atol=2e-2)
+    check("int8+refine search (XLA)", int8_refined_case)
+
+    def fused_candidates_case():
+        from rag_dpo_tpu.ops import (
+            cosine_topk_reference, fused_candidates_topk)
+
+        e = jnp.asarray(rng.standard_normal((10_000, 256)), jnp.float32)
+        qs = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+        s, i = fused_candidates_topk(qs, e, 20, interpret=False)
+        rs, ri = cosine_topk_reference(qs, e, 20)
+        # per-segment top-2 candidates: near-exact at this density
+        np.testing.assert_allclose(np.asarray(s)[:, 0],
+                                   np.asarray(rs)[:, 0], atol=1e-3)
+    check("fused candidates matmul+seg-topk (Pallas)",
+          fused_candidates_case)
+
     def index_paths_case():
         from rag_dpo_tpu.index import DeviceIndex, IndexConfig
 

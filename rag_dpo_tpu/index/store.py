@@ -380,11 +380,14 @@ class DeviceIndex:
         return self._finish(s, i, k)
 
     def _sharded_int8(self, qf, k: int, mask, dev):
+        """Sharded int8 sweep over-fetches 4k candidates through the
+        merge, then the host refines them exactly (see `_int8_dense`)."""
         from ..ops.quantize import quantize_rows
         from ..parallel.collectives import sharded_topk_multi
 
         q_i8, q_scale = jax.jit(quantize_rows)(qf)
-        key = ("sharded_int8", k)
+        k_fetch = min(4 * k, dev["n_pad"])
+        key = ("sharded_int8", k_fetch)
         if key not in self._searchers:
             def local_fn(q_pack, e_i8, e_scale, pen):
                 qi, qsc = q_pack
@@ -395,17 +398,19 @@ class DeviceIndex:
                 )
                 s = (raw.astype(jnp.float32) * qsc[:, None]
                      * e_scale[None, :] + pen[None, :])
-                kk = min(4 * k, s.shape[1])
+                kk = min(k_fetch, s.shape[1])
                 return jax.lax.approx_max_k(s, kk)
 
             self._searchers[key] = sharded_topk_multi(
-                self.mesh, local_fn, k, n_sharded=3)
+                self.mesh, local_fn, k_fetch, n_sharded=3)
         pen = self._combined_penalty(mask, dev)
         s, i = self._searchers[key](
             (q_i8, q_scale), dev["row_ids"],
             dev["embs_i8"], dev["embs_scale"], pen,
         )
-        return self._finish(s, i, k)
+        s, i = np.asarray(s), np.asarray(i)
+        ok = (i >= 0) & (i < self.n_rows) & (s > -5e3)
+        return self._host_refine(np.asarray(qf, np.float32), s, i, ok, k)
 
     def _sharded_postings(self, dev):
         """Per-shard impact-ordered posting tables, stacked [S, V, cap]
@@ -498,24 +503,46 @@ class DeviceIndex:
         return self._finish(s, i, k)
 
     def _int8_dense(self, queries, k: int, mask, dev):
-        """Quantized dense search; filters fold into the score penalty."""
+        """Quantized dense search; filters fold into the score penalty.
+        The device does the int8 sweep with 4× oversampling; the
+        survivors are exactly re-scored on host against the f16 row
+        store (already resident — refine costs Q·4k dot products), so
+        returned scores and ranking carry full precision."""
         from ..ops.quantize import approx_topk_int8, quantize_rows
 
-        qf = jnp.asarray(np.asarray(queries, np.float32))
+        qf32 = np.asarray(queries, np.float32)
+        qf = jnp.asarray(qf32)
         q_i8, q_scale = quantize_rows(qf)
         penalty = dev["alive_penalty"]
         if mask is not None:
             m = np.full((dev["n_pad"],), -1e4, np.float32)
             m[: len(mask)] = np.where(mask, 0.0, -1e4)
             penalty = jnp.asarray(m)
+        kk = min(4 * k, dev["n_pad"])
         s, i = approx_topk_int8(
-            q_i8, q_scale, dev["embs_i8"], dev["embs_scale"], k,
-            penalty=penalty,
+            q_i8, q_scale, dev["embs_i8"], dev["embs_scale"], kk,
+            oversample=1, penalty=penalty,
         )
         s, i = np.asarray(s), np.asarray(i)
-        i = np.where((i >= 0) & (i < self.n_rows) & (s > -5e3), i, -1)
-        s = np.where(i >= 0, s, -1e30)
-        return self._strip_dead(s, i, k)
+        ok = (i >= 0) & (i < self.n_rows) & (s > -5e3)
+        return self._host_refine(qf32, s, i, ok, k)
+
+    def _host_refine(self, qf32, s, i, ok, k: int):
+        """Exact f32 re-score of device-selected candidates against the
+        host f16 rows; invalid slots stay excluded."""
+        safe = np.where(ok, i, 0)
+        rows = self._dense[safe].astype(np.float32)      # [Q, C, D]
+        exact = np.einsum("qd,qcd->qc", qf32, rows)
+        exact = np.where(ok, exact, NEG_INF)
+        order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        top = np.take_along_axis(exact, order, axis=1)
+        ids = np.take_along_axis(np.where(ok, i, -1), order, axis=1)
+        ids = np.where(top > NEG_INF / 2, ids, -1)
+        if ids.shape[1] < k:
+            pad = k - ids.shape[1]
+            top = np.pad(top, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        return top.astype(np.float32), ids
 
     def _masked_dense(self, q, k: int, mask: np.ndarray):
         """Filtered dense search: mask folds into a score penalty and the
