@@ -1,4 +1,5 @@
 import json
+import pathlib
 
 import pytest
 
@@ -19,6 +20,33 @@ def test_load_reference_dataset():
     data = load_qa_dataset()
     assert len(data) == 48
     assert all("question" in d and "id" in d for d in data)
+
+
+def test_vendored_dataset_is_self_contained():
+    from rag_dpo_tpu.evals.harness import DEFAULT_DATASET
+
+    assert str(DEFAULT_DATASET).startswith(
+        str(pathlib.Path(__file__).resolve().parent.parent))
+    with pytest.raises(FileNotFoundError):
+        load_qa_dataset("/nonexistent/qa.json")
+
+
+def test_conciseness_axis():
+    from rag_dpo_tpu.evals.harness import conciseness_score
+
+    short = "Réponse brève. " * 5                       # ~15 words
+    assert conciseness_score(short, "definition")[0] == 1.0
+    long = "mot " * 450
+    s_fact, _ = conciseness_score(long, "definition", "factuel")
+    assert 0.3 <= s_fact < 0.7                          # over soft max
+    # intent-aware: a méthodologie answer of the same length is fine
+    s_meth, _ = conciseness_score(long, "definition", "methodologique")
+    assert s_meth > s_fact
+    # refusals must be SHORT: the same words are heavily penalized
+    s_ref, note = conciseness_score(long, "hors_perimetre", "refus")
+    assert s_ref == 0.3 and "excessif" in note
+    huge = "mot " * 5000
+    assert conciseness_score(huge, "obligation")[0] == 0.3
 
 
 def test_keyword_matching():
