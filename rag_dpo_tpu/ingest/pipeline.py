@@ -270,11 +270,15 @@ class IngestPipeline:
         }
 
     def step_summaries(self) -> dict:
+        paths_by_doc = {d["doc_id"]: d.get("path")
+                        for d in (self.ctx.docs or [])}
         by_doc: dict[str, dict] = {}
         for c in self.ctx.chunks:
             entry = by_doc.setdefault(c["doc_key"], {
                 "title": c.get("title", ""),
                 "url": c.get("source_url", ""),
+                # raw file path: near-textless docs get a vision summary
+                "path": paths_by_doc.get(c["doc_key"]),
                 "chunks": [],
             })
             entry["chunks"].append(c["text"])

@@ -55,14 +55,34 @@ def looks_like_navigation(text: str) -> bool:
     return any(p.search(text) for p in _NAV_PATTERNS)
 
 
+VISION_SUMMARY_PROMPT = (
+    "Ce document ne contient presque pas de texte extractible "
+    "(infographie ou scan). Décris son contenu informatif pour un DPO : "
+    "sujets, obligations, acteurs, chiffres visibles. Titre : {title}"
+)
+
+
 class SummaryGenerator:
-    def __init__(self, llm: BaseLLMProvider, max_chars: int = 8000):
+    def __init__(self, llm: BaseLLMProvider, max_chars: int = 8000,
+                 vision_min_chars: int = 500):
         self.llm = llm
         self.max_chars = max_chars
+        # below this much extractible text, the document is an
+        # infographic/scan → vision summary (reference
+        # generate_document_summaries.py:36)
+        self.vision_min_chars = vision_min_chars
 
     def summarize_document(self, title: str,
-                           chunk_texts: Sequence[str]) -> dict:
+                           chunk_texts: Sequence[str],
+                           raw_bytes: bytes | None = None) -> dict:
         content = "\n\n".join(chunk_texts)[: self.max_chars]
+        if len(content) < self.vision_min_chars and raw_bytes is not None \
+                and hasattr(self.llm, "generate_with_image"):
+            resp = self.llm.generate_with_image(
+                VISION_SUMMARY_PROMPT.format(title=title), raw_bytes)
+            if getattr(resp, "ok", False) and resp.text.strip():
+                return {"title": title, "summary": resp.text.strip(),
+                        "navigation": False, "via": "vision"}
         if looks_like_navigation(content):
             return {"title": title, "summary": "", "navigation": True}
         resp = self.llm.generate(
@@ -83,8 +103,17 @@ class SummaryGenerator:
         for doc_key, doc in docs.items():
             if doc_key in results and results[doc_key].get("summary"):
                 continue
+            raw = None
+            path = doc.get("path")
+            if path and sum(len(t) for t in doc.get("chunks", [])) \
+                    < self.vision_min_chars:
+                try:
+                    raw = pathlib.Path(path).read_bytes()
+                except OSError:
+                    raw = None
             fiche = self.summarize_document(
-                doc.get("title", doc_key), doc.get("chunks", [])
+                doc.get("title", doc_key), doc.get("chunks", []),
+                raw_bytes=raw,
             )
             fiche["doc_key"] = doc_key
             fiche["url"] = doc.get("url", "")
