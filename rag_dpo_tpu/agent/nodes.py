@@ -312,6 +312,10 @@ def generate(c: NodeComponents, s: AgentState) -> AgentState:
                     flags=re.IGNORECASE | re.DOTALL) \
         if re.search(r"\n#{0,3}\s*Sources?\s*:", answer, re.IGNORECASE) \
         else answer
+    # strip fictitious non-Source tags the model sometimes invents
+    # (reference nodes.py:460-472 removes literal "[Pratique RGPD]")
+    answer = re.sub(r"\[(?:Bonne\s+)?(?:Pratique|Conseil)\s+RGPD\]\s*",
+                    "", answer, flags=re.IGNORECASE)
     s.answer = answer
     s.model = gen.model
     s.built_sources = built.sources
