@@ -91,7 +91,7 @@ def main():
         ds, di = approx_topk_int8_refined(q, ei8, esc, eref, 40,
                                           oversample=2)
         ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw,
-                                          k=40, n_candidates=256)
+                                          k=40, n_candidates=128)
         arms = jnp.stack([di, si], axis=0)
         return rrf_fuse(arms, weights, topk=K)
 

@@ -45,6 +45,13 @@ class EncoderConfig:
     use_flash_attention: bool = True
     flash_block_q: int = 512
     flash_block_k: int = 512
+    # 'flash' (single-chip Pallas), 'reference', or 'ring' — context
+    # parallelism: the sequence shards over the mesh `shard` axis and KV
+    # blocks rotate via ppermute (requires an enclosing
+    # `parallel.context_parallel(mesh)` scope and full-length batches;
+    # this is how documents beyond one chip's attention budget encode
+    # without truncation)
+    attention_impl: str = "auto"
     # rematerialize each layer in the backward pass: trades ~30% more
     # FLOPs for O(layers) less activation memory — the standard TPU
     # recipe for long-sequence / large-batch training
@@ -86,7 +93,26 @@ class SelfAttention(nn.Module):
         k = dense("key")(hidden).reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
         v = dense("value")(hidden).reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
 
-        if cfg.use_flash_attention:
+        impl = cfg.attention_impl
+        if impl == "auto":
+            impl = "flash" if cfg.use_flash_attention else "reference"
+        if impl == "ring":
+            # context parallelism: sequence sharded over the mesh `shard`
+            # axis, KV blocks rotate around the ICI ring — documents past
+            # one chip's attention budget encode without truncation.
+            # Requires full-length batches (no ragged masking on the
+            # ring path) and an enclosing `parallel.context_parallel`.
+            from ..ops.ring_attention import ring_attention_inline
+            from ..parallel.mesh import active_cp_mesh
+
+            mesh = active_cp_mesh()
+            if mesh is None:
+                raise RuntimeError(
+                    "attention_impl='ring' needs an enclosing "
+                    "`with parallel.context_parallel(mesh):` scope"
+                )
+            ctx = ring_attention_inline(mesh, q, k, v)
+        elif impl == "flash":
             # fused Pallas forward AND backward — O(S) memory end to end
             ctx = flash_attention_fused(
                 q, k, v, lengths,

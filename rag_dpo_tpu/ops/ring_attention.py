@@ -73,6 +73,25 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
     return (acc / l).astype(q.dtype)
 
 
+def ring_attention_inline(mesh: Mesh, q, k, v, *,
+                          axis_name: str = AXIS_SHARD,
+                          scale: float | None = None):
+    """Un-jitted ring attention for use INSIDE a traced module (the
+    encoder's `attention_impl='ring'` path): same shard_map program as
+    `make_ring_attention`, composable with the caller's jit."""
+    dh = q.shape[-1]
+    s = scale if scale is not None else float(dh) ** -0.5
+    inner = shard_map(
+        functools.partial(_ring_attention_local,
+                          axis_name=axis_name, scale=s),
+        mesh=mesh,
+        in_specs=(P(None, None, axis_name, None),) * 3,
+        out_specs=P(None, None, axis_name, None),
+        check_vma=False,
+    )
+    return inner(q, k, v)
+
+
 def make_ring_attention(mesh: Mesh, *, axis_name: str = AXIS_SHARD,
                         scale: float | None = None):
     """→ jitted ring_attention(q, k, v) for [B, H, S, Dh] inputs with S

@@ -3,6 +3,8 @@ from .mesh import (  # noqa: F401
     AXIS_MODEL,
     AXIS_SHARD,
     MeshSpec,
+    active_cp_mesh,
+    context_parallel,
     create_mesh,
     local_device_count,
     shard_leading_axis,
@@ -11,4 +13,5 @@ from .mesh import (  # noqa: F401
 from .collectives import (  # noqa: F401
     merge_sharded_topk,
     sharded_topk,
+    sharded_topk_multi,
 )

@@ -87,3 +87,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m)
+
+
+# ------------------------------------------------- context-parallel scope
+# The encoder's ring-attention path needs a mesh, but Flax module configs
+# must stay hashable — so the mesh travels through a scoped global rather
+# than the config tree.
+_ACTIVE_CP_MESH: list[Mesh] = []
+
+
+class context_parallel:
+    """`with context_parallel(mesh): model.apply(...)` — encoder layers
+    with `attention_impl='ring'` shard the sequence over the mesh's
+    `shard` axis and rotate KV blocks around the ICI ring."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        _ACTIVE_CP_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE_CP_MESH.pop()
+        return False
+
+
+def active_cp_mesh() -> Mesh | None:
+    return _ACTIVE_CP_MESH[-1] if _ACTIVE_CP_MESH else None

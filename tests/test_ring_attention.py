@@ -36,3 +36,47 @@ def test_ring_memory_is_sharded(eight_devices):
     out = ring(sharded, sharded, sharded)
     # output keeps the sequence sharding
     assert out.sharding.spec == P(None, None, "shard", None)
+
+
+def test_encoder_context_parallel_matches_single_chip(eight_devices):
+    """Full TransformerEncoder with attention_impl='ring' under a
+    context_parallel scope == the single-chip reference encoder."""
+    import dataclasses
+
+    from rag_dpo_tpu.models.encoder import EncoderConfig, TransformerEncoder
+    from rag_dpo_tpu.parallel import context_parallel
+
+    mesh = create_mesh(MeshSpec(shard=8))
+    base = EncoderConfig.tiny(use_flash_attention=False,
+                              max_position_embeddings=130)
+    ring_cfg = dataclasses.replace(base, attention_impl="ring")
+    rng = np.random.default_rng(7)
+    b, s = 2, 64  # full-length batch (ring path has no ragged masking)
+    ids = jnp.asarray(rng.integers(4, base.vocab_size, (b, s)), jnp.int32)
+    lengths = jnp.full((b,), s, jnp.int32)
+
+    ref_model = TransformerEncoder(base)
+    params = ref_model.init(jax.random.key(0), ids, lengths)
+    ref = ref_model.apply(params, ids, lengths)
+
+    ring_model = TransformerEncoder(ring_cfg)
+    with context_parallel(mesh):
+        out = ring_model.apply(params, ids, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_encoder_ring_without_scope_raises(eight_devices):
+    import dataclasses
+
+    from rag_dpo_tpu.models.encoder import EncoderConfig, TransformerEncoder
+
+    cfg = dataclasses.replace(
+        EncoderConfig.tiny(use_flash_attention=False,
+                           max_position_embeddings=130),
+        attention_impl="ring")
+    model = TransformerEncoder(cfg)
+    ids = jnp.zeros((1, 64), jnp.int32)
+    lengths = jnp.full((1,), 64, jnp.int32)
+    with pytest.raises(RuntimeError, match="context_parallel"):
+        model.init(jax.random.key(0), ids, lengths)
