@@ -93,45 +93,52 @@ def render_chat(st, system):
         st.chat_message(turn["role"]).write(turn["content"])
 
     q = st.chat_input("Votre question RGPD…")
-    if not q:
-        return None
-    st.chat_message("user").write(q)
-    pipe = system["agent"] if use_agent else system["native"]
-    resp = pipe.query(
-        q,
-        where_filter={"nature": nature} if nature else None,
-        enterprise_tags=selected_tags or None,
-        conversation_history=st.session_state["history"],
-        n_documents=depth,
-    )
-    st.chat_message("assistant").write(resp.answer)
+    resp = None
+    if q:
+        st.chat_message("user").write(q)
+        pipe = system["agent"] if use_agent else system["native"]
+        resp = pipe.query(
+            q,
+            where_filter={"nature": nature} if nature else None,
+            enterprise_tags=selected_tags or None,
+            conversation_history=st.session_state["history"],
+            n_documents=depth,
+        )
+        st.chat_message("assistant").write(resp.answer)
 
-    # composite-question expander (reference :255-262, 345-350)
-    subs = (resp.extras or {}).get("sub_questions") or []
-    if len(subs) > 1:
-        with st.expander(f"Question composite — {len(subs)} sous-questions"):
-            for i, sub in enumerate(subs, 1):
-                st.write(f"{i}. {sub}")
+        # composite-question expander (reference :255-262, 345-350)
+        subs = (resp.extras or {}).get("sub_questions") or []
+        if len(subs) > 1:
+            with st.expander(
+                    f"Question composite — {len(subs)} sous-questions"):
+                for i, sub in enumerate(subs, 1):
+                    st.write(f"{i}. {sub}")
 
-    if resp.sources:
-        st.subheader("Sources")
-        render_source_cards(st, resp.sources)
+        if resp.sources:
+            st.subheader("Sources")
+            render_source_cards(st, resp.sources)
 
-    qid = system["qlog"].log_query(
-        resp, pipeline="agent" if use_agent else "native")
-    col_up, col_down = st.columns(2)
-    if col_up.button("👍 Utile", key=f"up_{qid}"):
-        system["qlog"].log_feedback(qid, 1)
-        st.toast("Merci pour votre retour !")
-    if col_down.button("👎 À améliorer", key=f"down_{qid}"):
-        system["qlog"].log_feedback(qid, -1)
-        st.toast("Retour enregistré.")
+        st.session_state["last_qid"] = system["qlog"].log_query(
+            resp, pipeline="agent" if use_agent else "native")
+        st.session_state["history"] = (
+            st.session_state["history"]
+            + [{"role": "user", "content": q},
+               {"role": "assistant", "content": resp.answer}]
+        )[-10:]  # last 5 turns (reference keeps a bounded history)
 
-    st.session_state["history"] = (
-        st.session_state["history"]
-        + [{"role": "user", "content": q},
-           {"role": "assistant", "content": resp.answer}]
-    )[-10:]  # last 5 turns (reference keeps a bounded history)
+    # feedback buttons live OUTSIDE the new-input branch: a button click
+    # triggers a streamlit rerun in which chat_input is None, so buttons
+    # gated behind it could never register (the qid persists in
+    # session_state and keys the widgets to the answer being rated)
+    qid = st.session_state.get("last_qid")
+    if qid:
+        col_up, col_down = st.columns(2)
+        if col_up.button("👍 Utile", key=f"up_{qid}"):
+            system["qlog"].log_feedback(qid, 1)
+            st.toast("Merci pour votre retour !")
+        if col_down.button("👎 À améliorer", key=f"down_{qid}"):
+            system["qlog"].log_feedback(qid, -1)
+            st.toast("Retour enregistré.")
     return resp
 
 

@@ -352,10 +352,15 @@ class DeviceIndex:
         if mask is not None:
             return self._masked_dense(q, k, mask)
         if exact:
-            s, i = blocked_topk(q, dev["embs"], k)
-        else:
-            s, i = approx_topk(q, dev["embs"], k,
-                               penalty=dev["alive_penalty"])
+            s, i = blocked_topk(q, dev["embs"], k,
+                                penalty=dev["alive_penalty"])
+            s, i = np.asarray(s), np.asarray(i)
+            ok = (i >= 0) & (i < self.n_rows) & (s > -5e3)
+            i = np.where(ok, i, -1)
+            s = np.where(ok, s, NEG_INF).astype(np.float32)
+            return s, i
+        s, i = approx_topk(q, dev["embs"], k,
+                           penalty=dev["alive_penalty"])
         s, i = np.asarray(s), np.asarray(i)
         i = np.where((i >= 0) & (i < self.n_rows), i, -1)
         return self._strip_dead(s, i, k)

@@ -79,14 +79,28 @@ class EnterpriseIngestor:
             # docs' terms — often absent from the CNIL vocab — are
             # scoreable, and refresh every row's impacts under the new
             # avgdl (same incremental-consistency rule as the indexer).
+            # The update happens IN PLACE on the shared stats object, so
+            # retrievers built before this ingest see the new vocabulary.
             from ..retrieval.bm25 import (
                 build_ell_corpus_tf,
                 extend_bm25_stats,
                 impacts_from_tf,
+                retract_bm25_stats,
+                update_stats_in_place,
             )
 
-            self.bm25_stats = extend_bm25_stats(self.bm25_stats,
-                                                token_lists)
+            base = self.bm25_stats
+            old_texts = self._existing_texts(chunks)
+            if old_texts:
+                # re-ingest of the same document (same content hash →
+                # same chunk ids, upserted in place): retract the OLD
+                # versions' df/length contributions first, or repeated
+                # uploads double-count the document forever
+                base = retract_bm25_stats(
+                    base, [tokenize_french_text(t) for t in old_texts]
+                )
+            merged = extend_bm25_stats(base, token_lists)
+            update_stats_in_place(self.bm25_stats, merged)
             terms, tf, dl = build_ell_corpus_tf(
                 token_lists, self.bm25_stats, self.index.config.ell_width
             )
@@ -113,6 +127,16 @@ class EnterpriseIngestor:
         self.index.add([c.chunk_id for c in chunks], dense, metas,
                        terms, impacts, tf=tf, dl=dl)
         return {"doc_id": doc_id, "n_chunks": len(chunks), "tags": slugs}
+
+    def _existing_texts(self, chunks) -> list[str]:
+        """Texts of chunks about to be UPSERTED (ids already live in the
+        index) — their old stats contributions must retract first."""
+        out = []
+        for c in chunks:
+            pos = self.index._id_pos.get(c.chunk_id)
+            if pos is not None and self.index._alive[pos]:
+                out.append(str(self.index.meta.row(pos).get("text", "")))
+        return out
 
     # ------------------------------------------------------- management
     def list_documents(self) -> list[dict]:

@@ -73,14 +73,15 @@ class CorpusIndexer:
             ids = [ids[i] for i in fresh]
 
         incremental = index is not None and mode in ("append", "update")
-        if incremental:
-            # the stored ELL arrays fix the width; ignore self.ell_width
-            self.ell_width = index.config.ell_width
+        # incremental: the stored ELL arrays fix the width (a LOCAL
+        # override — mutating self would leak the old index's width into
+        # later unrelated builds on the same CorpusIndexer)
+        width = index.config.ell_width if incremental else self.ell_width
         replaced: list[str] = []
         if incremental and mode == "update":
             replaced = [cid for cid in ids if cid in index]
         stats, terms, impacts, tf, dl = self._build_sparse(
-            texts, index if incremental else None, replaced
+            texts, index if incremental else None, replaced, width
         )
 
         out = self.embedder.embed(
@@ -136,7 +137,8 @@ class CorpusIndexer:
     # -------------------------------------------------------------- sparse
     def _build_sparse(self, texts: Sequence[str],
                       existing: DeviceIndex | None,
-                      replaced_ids: Sequence[str] = ()):
+                      replaced_ids: Sequence[str] = (),
+                      width: int | None = None):
         """Tokenize + BM25 stats + ELL arrays for `texts`.
 
         Fresh build (existing=None): stats come from the new corpus alone
@@ -152,6 +154,7 @@ class CorpusIndexer:
             retract_bm25_stats,
         )
 
+        width = self.ell_width if width is None else width
         if existing is not None:
             base = existing.bm25_stats
             if base is None or base.df is None:
@@ -169,7 +172,7 @@ class CorpusIndexer:
                 old_tokens = [tokenize_french_text(t) for t in old_texts]
                 base = build_bm25_stats(old_tokens)
                 old_terms, old_tf, old_dl = build_ell_corpus_tf(
-                    old_tokens, base, self.ell_width
+                    old_tokens, base, width
                 )
                 existing._terms = old_terms
                 existing._tf = old_tf
@@ -189,21 +192,19 @@ class CorpusIndexer:
                 )
             token_lists = [tokenize_french_text(t) for t in texts]
             stats = extend_bm25_stats(base, token_lists)
-            terms, tf, dl = build_ell_corpus_tf(token_lists, stats,
-                                                self.ell_width)
+            terms, tf, dl = build_ell_corpus_tf(token_lists, stats, width)
             return stats, terms, impacts_from_tf(tf, dl, stats), tf, dl
 
         if native.is_available():
             # C++ ingestion runtime: tokenize + BM25 stats + ELL arrays
             # in one native pass (tests assert bit-level score parity)
             stats, terms, impacts, tf, dl = native.build_ell_corpus_native(
-                texts, ell_width=self.ell_width, return_tf=True
+                texts, ell_width=width, return_tf=True
             )
             return stats, terms, impacts, tf, dl
         token_lists = [tokenize_french_text(t) for t in texts]
         stats = build_bm25_stats(token_lists)
-        terms, tf, dl = build_ell_corpus_tf(token_lists, stats,
-                                            self.ell_width)
+        terms, tf, dl = build_ell_corpus_tf(token_lists, stats, width)
         return stats, terms, impacts_from_tf(tf, dl, stats), tf, dl
 
     # -------------------------------------------------------------- verify

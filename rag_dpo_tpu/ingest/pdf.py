@@ -73,8 +73,12 @@ def _unescape(body: bytes) -> str:
                 i += 2
             elif nxt.isdigit():
                 oct_digits = re.match(rb"\\([0-7]{1,3})", body[i:])
-                out.append(chr(int(oct_digits.group(1), 8)))
-                i += 1 + len(oct_digits.group(1))
+                if oct_digits is None:  # \8 / \9: invalid octal — literal
+                    out.append(nxt.decode("latin-1"))
+                    i += 2
+                else:
+                    out.append(chr(int(oct_digits.group(1), 8)))
+                    i += 1 + len(oct_digits.group(1))
             else:
                 out.append(nxt.decode("latin-1"))
                 i += 2
@@ -199,11 +203,16 @@ def parse_pdf(
         if vision is None:
             return []
         sections = []
+        seen: set[str] = set()
         for i in range(max(len(page_nums), 1)):
-            desc = vision(data, i)
-            if desc and desc.strip():
+            desc = (vision(data, i) or "").strip()
+            # providers without per-page focus return one description
+            # for the whole document: collapse duplicates instead of
+            # indexing N identical sections
+            if desc and desc not in seen:
+                seen.add(desc)
                 sections.append(Section(
-                    heading="", text=desc.strip(), level=0,
+                    heading="", text=desc, level=0,
                     page_info=f"p.{i + 1} (vision)",
                 ))
         return sections

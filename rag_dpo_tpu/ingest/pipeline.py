@@ -204,10 +204,14 @@ class IngestPipeline:
             return None
 
         def describe(pdf_bytes: bytes, page_index: int) -> str:
+            # the whole document ships with a page hint (no rasterizer on
+            # this host); page-aware providers focus on it, others return
+            # one description that parse_pdf deduplicates across pages
             resp = llm.generate_with_image(
-                "Décris précisément le contenu informatif de cette page "
-                "(schéma, infographie ou tableau) en français : acteurs, "
-                "flux, obligations, chiffres. Ignore la décoration.",
+                f"Décris précisément le contenu informatif de la page "
+                f"{page_index + 1} de ce document (schéma, infographie "
+                "ou tableau) en français : acteurs, flux, obligations, "
+                "chiffres. Ignore la décoration.",
                 pdf_bytes,
             )
             return resp.text if getattr(resp, "ok", False) else ""

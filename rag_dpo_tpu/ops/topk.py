@@ -53,22 +53,34 @@ def cosine_topk_reference(queries, embs, k: int):
 # ------------------------------------------------------------- blocked XLA
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n"))
-def blocked_topk(queries, embs, k: int, block_n: int = 4096):
-    """Memory-bounded exact top-k: scan over row blocks with running merge."""
+def blocked_topk(queries, embs, k: int, block_n: int = 4096,
+                 penalty=None):
+    """Memory-bounded exact top-k: scan over row blocks with running
+    merge. `penalty` [N] (0 keep / large-negative exclude) folds
+    tombstone+filter masks in — without it, zero-padded or dead rows
+    can outrank valid negative-cosine hits."""
     n, d = embs.shape
     q = queries.shape[0]
     nb = -(-n // block_n)
     n_pad = nb * block_n
     if n_pad != n:
         embs = jnp.pad(embs, ((0, n_pad - n), (0, 0)))
+    if penalty is None:
+        pen = jnp.zeros((n_pad,), jnp.float32)
+    else:
+        pen = jnp.pad(penalty.astype(jnp.float32),
+                      (0, n_pad - penalty.shape[0]),
+                      constant_values=NEG_INF / 2)
     embs_b = embs.reshape(nb, block_n, d)
+    pen_b = pen.reshape(nb, block_n)
     qf = queries.astype(jnp.float32)
 
     def step(carry, xs):
         run_s, run_i = carry
-        block, j = xs
+        block, pblk, j = xs
         s = jnp.dot(qf, block.astype(jnp.float32).T,
                     preferred_element_type=jnp.float32)
+        s = s + pblk[None, :]
         base = j * block_n
         valid = (base + jnp.arange(block_n)) < n
         s = jnp.where(valid[None, :], s, NEG_INF)
@@ -82,7 +94,7 @@ def blocked_topk(queries, embs, k: int, block_n: int = 4096):
 
     init = (jnp.full((q, k), NEG_INF), jnp.zeros((q, k), jnp.int32))
     (scores, ids), _ = jax.lax.scan(
-        step, init, (embs_b, jnp.arange(nb, dtype=jnp.int32))
+        step, init, (embs_b, pen_b, jnp.arange(nb, dtype=jnp.int32))
     )
     return scores, ids
 

@@ -174,6 +174,21 @@ def extend_bm25_stats(
     )
 
 
+def update_stats_in_place(dst: Bm25Stats, src: Bm25Stats) -> Bm25Stats:
+    """Copy `src`'s contents onto `dst` WITHOUT rebinding: every live
+    holder of the `dst` object (retrievers built before an incremental
+    ingest) sees the extended vocabulary and recomputed idf/avgdl. The
+    vocab dict is updated (ids only ever append) and array/scalar fields
+    are reassigned on the same instance."""
+    dst.vocab.update(src.vocab)
+    dst.idf = src.idf
+    dst.avgdl = src.avgdl
+    dst.n_docs = src.n_docs
+    dst.df = src.df
+    dst.total_len = src.total_len
+    return dst
+
+
 def retract_bm25_stats(
     stats: Bm25Stats, token_lists: Sequence[Sequence[str]]
 ) -> Bm25Stats:

@@ -27,6 +27,17 @@ def test_vendored_dataset_is_self_contained():
 
     assert str(DEFAULT_DATASET).startswith(
         str(pathlib.Path(__file__).resolve().parent.parent))
+    assert DEFAULT_DATASET.exists()  # vendored file actually shipped
+    # …and actually tracked by git, not swallowed by a data/ ignore rule
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch",
+         "rag_dpo_tpu/evals/data/qa_dataset.json"],
+        cwd=repo, capture_output=True,
+    )
+    assert tracked.returncode == 0, "dataset not committed to git"
     with pytest.raises(FileNotFoundError):
         load_qa_dataset("/nonexistent/qa.json")
 

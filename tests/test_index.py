@@ -103,6 +103,28 @@ def test_upsert_delete_compact():
     assert idx.chunk_ids(rows[0])[0] == "chunk_3"
 
 
+def test_exact_path_excludes_padding_and_tombstones():
+    """exact=True must fold the alive/padding penalty: zero-scoring
+    padded device rows would otherwise outrank valid negative-cosine
+    hits (round-2 review finding)."""
+    d = 16
+    rng = np.random.default_rng(1)
+    base = _normed(rng, 1, d)[0]
+    # 6 live rows, ALL with negative cosine vs the query
+    dense = np.stack([-base + 0.05 * _normed(rng, 1, d)[0]
+                      for _ in range(6)])
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    idx = DeviceIndex(IndexConfig(dim=d, ell_width=4, row_block=64))
+    idx.add([f"c{i}" for i in range(6)], dense)
+    s, rows = idx.search_dense(base[None], 4, exact=True)
+    assert (rows[0] >= 0).all(), rows  # live rows, not padding
+    assert (s[0] < 0).all()           # true negative scores returned
+    idx.delete(["c0", "c1"])
+    s, rows = idx.search_dense(base[None], 6, exact=True)
+    live = rows[0][rows[0] >= 0]
+    assert len(live) == 4 and 0 not in live and 1 not in live
+
+
 def test_save_load_roundtrip(tmp_path):
     idx, dense, _, _ = _build(n=80)
     idx.delete(["chunk_9"])

@@ -194,6 +194,24 @@ def test_chat_no_input_returns_none(system):
     assert render_chat(st, system) is None
 
 
+def test_feedback_survives_streamlit_rerun(system):
+    """A button click makes streamlit RERUN the script with chat_input
+    = None; the feedback widgets must still render and register (round-2
+    review finding: buttons gated behind the input branch were dead in
+    production)."""
+    st1 = FakeSt(script={
+        "Votre question RGPD…": "Quelle base légale pour la paie ?"})
+    resp = render_chat(st1, system)
+    assert resp is not None
+    qid = st1.session_state["last_qid"]
+
+    st2 = FakeSt(script={"👎 À améliorer": True})
+    st2.session_state = st1.session_state   # session persists on rerun
+    assert render_chat(st2, system) is None  # no new input this pass
+    fb = system["qlog"].recent_feedback()
+    assert fb[-1]["rating"] == -1 and fb[-1]["query_id"] == qid
+
+
 def test_source_cards_badges(system):
     st = FakeSt()
     render_source_cards(st, [
