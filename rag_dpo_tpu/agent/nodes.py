@@ -220,10 +220,17 @@ def decompose(c: NodeComponents, s: AgentState) -> AgentState:
 
 def retrieve(c: NodeComponents, s: AgentState) -> AgentState:
     t0 = time.time()
-    query = s.retrieval_query or s.question
-    if s.sub_questions:
+    if s.retrieval_query:
+        # targeted re-retrieval: the completeness check's suggested
+        # query takes precedence EVEN for decomposed questions — the
+        # global composite query already ran on the first pass and
+        # would only fetch the same documents again
+        query = s.retrieval_query
+    elif s.sub_questions:
         # composite: ONE global retrieval covering all sub-questions
         query = s.question + " " + " ".join(s.sub_questions)
+    else:
+        query = s.question
     where = build_enterprise_where_filter(s.enterprise_tags, s.where_filter)
     candidates = c.retriever.retrieve_candidates(
         query, n_candidates=c.n_candidates, where=where
@@ -304,14 +311,29 @@ def generate(c: NodeComponents, s: AgentState) -> AgentState:
         sections = "\n".join(f"- {q}" for q in s.sub_questions)
         user_prompt += STRUCTURED_PROMPT_SUFFIX.format(sections=sections)
 
+    temperature = s.temperature
+    if s.generation_retries and s.grounding_issues:
+        # a retry with bitwise-identical inputs cannot change a
+        # (near-)deterministic model's answer: feed the validator's
+        # findings back and loosen sampling slightly
+        issues = "; ".join(s.grounding_issues[:5])
+        user_prompt += (
+            "\n\nATTENTION — la réponse précédente a été rejetée pour "
+            f"les problèmes suivants : {issues}. Corrige-les : ne cite "
+            "que des faits présents dans les sources, avec les vrais "
+            "numéros [Source N]."
+        )
+        temperature = min((temperature or 0.0) + 0.2, 0.7)
+
     gen = c.generator.generate(built.system_prompt, user_prompt,
-                               temperature=s.temperature)
+                               temperature=temperature)
     answer = gen.text
-    # strip model-invented "Sources" trailer (ours is appended at respond)
-    answer = re.sub(r"\n+#{0,3}\s*Sources?\s*:?.*$", "", answer,
-                    flags=re.IGNORECASE | re.DOTALL) \
-        if re.search(r"\n#{0,3}\s*Sources?\s*:", answer, re.IGNORECASE) \
-        else answer
+    # strip a model-invented "Sources" trailer (ours is appended at
+    # respond). The pattern requires the colon — an optional colon would
+    # anchor at any in-prose line starting "Source 1 indique…" and, with
+    # DOTALL, wipe the rest of the answer.
+    answer = re.sub(r"\n+#{0,3}\s*Sources?\s*:.*$", "", answer,
+                    flags=re.IGNORECASE | re.DOTALL)
     # strip fictitious non-Source tags the model sometimes invents
     # (reference nodes.py:460-472 removes literal "[Pratique RGPD]")
     answer = re.sub(r"\[(?:Bonne\s+)?(?:Pratique|Conseil)\s+RGPD\]\s*",

@@ -353,7 +353,14 @@ class ContextBuilder:
             context_text = self._map_reduce(question, blocks)
             map_reduced = True
         elif len(context_text) > self.max_context_chars:
-            context_text = context_text[: self.max_context_chars]
+            # under reverse packing the MOST relevant sources sit at the
+            # TAIL (nearest the question) — truncate from the front so
+            # the best documents survive, not the worst
+            context_text = (
+                context_text[-self.max_context_chars:]
+                if self.reverse_packing
+                else context_text[: self.max_context_chars]
+            )
 
         history = self._format_history(conversation_history)
         user_prompt = USER_PROMPT_TEMPLATE.format(
@@ -433,7 +440,10 @@ class ContextBuilder:
                     resp.text.strip().upper() != "RIEN":
                 partials.append(resp.text.strip())
         if not partials:
-            return "\n\n".join(blocks)[: self.max_context_chars]
+            joined = "\n\n".join(blocks)
+            return (joined[-self.max_context_chars:]
+                    if self.reverse_packing
+                    else joined[: self.max_context_chars])
         resp = self.llm.generate(
             REDUCE_PROMPT.format(question=question,
                                  partials="\n\n---\n\n".join(partials)),
@@ -466,10 +476,11 @@ class ContextBuilder:
                 return ""
             return "\x00SRC" + ",".join(map(str, kept)) + "\x00"
 
-        tmp = re.sub(
-            r"\[(?:Sources?)\s+(\d+(?:\s*(?:,|et)\s*\d+)*)\]",
-            to_placeholder, answer, flags=re.IGNORECASE,
-        )
+        # the ONE citation pattern — shared with extract_citations so the
+        # "which sources are cited" decision and this rewrite can't drift
+        from .validators import _CITATION_RE
+
+        tmp = _CITATION_RE.sub(to_placeholder, answer)
 
         def from_placeholder(m: re.Match) -> str:
             nums = m.group(1).split(",")

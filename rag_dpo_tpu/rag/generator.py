@@ -49,7 +49,8 @@ class Generator:
             text=resp.text,
             model=resp.model or self.llm.model_name,
             generation_time=time.time() - t0,
-            error=resp.error if not resp.text.strip() else resp.error,
+            error=(resp.error or ("réponse vide du modèle"
+                                  if not resp.text.strip() else None)),
         )
 
     def generate_with_history(
@@ -77,5 +78,6 @@ class Generator:
             text=resp.text,
             model=resp.model or self.llm.model_name,
             generation_time=time.time() - t0,
-            error=resp.error,
+            error=(resp.error or ("réponse vide du modèle"
+                                  if not resp.text.strip() else None)),
         )

@@ -24,8 +24,12 @@ import re
 import time
 from typing import Any, Sequence
 
-from ..retrieval.types import RetrievedChunk, RetrievedDocument, \
-    normalize_doc_key
+from ..retrieval.types import (  # noqa: F401 — re-exports kept for callers
+    RetrievedChunk,
+    RetrievedDocument,
+    normalize_doc_key,
+    rebuild_documents_from_ranked_chunks,
+)
 from .context import BuiltContext, ContextBuilder, fix_markdown_formatting
 from .generator import GeneratedResponse, Generator
 from .intent import IntentClassifier, QuestionIntent
@@ -315,34 +319,6 @@ class RAGPipeline:
                     len(extract_citations(gen_a.text)):
                 return gen_b
         return gen_a
-
-
-def rebuild_documents_from_ranked_chunks(
-    chunks: Sequence[RetrievedChunk],
-    n_documents: int,
-    n_chunks_per_doc: int,
-) -> list[RetrievedDocument]:
-    """Group reranked chunks back into documents preserving rank order
-    (reference `_rebuild_documents_from_ranked_chunks` :805-879)."""
-    docs: dict[str, list[RetrievedChunk]] = {}
-    order: list[str] = []
-    for chunk in chunks:
-        key = normalize_doc_key(chunk.source_url or chunk.chunk_id)
-        if key not in docs:
-            docs[key] = []
-            order.append(key)
-        if len(docs[key]) < n_chunks_per_doc:
-            docs[key].append(chunk)
-    out = []
-    for key in order[:n_documents]:
-        group = docs[key]
-        out.append(RetrievedDocument(
-            doc_key=key,
-            title=group[0].title or key,
-            chunks=group,
-            score=max(c.score for c in group),
-        ))
-    return out
 
 
 def create_pipeline(

@@ -111,7 +111,13 @@ class GroundingValidator:
                 issues.append(f"article non sourcé: article {ref}")
         for m in _DELAY_RE.finditer(answer):
             token = m.group(0)
-            if _norm(m.group(1)) not in norm_context:
+            # the FULL number+unit token must occur in the context
+            # (unit plural/singular tolerated): checking the bare digits
+            # would be vacuous — "3" matches inside "article 33"
+            number, unit = _norm(m.group(1)), _norm(m.group(2))
+            unit_stem = unit.rstrip("s")
+            pat = rf"\b{re.escape(number)}\s*{re.escape(unit_stem)}s?\b"
+            if not re.search(pat, norm_context):
                 issues.append(f"délai non sourcé: {token}")
 
         severe = len(issues) >= self.severe_issue_count

@@ -32,7 +32,12 @@ from ..ops.fusion import rrf_fuse
 from ..providers.embedding import Embedder
 from ..rag.acronyms import expand_acronyms
 from .bm25 import Bm25Stats, SummaryBm25Index
-from .types import RetrievedChunk, RetrievedDocument, normalize_doc_key
+from .types import (
+    RetrievedChunk,
+    RetrievedDocument,
+    normalize_doc_key,
+    rebuild_documents_from_ranked_chunks,
+)
 
 
 @dataclasses.dataclass
@@ -106,7 +111,10 @@ class HybridRetriever:
         """Raw fused candidate pool for the reranker (no doc dedup)."""
         cfg = self.config
         queries = self._queries(question)
-        eff_where = self._doc_filter(question, where)
+        # prefilter on the ACRONYM-EXPANDED query (queries[0]), like the
+        # retrieval arms — summaries spell acronyms out, so filtering on
+        # the raw question could $in-mask every relevant document away
+        eff_where = self._doc_filter(queries[0], where)
         nq = len(queries)
         k_arm = cfg.per_arm_k
 
@@ -121,14 +129,10 @@ class HybridRetriever:
         # --- sparse arms (BM25) batched
         s_rows = None
         if cfg.use_sparse and self.bm25_stats is not None:
-            qt = np.stack([
-                self.bm25_stats.query_terms(q, cfg.max_query_terms)[0]
-                for q in queries
-            ])
-            qw = np.stack([
-                self.bm25_stats.query_terms(q, cfg.max_query_terms)[1]
-                for q in queries
-            ])
+            pairs = [self.bm25_stats.query_terms(q, cfg.max_query_terms)
+                     for q in queries]
+            qt = np.stack([p[0] for p in pairs])
+            qw = np.stack([p[1] for p in pairs])
             s_scores, s_rows = self.index.search_sparse(
                 qt, qw, k_arm, where=eff_where
             )
@@ -190,22 +194,6 @@ class HybridRetriever:
         pool = self.retrieve_candidates(
             question, n_candidates=max(40, n_documents * 8), where=where
         )
-        docs: dict[str, list[RetrievedChunk]] = {}
-        order: list[str] = []
-        for chunk in pool:
-            key = normalize_doc_key(chunk.source_url or chunk.chunk_id)
-            if key not in docs:
-                docs[key] = []
-                order.append(key)
-            if len(docs[key]) < n_chunks_per_doc:
-                docs[key].append(chunk)
-        result = []
-        for key in order[:n_documents]:
-            chunks = docs[key]
-            result.append(RetrievedDocument(
-                doc_key=key,
-                title=chunks[0].title or key,
-                chunks=chunks,
-                score=max(c.score for c in chunks),
-            ))
-        return result
+        return rebuild_documents_from_ranked_chunks(
+            pool, n_documents, n_chunks_per_doc
+        )

@@ -66,3 +66,33 @@ def normalize_doc_key(url: str) -> str:
         if url.startswith(prefix):
             url = url[len(prefix):]
     return url.rstrip("/")
+
+
+def rebuild_documents_from_ranked_chunks(
+    chunks: list[RetrievedChunk],
+    n_documents: int,
+    n_chunks_per_doc: int,
+) -> list[RetrievedDocument]:
+    """Group ranked chunks back into documents preserving rank order
+    (reference `_rebuild_documents_from_ranked_chunks` :805-879) — the
+    ONE doc-grouping/dedup implementation, shared by the retriever's
+    non-reranker path, the sequential pipeline and the agent."""
+    docs: dict[str, list[RetrievedChunk]] = {}
+    order: list[str] = []
+    for chunk in chunks:
+        key = normalize_doc_key(chunk.source_url or chunk.chunk_id)
+        if key not in docs:
+            docs[key] = []
+            order.append(key)
+        if len(docs[key]) < n_chunks_per_doc:
+            docs[key].append(chunk)
+    out = []
+    for key in order[:n_documents]:
+        group = docs[key]
+        out.append(RetrievedDocument(
+            doc_key=key,
+            title=group[0].title or key,
+            chunks=group,
+            score=max(c.score for c in group),
+        ))
+    return out

@@ -39,6 +39,51 @@ def test_reverse_packing_order():
         built2.context_text.find("[Source 3]")
 
 
+def test_truncation_keeps_best_sources_under_reverse_packing():
+    """Overflow without an LLM cuts the FRONT (worst sources) — the tail
+    holds [Source 1] under reverse packing (round-2 review finding)."""
+    cb = ContextBuilder(llm=None, max_context_chars=600,
+                        reverse_packing=True)
+    built = cb.build_context("q", _docs(6))
+    assert "[Source 1]" in built.context_text   # best source survives
+    assert "[Source 6]" not in built.context_text  # worst one dropped
+    cb2 = ContextBuilder(llm=None, max_context_chars=600,
+                         reverse_packing=False)
+    built2 = cb2.build_context("q", _docs(6))
+    assert "[Source 1]" in built2.context_text  # front-packed: also kept
+
+
+def test_delay_validation_requires_full_token():
+    """'3 jours' must not pass because '3' appears in 'article 33'
+    (round-2 review finding: bare-digit check was vacuous)."""
+    from rag_dpo_tpu.rag.validators import GroundingValidator
+
+    v = GroundingValidator()
+    ctx = ("L'article 33 impose la notification sous 72 heures "
+           "à l'autorité de contrôle.")
+    bad = v.validate("Le délai est de 3 jours [Source 1].", ctx,
+                     n_sources=1)
+    assert any("délai" in i for i in bad.issues), bad.issues
+    ok = v.validate("Le délai est de 72 heures [Source 1].", ctx,
+                    n_sources=1)
+    assert not any("délai" in i for i in ok.issues), ok.issues
+
+
+def test_sources_trailer_strip_spares_prose():
+    """'Source 1 indique…' in prose must survive; only a real
+    'Sources :' trailer is stripped (round-2 review finding)."""
+    import re
+
+    from rag_dpo_tpu.agent import nodes as agent_nodes  # noqa: F401
+
+    pattern = r"\n+#{0,3}\s*Sources?\s*:.*$"
+    answer = ("**Oui.**\nSource 1 indique que le délai est de 72 "
+              "heures. Détail important.\n\nSources :\n1. Guide CNIL")
+    out = re.sub(pattern, "", answer, flags=re.IGNORECASE | re.DOTALL)
+    assert "Détail important" in out
+    assert "Guide CNIL" not in out
+
+
 def test_map_reduce_triggers_over_budget():
     calls = {"map": 0, "reduce": 0}
 
