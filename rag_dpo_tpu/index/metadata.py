@@ -24,6 +24,13 @@ from typing import Any, Mapping, Sequence
 import numpy as np
 
 
+def _as_float(v) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return float("nan")
+
+
 class MetadataStore:
     def __init__(self):
         self._n = 0
@@ -53,9 +60,31 @@ class MetadataStore:
             values = [r.get(key) for r in rows]
             self._append_column(key, values, start, add)
 
+    def _family(self, key, probe) -> str:
+        """Column family for `key`: an EXISTING column always wins —
+        routing by value type alone lets a key whose type drifts (e.g.
+        'year': '2020' then 2021) land in a second family, leaving the
+        first column stale/length-mismatched (review finding)."""
+        if key in self._set:
+            return "set"
+        if key in self._bool:
+            return "bool"
+        if key in self._num:
+            return "num"
+        if key in self._cat:
+            return "cat"
+        if isinstance(probe, (list, tuple, set)):
+            return "set"
+        if isinstance(probe, bool):
+            return "bool"
+        if isinstance(probe, (int, float)):
+            return "num"
+        return "cat"
+
     def _append_column(self, key, values, start, add):
         probe = next((v for v in values if v is not None), None)
-        if key in self._set or isinstance(probe, (list, tuple, set)):
+        family = self._family(key, probe)
+        if family == "set":
             vocab, lookup, codes = self._set.get(
                 key, ([], {}, np.zeros((start,), np.int64))
             )
@@ -72,14 +101,14 @@ class MetadataStore:
                     bits |= 1 << lookup[item]
                 new[i] = bits
             self._set[key] = (vocab, lookup, np.concatenate([codes, new]))
-        elif key in self._bool or isinstance(probe, bool):
+        elif family == "bool":
             col = self._bool.get(key, np.zeros((start,), bool))
             new = np.array([bool(v) for v in values], dtype=bool)
             self._bool[key] = np.concatenate([col, new])
-        elif key in self._num or isinstance(probe, (int, float)):
+        elif family == "num":
             col = self._num.get(key, np.full((start,), np.nan, np.float32))
             new = np.array(
-                [np.nan if v is None else float(v) for v in values],
+                [np.nan if v is None else _as_float(v) for v in values],
                 dtype=np.float32,
             )
             self._num[key] = np.concatenate([col, new])
@@ -106,7 +135,8 @@ class MetadataStore:
         for key in set(doc) | set(self._cat) | set(self._bool) \
                 | set(self._num) | set(self._set):
             value = doc.get(key)
-            if key in self._set or isinstance(value, (list, tuple, set)):
+            family = self._family(key, value)
+            if family == "set":
                 vocab, lookup, codes = self._set.get(
                     key, ([], {}, np.zeros((self._n,), np.int64))
                 )
@@ -121,14 +151,14 @@ class MetadataStore:
                     bits |= 1 << lookup[item]
                 codes[pos] = bits
                 self._set[key] = (vocab, lookup, codes)
-            elif key in self._bool or isinstance(value, bool):
+            elif family == "bool":
                 col = self._bool.setdefault(
                     key, np.zeros((self._n,), bool))
                 col[pos] = bool(value)
-            elif key in self._num or isinstance(value, (int, float)):
+            elif family == "num":
                 col = self._num.setdefault(
                     key, np.full((self._n,), np.nan, np.float32))
-                col[pos] = np.nan if value is None else float(value)
+                col[pos] = np.nan if value is None else _as_float(value)
             else:
                 vocab, lookup, codes = self._cat.get(
                     key, ([""], {"": 0}, np.zeros((self._n,), np.int32))
@@ -155,6 +185,10 @@ class MetadataStore:
     def eq_mask(self, key: str, value) -> np.ndarray:
         if key in self._bool:
             return self._bool[key] == bool(value)
+        if key in self._num and isinstance(value, str):
+            f = _as_float(value)  # '2020' queries a numeric column
+            if not np.isnan(f):
+                return self._num[key] == f
         if key in self._num and isinstance(value, (int, float)) \
                 and key not in self._cat:
             return self._num[key] == float(value)

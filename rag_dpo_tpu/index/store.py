@@ -126,8 +126,18 @@ class DeviceIndex:
               else np.asarray(dl, np.int32))
 
         fresh_rows, fresh_meta = [], []
+        batch_pos: dict[str, int] = {}  # id → row WITHIN this batch
         for row, cid in enumerate(chunk_ids):
             pos = self._id_pos.get(cid)
+            if pos is None and cid in batch_pos:
+                # duplicate id inside ONE batch: later occurrence wins —
+                # without this, both rows append live and the first
+                # becomes an undeletable orphan (review finding)
+                dup_idx = fresh_rows.index(batch_pos[cid])
+                fresh_rows[dup_idx] = row
+                fresh_meta[dup_idx] = metadatas[row]
+                batch_pos[cid] = row
+                continue
             if pos is not None:  # in-place update
                 self._dense[pos] = dense[row]
                 self._terms[pos] = terms[row]
@@ -143,6 +153,7 @@ class DeviceIndex:
                 self._alive[pos] = True
                 self.meta.update(pos, metadatas[row])
             else:
+                batch_pos[cid] = row
                 fresh_rows.append(row)
                 fresh_meta.append(metadatas[row])
 
@@ -332,7 +343,11 @@ class DeviceIndex:
         rows; -1 = empty). Filter `where` is a ChromaDB-style tree.
 
         Default path is approx_topk (recall ≈ 0.99, fastest measured);
-        `exact=True` switches to the exact blocked kernel (recall 1.0).
+        `exact=True` switches to exact per-shard selection (recall 1.0)
+        on every bf16 path — single-device, masked, and mesh-sharded.
+        Int8 storage cannot honor `exact` on device (the full-precision
+        image isn't resident); its host refine still returns exact
+        SCORES for the approximately-selected candidates.
         With a mesh attached, the corpus is row-sharded and per-shard
         top-k results merge through one all-gather (dense, int8, masked
         and unmasked all ride the same penalty-folded program)."""
@@ -343,13 +358,18 @@ class DeviceIndex:
             if dev["embs_i8"] is not None:
                 return self._sharded_int8(qf, k, mask, dev)
             return self._sharded_dense(
-                qf.astype(self.config.device_dtype), k, mask, dev)
+                qf.astype(self.config.device_dtype), k, mask, dev,
+                exact=exact)
         if dev["embs_i8"] is not None:
             return self._int8_dense(queries, k, mask, dev)
         q = jnp.asarray(np.asarray(queries, np.float32)).astype(
             self.config.device_dtype
         )
         if mask is not None:
+            if exact:
+                pen = self._combined_penalty(mask, dev)
+                s, i = blocked_topk(q, dev["embs"], k, penalty=pen)
+                return self._finish(s, i, k)
             return self._masked_dense(q, k, mask)
         if exact:
             s, i = blocked_topk(q, dev["embs"], k,
@@ -366,15 +386,17 @@ class DeviceIndex:
         return self._strip_dead(s, i, k)
 
     # --------------------------------------------------- sharded engines
-    def _sharded_dense(self, q, k: int, mask, dev):
+    def _sharded_dense(self, q, k: int, mask, dev, exact: bool = False):
         from ..parallel.collectives import sharded_topk_multi
 
-        key = ("sharded_dense", k)
+        key = ("sharded_dense", k, exact)
         if key not in self._searchers:
             def local_fn(qs, shard_embs, pen):
                 s = jnp.dot(qs, shard_embs.T,
                             preferred_element_type=jnp.float32)
                 s = s + pen[None, :]
+                if exact:  # full per-shard sort: recall 1.0
+                    return jax.lax.top_k(s, min(k, s.shape[1]))
                 kk = min(4 * k, s.shape[1])
                 return jax.lax.approx_max_k(s, kk)
 

@@ -49,8 +49,15 @@ class TextGenerator:
     def load_converted(self, state_dict):
         from .convert import convert_llama_state_dict
 
-        self._params = {"params": jax.tree.map(
-            jnp.asarray, convert_llama_state_dict(state_dict))}
+        params = convert_llama_state_dict(state_dict)
+        if self.config.quantize_weights:
+            # the module tree uses QuantDense (kernel_q + scale): float
+            # kernels from the converter must quantize or the first
+            # apply raises ScopeParamNotFound (review finding)
+            from .decoder import quantize_decoder_params
+
+            params = quantize_decoder_params(params)
+        self._params = {"params": jax.tree.map(jnp.asarray, params)}
 
     # ----------------------------------------------------------- programs
     def _prefill(self, b: int, s: int):
@@ -79,7 +86,7 @@ class TextGenerator:
 
     def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
         key = ("decode", b, n_steps, sampling.temperature,
-               sampling.top_k, sampling.eos_id)
+               sampling.top_k, sampling.eos_id, sampling.pad_id)
         if key not in self._programs:
             cfg = self.config
             temp = sampling.temperature

@@ -88,7 +88,10 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, out_ref,
 
     @pl.when(j == nk - 1)
     def _():
-        out_ref[0, 0] = (acc[:] / l_scr[:, 0:1]).astype(out_ref.dtype)
+        # guard l=0 (a fully-masked / zero-length row): 0/0 would emit
+        # NaN that survives L2-norm and poisons similarities downstream
+        l_safe = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        out_ref[0, 0] = (acc[:] / l_safe).astype(out_ref.dtype)
 
 
 @functools.partial(

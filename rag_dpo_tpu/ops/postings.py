@@ -142,8 +142,11 @@ def postings_candidates_topk(post_docs, post_impacts,
     if penalty is not None:
         total = total + penalty[safe]
 
-    # first-occurrence dedup of candidate doc ids
-    same = safe[:, :, None] == safe[:, None, :]
+    # first-occurrence dedup of candidate doc ids — compare the RAW ids
+    # (SENTINEL intact): comparing `safe` would conflate invalid slots
+    # with real doc 0 and could mark doc 0 a duplicate of an earlier
+    # invalid candidate (review finding)
+    same = cand[:, :, None] == cand[:, None, :]
     earlier = (
         jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)

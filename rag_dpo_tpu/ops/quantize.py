@@ -59,15 +59,13 @@ def approx_topk_int8_refined(q_f32, e_i8, e_scale, e_ref, k: int,
         preferred_element_type=jnp.float32,
     )
     exact = jnp.where(cvals > -1e3, exact, -1e30)  # keep penalty holes
-    if kk > k:
-        top, pos = jax.lax.top_k(exact, k)
-        ids = jnp.take_along_axis(cids, pos, axis=1)
-    elif kk < k:
-        top = jnp.pad(exact, ((0, 0), (0, k - kk)), constant_values=-1e30)
-        ids = jnp.pad(cids, ((0, 0), (0, k - kk)), constant_values=-1)
-    else:
-        top, pos = jax.lax.top_k(exact, k)
-        ids = jnp.take_along_axis(cids, pos, axis=1)
+    # ALWAYS re-sort by the exact scores — approx order can transpose
+    # neighbors, and downstream RRF fuses by RANK, not score
+    top, pos = jax.lax.top_k(exact, min(k, kk))
+    ids = jnp.take_along_axis(cids, pos, axis=1)
+    if kk < k:
+        top = jnp.pad(top, ((0, 0), (0, k - kk)), constant_values=-1e30)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
     return top, ids.astype(jnp.int32)
 
 

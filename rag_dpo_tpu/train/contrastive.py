@@ -112,7 +112,14 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, state: TrainState):
     XLA inserts the ICI collectives (all-gather for global negatives, psum
     for the TP row-parallel matmuls and the DP gradient reduction).
     """
-    model = BgeM3Model(cfg.model)
+    # the InfoNCE loss uses only the dense head: run a dense-only
+    # forward (sparse/ColBERT head projections would be computed and
+    # discarded every step — zero gradient signal, real FLOPs/memory).
+    # The param TREE is unchanged; flax ignores entries no module asks
+    # for, so checkpoints keep the full multi-head structure.
+    dense_cfg = dataclasses.replace(cfg.model, with_sparse=False,
+                                    with_colbert=False)
+    model = BgeM3Model(dense_cfg)
     optimizer = make_optimizer(cfg)
 
     p_shard = param_shardings(state.params, mesh)
