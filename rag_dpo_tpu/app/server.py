@@ -104,8 +104,13 @@ def make_handler(system: dict):
                     self._send(400,
                                {"error": "need query_id and rating"})
                     return
+                try:
+                    rating = int(data["rating"])
+                except (TypeError, ValueError):
+                    self._send(400, {"error": "rating must be an int"})
+                    return
                 system["qlog"].log_feedback(
-                    qid, int(data["rating"]), data.get("comment", ""))
+                    qid, rating, data.get("comment", ""))
                 self._send(200, {"ok": True})
             else:
                 self._send(404, {"error": "not found"})

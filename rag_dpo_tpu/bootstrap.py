@@ -83,12 +83,6 @@ def build_stack(
             config.llm.mode, base_url=config.llm.base_url,
             model=config.llm.model,
         )
-    if embedder is None:
-        embedder = Embedder(EmbedderConfig(
-            batch_size=config.embedding.batch_size,
-            max_seq_len=config.embedding.max_seq_len,
-            query_max_len=config.embedding.query_max_len,
-        ))
     if index is None:
         manifest = paths.index_dir / "manifest.json"
         if not manifest.exists():
@@ -98,6 +92,37 @@ def build_stack(
                 "`python scripts/download_index.py <artifact>`"
             )
         index = DeviceIndex.load(paths.index_dir)
+
+    if embedder is None:
+        kwargs = dict(
+            batch_size=config.embedding.batch_size,
+            max_seq_len=config.embedding.max_seq_len,
+            query_max_len=config.embedding.query_max_len,
+        )
+        ckpt = config.embedding.checkpoint_path
+        if ckpt:
+            # converted real weights → production-size architecture
+            from .models.bge_m3 import BgeM3Config
+            from .models.convert import load_params_npz
+
+            embedder = Embedder(
+                EmbedderConfig(model=BgeM3Config(), **kwargs),
+                params=load_params_npz(ckpt),
+            )
+        else:
+            embedder = Embedder(EmbedderConfig(**kwargs))
+
+    # the query encoder MUST produce vectors in the index's space — a
+    # default tiny random-weight embedder against a real 1024-dim corpus
+    # would shape-error or return garbage (review finding); fail loudly
+    # with the fix instead.
+    if embedder.dim != index.config.dim:
+        raise ValueError(
+            f"embedder dim {embedder.dim} ≠ index dim "
+            f"{index.config.dim}: the saved index was built with a "
+            "different encoder. Set RAGDPO_EMBEDDING_CHECKPOINT_PATH "
+            "(converted weights npz) or inject the matching embedder."
+        )
 
     bm25_stats = None
     if config.retrieval.hybrid:

@@ -27,13 +27,17 @@ def recall_at_k(result_ids: Sequence[Sequence[str]],
     """Mean fraction of the oracle's top-k present in ours."""
     assert len(result_ids) == len(oracle_ids)
     total = 0.0
+    counted = 0
     for got, want in zip(result_ids, oracle_ids):
         want_k = list(want)[:k]
         if not want_k:
-            continue
+            continue  # no oracle rows → the query is unmeasurable
+        counted += 1
         got_k = set(list(got)[:k])
         total += len(got_k & set(want_k)) / len(want_k)
-    return total / max(len(result_ids), 1)
+    # divide by the MEASURABLE queries: skipped pairs must not deflate
+    # the metric (review finding)
+    return total / max(counted, 1)
 
 
 def cited_source_hit_rate(dataset: Sequence[dict], retriever,

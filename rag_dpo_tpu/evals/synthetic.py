@@ -91,7 +91,6 @@ class ExtractiveFakeLLM(FakeLLMProvider):
         return super()._auto(prompt, system, json_mode)
 
     def _answer(self, prompt: str) -> str:
-        qm = _QUESTION_RE.search(prompt[::-1])
         # find the LAST "Question :" occurrence (history may contain more)
         questions = _QUESTION_RE.findall(prompt)
         question = questions[-1] if questions else ""

@@ -74,9 +74,19 @@ class DocumentClassifier:
 
     def classify(self, doc_id: str, title: str,
                  text: str) -> DocClassification:
-        if doc_id in self.cache:  # resume support (reference :99-112)
-            data = self.cache[doc_id]
-            return DocClassification(**data)
+        import hashlib
+
+        content_hash = hashlib.sha256(
+            (title + "\x00" + text[:4000]).encode()).hexdigest()[:16]
+        cached = self.cache.get(doc_id)
+        if cached is not None:  # resume support (reference :99-112)
+            # a re-classified CHANGED document must not return the stale
+            # entry (incremental-update flow — review finding); legacy
+            # cache entries without a hash stay valid
+            if cached.get("content_hash", content_hash) == content_hash:
+                data = {k: v for k, v in cached.items()
+                        if k != "content_hash"}
+                return DocClassification(**data)
         resp = self.llm.generate(
             DOC_CLASSIFY_PROMPT.format(title=title, excerpt=text[:4000]),
             temperature=0.0, json_mode=True,
@@ -94,7 +104,8 @@ class DocumentClassifier:
                                (data.get("mots_cles") or [])][:10],
                 )
         c = self.validator.correct(c, title, text)
-        self.cache[doc_id] = dataclasses.asdict(c)
+        self.cache[doc_id] = {**dataclasses.asdict(c),
+                              "content_hash": content_hash}
         return c
 
 

@@ -67,7 +67,9 @@ class ImageClassifier:
         if words is not None:
             if words >= self.schema_words:
                 return ImageDecision("SCHEMA_DPO", "ocr_gate", words)
-            if words < self.deco_words and self.vision_llm is None:
+            if words < self.deco_words:
+                # the cheap OCR gate drops near-textless images as deco
+                # BEFORE any vision call (reference thresholds :45-50)
                 return ImageDecision("PHOTO_DECO", "ocr_gate", words)
         if self.vision_llm is not None:
             resp = self.vision_llm.generate_with_image(

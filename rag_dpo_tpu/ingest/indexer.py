@@ -126,7 +126,7 @@ class CorpusIndexer:
 
         report = IndexerReport(
             n_indexed=len(ids),
-            n_updated=0 if mode != "update" else len(ids),
+            n_updated=len(replaced),
             build_seconds=round(time.time() - t0, 2),
             verification=self.verify(index, texts[:3], ids[:3]),
         )

@@ -91,6 +91,53 @@ class IngestPipeline:
             log.info("pipeline step %s done: %s", name, report)
         return self.ctx.reports
 
+    # --------------------------------------------------------- resume IO
+    # Every step persists its artifact; resuming `--from STEP` in a fresh
+    # process must RELOAD upstream artifacts instead of running on empty
+    # context and clobbering completed outputs (review finding).
+    def _ensure_docs(self):
+        if self.ctx.docs:
+            return
+        paths = self.ctx.paths
+        if paths.keep_manifest.exists():
+            self.ctx.docs = json.loads(paths.keep_manifest.read_text())
+        else:
+            kept_path = paths.data / "hybrid_classification.json"
+            docs = self._scraped_docs()
+            if kept_path.exists():
+                kept = set(json.loads(kept_path.read_text())["kept"])
+                docs = [d for d in docs if d["doc_id"] in kept]
+            self.ctx.docs = docs
+        if paths.document_metadata.exists():  # overlay classify fields
+            meta = json.loads(paths.document_metadata.read_text())
+            for d in self.ctx.docs:
+                d.update({k: v for k, v in
+                          meta.get(d["doc_id"], {}).items()
+                          if v is not None})
+        if self.test_limit:
+            self.ctx.docs = self.ctx.docs[: self.test_limit]
+
+    def _ensure_chunks(self):
+        if not self.ctx.chunks and self.ctx.paths.processed_chunks.exists():
+            from .indexer import load_chunks_jsonl
+
+            self.ctx.chunks = load_chunks_jsonl(
+                self.ctx.paths.processed_chunks)
+
+    def _ensure_index(self):
+        if self.ctx.index is None and (
+                self.ctx.paths.index_dir / "manifest.json").exists():
+            from ..index import DeviceIndex
+
+            self.ctx.index = DeviceIndex.load(self.ctx.paths.index_dir)
+            self.ctx.bm25_stats = self.ctx.index.bm25_stats
+
+    def _ensure_summaries(self):
+        if not self.ctx.summaries and \
+                self.ctx.paths.document_summaries.exists():
+            self.ctx.summaries = json.loads(
+                self.ctx.paths.document_summaries.read_text())
+
     # -------------------------------------------------------------- steps
     def _scraped_docs(self) -> list[dict]:
         """Load scraped raw docs ({url, title, path|content})."""
@@ -139,6 +186,7 @@ class IngestPipeline:
     def step_organize(self) -> dict:
         """Keep-manifest emission (size floors like organize_keep_archive:
         tiny PDFs / decorative images excluded)."""
+        self._ensure_docs()
         manifest = []
         for doc in self.ctx.docs:
             size = pathlib.Path(doc["path"]).stat().st_size
@@ -156,6 +204,7 @@ class IngestPipeline:
         return {"n_manifest": len(manifest)}
 
     def step_dedup(self) -> dict:
+        self._ensure_docs()
         docs = []
         for doc in self.ctx.docs:
             data = pathlib.Path(doc["path"]).read_bytes()
@@ -172,6 +221,7 @@ class IngestPipeline:
         return {"n_kept": len(kept), "n_duplicates": len(archived)}
 
     def step_classify(self) -> dict:
+        self._ensure_docs()
         cache_path = self.ctx.paths.data / "doc_classify_cache.json"
         cache = (json.loads(cache_path.read_text())
                  if cache_path.exists() else {})
@@ -218,18 +268,45 @@ class IngestPipeline:
 
         return describe
 
+    def _image_sections(self, doc: dict, data: bytes) -> list:
+        """Informative images (schemas/infographics kept by phase 4B)
+        become ONE vision-described section; without a vision-capable
+        LLM the image is skipped, never decoded as text."""
+        from .parsing import Section
+
+        llm = self.ctx.llm
+        if llm is None or not hasattr(llm, "generate_with_image"):
+            return []
+        resp = llm.generate_with_image(
+            "Décris le contenu informatif de cette image (schéma ou "
+            "infographie RGPD) en français : acteurs, flux, obligations, "
+            "chiffres. Ignore la décoration.", data)
+        if not getattr(resp, "ok", False) or not resp.text.strip():
+            return []
+        return [Section(heading=doc.get("title", ""),
+                        text=resp.text.strip(), level=0,
+                        page_info="image (vision)")]
+
     def step_chunk(self) -> dict:
+        self._ensure_docs()
         chunk_classifier = ChunkClassifier(llm=self.ctx.llm)
         vision = self._pdf_vision()
         all_chunks: list[dict] = []
         for doc in self.ctx.docs:
             data = pathlib.Path(doc["path"]).read_bytes()
-            try:
-                sections = parse_document(data, doc["kind"]
-                                          if doc["kind"] != "image"
-                                          else "txt", vision=vision)
-            except ValueError:
-                continue
+            if doc["kind"] == "image":
+                # NEVER decode binary image bytes as text (that indexed
+                # UTF-8 replacement noise — review finding): describe
+                # through the vision LLM, or drop when none is available
+                sections = self._image_sections(doc, data)
+                if not sections:
+                    continue
+            else:
+                try:
+                    sections = parse_document(data, doc["kind"],
+                                              vision=vision)
+                except ValueError:
+                    continue
             for chunk in self.chunker.chunk_sections(sections,
                                                      doc["doc_id"]):
                 nature = chunk_classifier.classify(chunk.body,
@@ -252,7 +329,12 @@ class IngestPipeline:
                     "word_count": chunk.features.get("word_count", 0),
                 })
         self.ctx.chunks = all_chunks
-        write_chunks_jsonl(all_chunks, self.ctx.paths.processed_chunks)
+        if all_chunks or not self.ctx.paths.processed_chunks.exists():
+            write_chunks_jsonl(all_chunks,
+                               self.ctx.paths.processed_chunks)
+        else:  # zero chunks produced: never clobber a completed artifact
+            log.warning("step_chunk produced 0 chunks — keeping the "
+                        "existing processed_chunks.jsonl")
         return {
             "n_chunks": len(all_chunks),
             "llm_classify_rate": round(
@@ -262,6 +344,7 @@ class IngestPipeline:
         }
 
     def step_index(self) -> dict:
+        self._ensure_chunks()
         indexer = CorpusIndexer(self.ctx.embedder)
         index, stats, report = indexer.build(self.ctx.chunks, mode="reset")
         self.ctx.index = index
@@ -274,6 +357,8 @@ class IngestPipeline:
         }
 
     def step_summaries(self) -> dict:
+        self._ensure_chunks()
+        self._ensure_docs()
         paths_by_doc = {d["doc_id"]: d.get("path")
                         for d in (self.ctx.docs or [])}
         by_doc: dict[str, dict] = {}
@@ -294,6 +379,9 @@ class IngestPipeline:
     def step_cleanup(self) -> dict:
         """Purge navigation pages flagged during summarization (phase 6c
         analog)."""
+        self._ensure_summaries()
+        self._ensure_chunks()
+        self._ensure_index()
         nav_docs = {k for k, v in self.ctx.summaries.items()
                     if v.get("navigation")}
         if not nav_docs or self.ctx.index is None:
@@ -303,6 +391,7 @@ class IngestPipeline:
             if self.ctx.index.meta.row(i).get("doc_key") in nav_docs
         ]
         self.ctx.index.delete(to_delete)
+        self.ctx.index.save(self.ctx.paths.index_dir)  # persist purges
         self.ctx.chunks = [c for c in self.ctx.chunks
                            if c["doc_key"] not in nav_docs]
         write_chunks_jsonl(self.ctx.chunks,
@@ -310,6 +399,8 @@ class IngestPipeline:
         return {"n_purged": len(to_delete), "n_nav_docs": len(nav_docs)}
 
     def step_tag(self) -> dict:
+        self._ensure_index()
+        self._ensure_chunks()
         if self.ctx.index is None:
             return {"n_tagged": 0}
         tagger = ChunkTagger(

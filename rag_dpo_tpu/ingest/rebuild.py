@@ -80,6 +80,10 @@ def main(argv=None) -> int:
         ctx.chunks = load_chunks_jsonl(args.corpus)
     pipeline = IngestPipeline(ctx, test_limit=args.test)
     steps = args.steps.split(",") if args.steps else None
+    if steps:
+        unknown = [s for s in steps if s not in STEP_ORDER]
+        if unknown:
+            ap.error(f"unknown step(s) {unknown}; valid: {STEP_ORDER}")
     if args.corpus and not (args.from_step or args.only or steps):
         args.from_step = "index"  # chunks supplied: start at indexing
     reports = pipeline.run(

@@ -176,6 +176,13 @@ class Scraper:
                 else "other"
         safe = re.sub(r"[^a-zA-Z0-9._-]+", "_", parsed.path.strip("/"))[:150]
         name = safe or "index"
+        if parsed.query:
+            # distinct query strings (?page=2 …) must not overwrite each
+            # other's files: disambiguate with a short URL hash
+            import hashlib
+
+            name += "_" + hashlib.sha256(
+                url.encode()).hexdigest()[:10]
         suffix = ext if ext else ".html"
         target = self.out / kind / f"{name}{'' if name.endswith(suffix) else suffix}"
         target.parent.mkdir(parents=True, exist_ok=True)

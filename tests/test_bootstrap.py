@@ -64,3 +64,18 @@ def test_build_stack_missing_index(tmp_path):
     with pytest.raises(FileNotFoundError, match="rebuild"):
         build_stack(load_config(env={"RAGDPO_LLM_MODE": "fake"}), paths,
                     llm=FakeLLMProvider())
+
+
+def test_embedder_index_dim_mismatch_fails_loudly(saved_corpus):
+    """A default tiny embedder against an index built with another
+    encoder must raise with the remedy, not return garbage (round-2
+    review finding)."""
+    paths, _ = saved_corpus
+    cfg = load_config(env={"RAGDPO_LLM_MODE": "fake"})
+    wrong = Embedder(EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            hidden_size=32, num_heads=4, use_flash_attention=False),
+            colbert_dim=16),
+    ))
+    with pytest.raises(ValueError, match="embedder dim"):
+        build_stack(cfg, paths, llm=FakeLLMProvider(), embedder=wrong)

@@ -146,9 +146,16 @@ def test_document_classifier_validator_and_cache():
     assert c.nature == "SANCTION"  # validator overrides GUIDE
     assert c.importance == 10      # clamped
     assert "d1" in cache
-    # cache hit returns without LLM
+    # cache hit (SAME content) returns without LLM
     dc2 = DocumentClassifier(FakeLLMProvider(), cache=cache)
-    assert dc2.classify("d1", "", "").nature == "SANCTION"
+    same = dc2.classify("d1", "Délibération SAN-2024-001",
+                        "sanction de 100 000 euros amende")
+    assert same.nature == "SANCTION"
+    # CHANGED content must re-classify, not return the stale entry
+    # (incremental-update flow — round-2 review finding)
+    changed = dc2.classify("d1", "Guide pratique AIPD",
+                           "guide méthodologique analyse d'impact")
+    assert changed.nature != "SANCTION"
 
 
 def test_relevance_filter():

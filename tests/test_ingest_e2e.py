@@ -187,3 +187,67 @@ def test_extract_page_dates():
     html3 = b'<html><time datetime="2022-01-05">5 jan</time></html>'
     assert extract_page_dates(html3)["published_at"] == "2022-01-05"
     assert extract_page_dates(b"<html></html>")["published_at"] is None
+
+
+def test_resume_from_step_in_fresh_process(built):
+    """`--from index` in a FRESH context must reload persisted artifacts
+    instead of indexing an empty corpus (round-2 review finding)."""
+    paths, ctx, reports, _ = built
+    n_chunks = reports["chunk"]["n_chunks"]
+    fresh_ctx = PipelineContext(paths=paths, llm=FakeLLMProvider(),
+                                embedder=ctx.embedder)
+    fresh = IngestPipeline(fresh_ctx)
+    out = fresh.run(from_step="index")
+    assert out["index"]["n_indexed"] == n_chunks
+    assert len(fresh_ctx.chunks) == n_chunks
+    # processed_chunks.jsonl untouched by downstream steps
+    lines = [l for l in paths.processed_chunks.read_text().splitlines()
+             if l.strip()]
+    assert len(lines) >= 1
+
+
+def test_resume_chunk_never_clobbers_artifact(built, tmp_path):
+    """Resuming at 'chunk' with NO reloadable docs must not overwrite a
+    completed processed_chunks.jsonl with an empty file."""
+    paths, ctx, _, _ = built
+    before = paths.processed_chunks.read_text()
+    empty_root = default_paths(tmp_path / "empty").ensure()
+    # same pipeline code against a root with no scraped docs at all
+    empty_ctx = PipelineContext(paths=empty_root, llm=FakeLLMProvider(),
+                                embedder=ctx.embedder)
+    # plant the completed artifact in the empty root
+    empty_root.processed_chunks.parent.mkdir(parents=True, exist_ok=True)
+    empty_root.processed_chunks.write_text(before)
+    IngestPipeline(empty_ctx).step_chunk()
+    assert empty_root.processed_chunks.read_text() == before
+
+
+def test_incremental_update_merges_and_purges_stale(built):
+    """update() must merge whole-corpus artifacts (not overwrite them
+    with the changed subset) and tombstone a shrunk doc's extra chunks."""
+    paths, ctx, _, scraper = built
+    n_chunks_before = len([
+        l for l in paths.processed_chunks.read_text().splitlines()
+        if l.strip()])
+    n_docs_before = len(json.loads(
+        paths.document_metadata.read_text()))
+    # mark one page changed; fake_fetch returns 200 for stale ims
+    for url, meta in scraper.state["visited"].items():
+        if meta.get("status") != 200:
+            continue
+        meta["last_modified"] = ("stale" if "violation" in url
+                                 else "fresh")
+    updater = IncrementalUpdater(scraper, ctx)
+    result = updater.update()
+    assert result["n_changed"] == 1
+    # whole-corpus artifacts survived the single-doc update
+    n_chunks_after = len([
+        l for l in paths.processed_chunks.read_text().splitlines()
+        if l.strip()])
+    assert n_chunks_after >= n_chunks_before - 2  # only the doc changed
+    assert len(json.loads(paths.document_metadata.read_text())) \
+        >= n_docs_before
+    # index still answers for untouched documents
+    s, rows = ctx.index.search_dense(
+        ctx.embedder.embed_queries(["analyse d'impact AIPD"]), 3)
+    assert (rows[0] >= 0).any()
