@@ -5,11 +5,13 @@ per-row scales for the sweep, bf16 for the exact refine) plus a 1M×24
 lexical ELL corpus on device, then measures the complete hybrid
 retrieval recipe — int8 dense sweep → exact bf16 refine of the
 oversampled survivors (top-40) + impact-ordered-postings sparse top-40 +
-weighted RRF fusion to top-10, all on device — at batch 64.
+weighted RRF fusion to top-10, all on device — at batch 256.
 BASELINE.json north star: ≥10k queries/sec at 1M chunks (the reference
 never publishes QPS; its single-user hnswlib stack was never
-load-tested). Round-1 recipe (bf16 dense approx) measured 13.9k qps;
-the int8+refine dense arm halves the sweep's HBM traffic.
+load-tested). Round-1 recipe (bf16 dense approx, batch 64) measured
+13.9k qps; int8+refine lifted batch-64 to ~20-21k; batch 256 amortizes
+the corpus read across 4× the queries (batch-scaling curve in
+benchmarks/RESULTS.jsonl: 64→15-21k, 128→27.8k, 256→44.7k, 512→57.8k).
 
 Timing uses a dependent on-device chain (scan feeding results back into
 the query batch): host↔device round-trips through the axon tunnel are
@@ -24,7 +26,7 @@ import time
 
 N = 1_000_000
 D = 1024
-Q = 64
+Q = 256
 K = 10
 ELL_W = 24
 N_TERMS = 16
@@ -122,11 +124,11 @@ def main():
     ]))
 
     print(json.dumps({
-        "metric": "hybrid_search_qps_1M_chunks_batch64_top10",
+        "metric": "hybrid_search_qps_1M_chunks_batch256_top10",
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
-        "latency_ms_per_batch64": round(dt * 1e3, 3),
+        "latency_ms_per_batch256": round(dt * 1e3, 3),
         "dense_recall_at_10_vs_exact": round(recall, 4),
         "postings_invert_seconds": round(invert_s, 2),
         "pipeline": "int8 dense sweep + exact bf16 refine top-40 "
@@ -142,7 +144,7 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # never leave the driver without a JSON line
         print(json.dumps({
-            "metric": "hybrid_search_qps_1M_chunks_batch64_top10",
+            "metric": "hybrid_search_qps_1M_chunks_batch256_top10",
             "value": 0.0,
             "unit": "queries/sec",
             "vs_baseline": 0.0,

@@ -1,5 +1,9 @@
-"""Hybrid throughput vs query batch: the corpus read (the whole cost)
-amortizes across queries, so qps scales with batch until compute-bound."""
+"""Hybrid throughput vs query batch: the corpus read (the dominant cost)
+amortizes across queries, so qps scales with batch until compute-bound.
+
+Corpus arrays are threaded as jit arguments, NOT closure constants — a
+closing jit captures 3 GB into the HLO and stalls the remote-compile
+tunnel for minutes (root cause of round 2's deferred batch scaling)."""
 
 import json
 import pathlib
@@ -22,7 +26,25 @@ from rag_dpo_tpu.ops.quantize import approx_topk_int8_refined, quantize_rows
 
 N, D, K_ARM, K = 1_000_000, 1024, 40, 10
 ELL_W, N_TERMS, VOCAB = 24, 16, 50_000
-ITERS = 20
+ITERS = 10
+WEIGHTS = np.asarray([2.0, 1.5], np.float32)
+
+
+def hybrid(q, ei8, esc, eref, pd, pi, et, ei, qqt, qqw, w):
+    ds, di = approx_topk_int8_refined(q, ei8, esc, eref, K_ARM,
+                                      oversample=2)
+    ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw,
+                                      k=K_ARM, n_candidates=128)
+    arms = jnp.stack([di, si], axis=0)
+    return rrf_fuse(arms, w, topk=K)
+
+
+@jax.jit
+def chain(q, ei8, esc, eref, pd, pi, et, ei, qqt, qqw, w):
+    def step(carry, _):
+        s, i = hybrid(carry, ei8, esc, eref, pd, pi, et, ei, qqt, qqw, w)
+        return carry + (s[:, :1] * 0.0).astype(carry.dtype), s[0, 0]
+    return jax.lax.scan(step, q, None, length=ITERS)[1]
 
 
 def main():
@@ -43,47 +65,40 @@ def main():
     pd, pi = pidx.device_arrays()
     d_terms = jax.device_put(jnp.asarray(terms_h))
     d_imps = jax.device_put(jnp.asarray(imps_h))
+    w = jnp.asarray(WEIGHTS)
+    print("corpus ready", flush=True)
 
-    res = {}
-    for q_batch in (128,):
+    res = {"bench": "hybrid_batch_scaling_1M", "k": K,
+           "device": str(jax.devices()[0])}
+    for q_batch in (64, 128, 256):
         qt = jnp.asarray(rng.integers(0, VOCAB, (q_batch, N_TERMS)),
                          jnp.int32)
-        qw = jnp.asarray(np.abs(rng.standard_normal((q_batch, N_TERMS))),
-                         jnp.float32)
+        qw = jnp.asarray(np.abs(rng.standard_normal(
+            (q_batch, N_TERMS))), jnp.float32)
         qf = jnp.asarray(rng.standard_normal((q_batch, D)), jnp.float32)
-
-        def hybrid(q):
-            ds, dr = approx_topk_int8_refined(q, e_i8, e_scale, embs,
-                                              K_ARM, oversample=2)
-            ss, sr = postings_candidates_topk(pd, pi, d_terms, d_imps,
-                                              qt, qw, k=K_ARM,
-                                              n_candidates=256)
-            ids = jnp.stack([dr, sr]).reshape(2, q_batch, K_ARM)
-            w = jnp.asarray([2.0, 1.5], jnp.float32)
-            return rrf_fuse(ids, w, k_rrf=60, topk=K)
-
-        @jax.jit
-        def run(q):
-            def step(carry, _):
-                qq = carry
-                out = hybrid(qq)
-                mix = (jnp.sum(out[0]) * 0.0).astype(qq.dtype)
-                return qq + mix, out[0][0, 0]
-            _, ss = jax.lax.scan(step, q, None, length=ITERS)
-            return ss
-
+        qf = qf / jnp.linalg.norm(qf, axis=1, keepdims=True)
+        args = (qf, e_i8, e_scale, embs, pd, pi, d_terms, d_imps, qt, qw,
+                w)
         try:
-            np.asarray(run(qf))
             t0 = time.time()
-            np.asarray(run(qf))
+            np.asarray(chain(*args))
+            print(f"b{q_batch} chain compiled in",
+                  round(time.time() - t0, 1), flush=True)
+            t0 = time.time()
+            np.asarray(chain(*args))
             dt = (time.time() - t0) / ITERS
-            res[f"hybrid_b{q_batch}"] = {
-                "ms": round(dt * 1e3, 3),
-                "qps": round(q_batch / dt, 1)}
+            res[f"batch{q_batch}"] = {"ms": round(dt * 1e3, 3),
+                                      "qps": round(q_batch / dt, 1)}
+            print(q_batch, res[f"batch{q_batch}"], flush=True)
         except Exception as e:  # noqa: BLE001
-            res[f"hybrid_b{q_batch}"] = {"error": str(e)[:200]}
-        print(q_batch, res[f"hybrid_b{q_batch}"], flush=True)
-    print(json.dumps({"bench": "hybrid_batch_sweep_1M", **res}))
+            res[f"batch{q_batch}_error"] = str(e)[:300]
+            print("ERR", q_batch, str(e)[:300], flush=True)
+
+    print(json.dumps(res))
+    with open(pathlib.Path(__file__).parent / "RESULTS.jsonl", "a") as f:
+        f.write(json.dumps({**res,
+                            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")})
+                + "\n")
 
 
 if __name__ == "__main__":

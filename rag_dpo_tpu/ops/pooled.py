@@ -1,0 +1,217 @@
+"""Pooled-max dense sweep — the bandwidth-optimal candidate generator.
+
+The int8 approx path (`ops.quantize.approx_topk_int8_refined`) is limited
+by HBM traffic that is NOT the corpus read: the [Q, N] int32 matmul
+output round-trips HBM (0.5 GB at 1M×batch-64) before `approx_max_k`
+reads it again. This kernel collapses everything after the corpus read
+into VMEM:
+
+    grid step = load an int8 row block → upcast bf16 in VMEM → MXU
+    matmul → per-row scale → partition the block's columns into
+    `group`-sized strided groups → emit each group's (max, argmax)
+
+so HBM traffic is the 1 GB int8 corpus + a [Q, N/group] pooled strip
+(~16 MB at group=32) — within a few % of the speed-of-light for an
+exact-sweep search. Phase 2 (XLA) runs `approx_max_k` over the pooled
+strip and exactly re-scores the survivors against the bf16 row store.
+
+Recall: a true top-k doc is lost only when (a) a strictly better doc
+shares its group (P ≈ C(k,2)·group/N per query: < 0.1% of items at
+k=40, group=32, N=1M), or (b) its group max misses the oversampled
+PartialReduce over N/group elements (recall_target 0.99 on 8×
+oversampled candidates). Both are strictly better than the plain
+approx path's measured 0.993 recall@40, and every returned score is an
+exact bf16 dot product (re-sorted), so downstream RRF ranks are exact.
+
+No CUDA analog in the reference — this replaces hnswlib's graph walk
+(`/root/reference/src/rag/retriever.py:215-220`) at exact-recall class.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import interpret_default
+
+NEG_INF = -1e30
+
+
+def _pooled_max_kernel(q_ref, e_ref, scale_ref, pen_ref,
+                       out_v_ref, out_i_ref, *,
+                       group: int, block_n: int, n_valid: int):
+    """One (query-tile, corpus-block) step: matmul + grouped max/argmax.
+
+    Groups are STRIDED within the block (group a of block j holds
+    columns {a·ng + g}ₐ for ng = block_n/group): the partition choice is
+    free (any partition works for max-pooling) and the strided layout
+    makes both the reshape and the argmax-iota lane-friendly.
+    """
+    j = pl.program_id(1)
+    base = j * block_n
+
+    e = e_ref[:].astype(jnp.bfloat16)        # int8 HBM → bf16 in VMEM
+    s = jax.lax.dot_general(
+        q_ref[:], e,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                        # [TQ, BN]
+    s = s * scale_ref[:] + pen_ref[:]        # per-row scale + mask penalty
+
+    tq = s.shape[0]
+    ng = block_n // group
+    s3 = s.reshape(tq, group, ng)            # (t, a, g) = s[t, a·ng + g]
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, group, ng), 1)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, group, ng), 2)
+    col3 = base + a_iota * ng + g_iota
+    s3 = jnp.where(col3 < n_valid, s3, NEG_INF)
+
+    vals = jnp.max(s3, axis=1)               # [TQ, ng]
+    pos = jnp.min(
+        jnp.where(s3 == vals[:, None, :], a_iota, group), axis=1
+    )                                         # first argmax sub-slot
+    ids = base + pos * ng + jax.lax.broadcasted_iota(
+        jnp.int32, (tq, ng), 1)
+    ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+
+    # bf16 strip: ranking-only (the refine re-scores exactly); keeps the
+    # whole pooled output ≤12 MB at batch-64/group-32 so XLA's scoped-
+    # VMEM promotion of small pallas outputs stays under its 16 MB limit
+    out_v_ref[:] = vals.astype(out_v_ref.dtype)
+    out_i_ref[:] = ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "group", "tile_q", "interpret"),
+)
+def pooled_group_max(queries_bf16, e_i8, e_scale, penalty=None, *,
+                     block_n: int = 8192, group: int = 64,
+                     tile_q: int = 64, interpret: bool | None = None):
+    """Phase 1: [Q, D] × int8 [N, D] → pooled ([Q, N/group] max scores,
+    [Q, N/group] argmax doc ids). Scores are bf16-matmul × per-row scale
+    (+ penalty); exactness is restored by the phase-2 refine."""
+    if interpret is None:
+        interpret = interpret_default()
+    if (block_n // group) % 128 != 0:
+        raise ValueError(
+            f"block_n/group must be a multiple of 128 (Mosaic lane "
+            f"constraint on the pooled output block); got "
+            f"{block_n}/{group} = {block_n // group}")
+    q, d = queries_bf16.shape
+    n = e_i8.shape[0]
+
+    tq = min(tile_q, max(8, q))
+    q_pad = -(-q // tq) * tq
+    n_pad = -(-n // block_n) * block_n
+    if q_pad != q:
+        queries_bf16 = jnp.pad(queries_bf16, ((0, q_pad - q), (0, 0)))
+    if n_pad != n:
+        e_i8 = jnp.pad(e_i8, ((0, n_pad - n), (0, 0)))
+    scale = jnp.pad(e_scale.astype(jnp.float32),
+                    (0, n_pad - e_scale.shape[0])).reshape(1, n_pad)
+    if penalty is None:
+        pen = jnp.zeros((1, n_pad), jnp.float32)
+    else:
+        pen = jnp.pad(penalty.astype(jnp.float32),
+                      (0, n_pad - penalty.shape[0]),
+                      constant_values=NEG_INF / 2).reshape(1, n_pad)
+
+    ng = block_n // group
+    grid = (q_pad // tq, n_pad // block_n)
+    kernel = functools.partial(
+        _pooled_max_kernel, group=group, block_n=block_n, n_valid=n)
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, ng), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, ng), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, (n_pad // block_n) * ng),
+                                 jnp.bfloat16),
+            jax.ShapeDtypeStruct((q_pad, (n_pad // block_n) * ng),
+                                 jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d,
+            bytes_accessed=(
+                n_pad * d                       # int8 corpus
+                + q_pad * d * 2
+                + 2 * q_pad * (n_pad // group) * 4
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # default scoped-VMEM budget is 16 MB, which the
+            # double-buffered corpus blocks (2×8 MB at block_n=8192)
+            # plus the VMEM-promoted pooled strip exceed; v5e has
+            # 128 MB VMEM — raise the cap for this kernel only
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(queries_bf16, e_i8, scale, pen)
+    return out_v[:q], out_i[:q]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "oversample", "block_n", "group", "interpret"),
+)
+def pooled_topk_int8(q_f32, e_i8, e_scale, e_ref, k: int,
+                     oversample: int = 4, penalty=None, *,
+                     block_n: int = 8192, group: int = 64,
+                     interpret: bool | None = None):
+    """Full pooled dense search: Pallas grouped-max sweep → PartialReduce
+    over the pooled strip → exact bf16 refine. Drop-in replacement for
+    `ops.quantize.approx_topk_int8_refined` (same signature contract:
+    returns exact-scored, exactly-sorted ([Q, k] f32, [Q, k] i32),
+    -1/-1e30 padded)."""
+    qb = q_f32.astype(jnp.bfloat16)
+    pooled_v, pooled_i = pooled_group_max(
+        qb, e_i8, e_scale, penalty,
+        block_n=block_n, group=group, interpret=interpret)
+
+    npool = pooled_v.shape[1]
+    kk = min(k * oversample, npool)
+    if kk < npool:
+        cvals, cpos = jax.lax.approx_max_k(pooled_v, kk,
+                                           recall_target=0.99)
+        cids = jnp.take_along_axis(pooled_i, cpos, axis=1)
+    else:
+        cvals, cids = pooled_v, pooled_i
+
+    safe = jnp.where(cids >= 0, cids, 0)
+    rows = e_ref[safe]                                   # [Q, C, D]
+    exact = jnp.einsum(
+        "qd,qcd->qc", q_f32.astype(jnp.float32),
+        rows.astype(jnp.float32), preferred_element_type=jnp.float32,
+    )
+    exact = jnp.where((cids >= 0) & (cvals > NEG_INF / 2), exact, NEG_INF)
+    kk_out = min(k, exact.shape[1])
+    top, pos = jax.lax.top_k(exact, kk_out)
+    ids = jnp.take_along_axis(cids, pos, axis=1)
+    ids = jnp.where(top > NEG_INF / 2, ids, -1)
+    if kk_out < k:
+        top = jnp.pad(top, ((0, 0), (0, k - kk_out)),
+                      constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk_out)), constant_values=-1)
+    return top, ids.astype(jnp.int32)
