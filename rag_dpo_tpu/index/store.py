@@ -52,8 +52,17 @@ class IndexConfig:
     postings_threshold: int = 100_000
     postings_cap: int = 512
     # int8 dense storage: halves HBM (2× corpus per chip), int8 MXU rate;
-    # recall loss ≲1% recovered by oversample+refine. Single-device only.
+    # recall loss ≲1% recovered by oversample+refine. Works single-device
+    # and row-sharded over a mesh (`_sharded_int8`).
     quantize_int8: bool = False
+    # refine int8 candidates ON DEVICE against the dequantized int8 rows
+    # instead of on host against the f16 row store: one device program,
+    # no candidate round-trip (≈28 ms saved per query through a tunneled
+    # device), and the capacity point — 10M×1024 fits one v5e chip at
+    # 9.5 GB (benchmarks/bench_10m_one_chip.py: 1,970 qps batch-32,
+    # planted-neighbor self-match 1.0). Scores carry the corpus rows'
+    # int8 quantization instead of the host store's f16.
+    device_refine: bool = False
 
 
 class DeviceIndex:
@@ -535,16 +544,29 @@ class DeviceIndex:
         survivors are exactly re-scored on host against the f16 row
         store (already resident — refine costs Q·4k dot products), so
         returned scores and ranking carry full precision."""
-        from ..ops.quantize import approx_topk_int8, quantize_rows
+        from ..ops.quantize import (
+            approx_topk_int8,
+            approx_topk_int8_selfrefined,
+            quantize_rows,
+        )
 
         qf32 = np.asarray(queries, np.float32)
         qf = jnp.asarray(qf32)
-        q_i8, q_scale = quantize_rows(qf)
         penalty = dev["alive_penalty"]
         if mask is not None:
             m = np.full((dev["n_pad"],), -1e4, np.float32)
             m[: len(mask)] = np.where(mask, 0.0, -1e4)
             penalty = jnp.asarray(m)
+        if self.config.device_refine:
+            # sweep + dequant refine in ONE device program (no candidate
+            # round-trip; corpus may exceed what a host f16 refine store
+            # could mirror — see IndexConfig.device_refine)
+            s, i = approx_topk_int8_selfrefined(
+                qf, dev["embs_i8"], dev["embs_scale"], k,
+                oversample=4, penalty=penalty,
+            )
+            return self._finish(s, i, k)
+        q_i8, q_scale = quantize_rows(qf)
         kk = min(4 * k, dev["n_pad"])
         s, i = approx_topk_int8(
             q_i8, q_scale, dev["embs_i8"], dev["embs_scale"], kk,

@@ -57,3 +57,62 @@ def test_int8_index_path():
     idx.delete(["c123"])
     s, rows = idx.search_dense(e[[123]], 3)
     assert 123 not in rows[0]
+
+
+def test_int8_selfrefined_matches_dequant_oracle():
+    """Self-refined search must equal exact top-k under the QUANTIZED
+    corpus model (dequantized rows), with no full-precision store."""
+    from rag_dpo_tpu.ops.quantize import approx_topk_int8_selfrefined
+
+    q, e = _corpus(n=3000, d=128, seed=5)
+    e_i8, e_s = quantize_rows(e)
+    s, i = approx_topk_int8_selfrefined(jnp.asarray(q), e_i8, e_s, k=10,
+                                        oversample=8)
+    deq = np.asarray(e_i8, np.float32) * np.asarray(e_s)[:, None]
+    s_ref = q @ deq.T
+    i_ref = np.argsort(-s_ref, axis=1)[:, :10]
+    i = np.asarray(i)
+    recall = np.mean([len(set(i[r]) & set(i_ref[r])) / 10
+                      for r in range(8)])
+    assert recall >= 0.95, recall
+    # returned scores match the dequant model exactly (f32 accumulation)
+    got = np.asarray(s)
+    want = np.take_along_axis(s_ref, i, axis=1)
+    assert np.allclose(got, want, atol=1e-3)
+    # penalty path
+    pen = np.where(np.arange(3000) % 3 == 0, -1e30, 0.0).astype(
+        np.float32)
+    s2, i2 = approx_topk_int8_selfrefined(
+        jnp.asarray(q), e_i8, e_s, k=10, oversample=8,
+        penalty=jnp.asarray(pen))
+    i2 = np.asarray(i2)
+    assert (i2[i2 >= 0] % 3 != 0).all()
+
+
+def test_int8_index_device_refine_path():
+    """device_refine=True routes the int8 search through the one-program
+    dequant refine; results must match the host-refine path's ids."""
+    q, e = _corpus(n=400, d=64, seed=7)
+    metas = [{"nature": "GUIDE" if i % 2 else "DOCTRINE"}
+             for i in range(400)]
+    ids = [f"c{i}" for i in range(400)]
+    host = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=64,
+                                   quantize_int8=True))
+    host.add(ids, e, metas)
+    dev = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=64,
+                                  quantize_int8=True, device_refine=True))
+    dev.add(ids, e, metas)
+    qq = e[[7, 123, 350]]
+    sh, ih = host.search_dense(qq, 5)
+    sd, idd = dev.search_dense(qq, 5)
+    assert idd[:, 0].tolist() == [7, 123, 350]
+    # same candidates surface; host scores are f16-exact, device scores
+    # dequant-exact — ids should agree on a well-separated corpus
+    assert (ih[:, :3] == idd[:, :3]).mean() >= 0.8
+    # filters + tombstones hold through the device-refine path
+    sd, idd = dev.search_dense(qq[:1], 5, where={"nature": "DOCTRINE"})
+    natures = {dev.meta.row(int(r))["nature"] for r in idd[0] if r >= 0}
+    assert natures == {"DOCTRINE"}
+    dev.delete(["c123"])
+    sd, idd = dev.search_dense(qq[1:2], 3)
+    assert 123 not in idd[0]
