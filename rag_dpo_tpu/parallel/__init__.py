@@ -6,6 +6,10 @@ from .mesh import (  # noqa: F401
     active_cp_mesh,
     context_parallel,
     create_mesh,
+    create_multihost_mesh,
+    host_local_rows,
+    initialize_multihost,
+    is_multihost,
     local_device_count,
     shard_leading_axis,
     replicated,

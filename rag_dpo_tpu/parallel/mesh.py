@@ -89,6 +89,89 @@ def pad_to_multiple(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m)
 
 
+# --------------------------------------------------------- multi-host DCN
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Join this process to a multi-host deployment.
+
+    On Cloud TPU pods all three arguments are discovered from the
+    metadata server — call with no arguments. Off-pod (multi-host CPU/
+    GPU, or tests) pass them explicitly. Idempotent: a second call in an
+    already-initialized process is a no-op. After this, `jax.devices()`
+    is GLOBAL (every chip of every host) while computation launched here
+    only feeds the process-local shards (`jax.local_device_count()`).
+
+    This is the framework's NCCL/MPI-init equivalent: the reference has
+    no distributed backend at all (SURVEY §2.5); here cross-host traffic
+    is XLA collectives over DCN, declared by the same shardings that
+    drive single-host ICI."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def create_multihost_mesh(spec: MeshSpec | None = None) -> Mesh:
+    """Mesh over ALL hosts' devices, host-boundary-aligned.
+
+    Devices are ordered host-major ((slice, process, local id)), so with
+    axis order (data, model, shard) the OUTERMOST `data` axis is the one
+    that crosses DCN whenever spec.data is a multiple of the host count
+    — index-shard top-k merges and TP collectives then ride intra-host
+    ICI, and only data-parallel gradient/batch reductions cross the slow
+    network (the layout the scaling playbooks prescribe).
+
+    Works identically on a real multi-slice pod (slice_index present) and
+    on the multi-process CPU harness used in tests (process grouping)."""
+    devices = sorted(
+        jax.devices(),
+        key=lambda d: (getattr(d, "slice_index", 0) or 0,
+                       d.process_index, d.id),
+    )
+    if spec is None:
+        n_hosts = jax.process_count()
+        per_host = len(devices) // n_hosts
+        spec = MeshSpec(data=n_hosts, model=1, shard=per_host)
+    n_hosts = jax.process_count()
+    if spec.n_devices != len(devices):
+        raise ValueError(
+            f"mesh {spec} covers {spec.n_devices} devices but the "
+            f"deployment has {len(devices)}")
+    if n_hosts > 1 and spec.data % n_hosts != 0 and \
+            n_hosts % max(spec.data, 1) != 0:
+        raise ValueError(
+            f"data={spec.data} cannot align with {n_hosts} hosts: the "
+            f"DCN boundary would cut through model/shard collectives")
+    devs = np.asarray(devices).reshape(spec.data, spec.model, spec.shard)
+    return Mesh(devs, (AXIS_DATA, AXIS_MODEL, AXIS_SHARD))
+
+
+def host_local_rows(global_shape, mesh: Mesh, local_data,
+                    axis: str = AXIS_SHARD):
+    """Assemble a globally row-sharded array from per-process data.
+
+    Each process contributes `local_data` — its rows of the
+    [global_shape[0], ...] array split along `axis` — and receives the
+    logical global array (only local shards addressable). This is how a
+    multi-host corpus loads WITHOUT any host ever materializing the full
+    matrix (the 10M×1024 case: each host reads its own checkpoint
+    shard)."""
+    sharding = NamedSharding(mesh, P(axis))
+    local_data = np.asarray(local_data)
+    return jax.make_array_from_process_local_data(
+        sharding, local_data, global_shape)
+
+
 # ------------------------------------------------- context-parallel scope
 # The encoder's ring-attention path needs a mesh, but Flax module configs
 # must stay hashable — so the mesh travels through a scoped global rather
