@@ -417,8 +417,11 @@ class DeviceIndex:
 
     def _sharded_int8(self, qf, k: int, mask, dev):
         """Sharded int8 sweep over-fetches 4k candidates through the
-        merge, then the host refines them exactly (see `_int8_dense`)."""
-        from ..ops.quantize import quantize_rows
+        merge, then refines them exactly — on host against the f16 row
+        store by default, or ON DEVICE against the dequantized sharded
+        int8 rows when `device_refine` is set (no candidate round-trip;
+        no full-precision store needed)."""
+        from ..ops.quantize import dequant_refine, quantize_rows
         from ..parallel.collectives import sharded_topk_multi
 
         q_i8, q_scale = jax.jit(quantize_rows)(qf)
@@ -444,6 +447,10 @@ class DeviceIndex:
             (q_i8, q_scale), dev["row_ids"],
             dev["embs_i8"], dev["embs_scale"], pen,
         )
+        if self.config.device_refine:
+            s, i = dequant_refine(qf, dev["embs_i8"],
+                                  dev["embs_scale"], s, i, k)
+            return self._finish(s, i, k)
         s, i = np.asarray(s), np.asarray(i)
         ok = (i >= 0) & (i < self.n_rows) & (s > -5e3)
         return self._host_refine(np.asarray(qf, np.float32), s, i, ok, k)
@@ -540,10 +547,11 @@ class DeviceIndex:
 
     def _int8_dense(self, queries, k: int, mask, dev):
         """Quantized dense search; filters fold into the score penalty.
-        The device does the int8 sweep with 4× oversampling; the
-        survivors are exactly re-scored on host against the f16 row
-        store (already resident — refine costs Q·4k dot products), so
-        returned scores and ranking carry full precision."""
+        The device does the int8 sweep with 4× oversampling; survivors
+        are exactly re-scored — on host against the f16 row store by
+        default (full precision), or in the same device program against
+        the dequantized int8 rows when `device_refine` is set (see
+        IndexConfig.device_refine)."""
         from ..ops.quantize import (
             approx_topk_int8,
             approx_topk_int8_selfrefined,

@@ -205,7 +205,12 @@ def pooled_topk_int8(q_f32, e_i8, e_scale, e_ref, k: int,
         "qd,qcd->qc", q_f32.astype(jnp.float32),
         rows.astype(jnp.float32), preferred_element_type=jnp.float32,
     )
-    exact = jnp.where((cids >= 0) & (cvals > NEG_INF / 2), exact, NEG_INF)
+    # threshold -1e3 (not NEG_INF/2): the index's filter/tombstone
+    # convention is a -1e4 additive penalty, and the refine re-scores
+    # WITHOUT it — a looser threshold would resurrect masked rows with
+    # their unpenalized cosine (same convention as
+    # ops.quantize.approx_topk_int8_refined)
+    exact = jnp.where((cids >= 0) & (cvals > -1e3), exact, NEG_INF)
     kk_out = min(k, exact.shape[1])
     top, pos = jax.lax.top_k(exact, kk_out)
     ids = jnp.take_along_axis(cids, pos, axis=1)

@@ -69,6 +69,32 @@ def approx_topk_int8_refined(q_f32, e_i8, e_scale, e_ref, k: int,
     return top, ids.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def dequant_refine(q_f32, e_i8, e_scale, cand_scores, cand_ids, k: int):
+    """Device-side exact re-score of candidate ids against the
+    dequantized int8 rows. `cand_scores` must carry the sweep's additive
+    penalties (−1e4 filter/tombstone convention): slots at or below −5e3
+    stay excluded. Works on sharded arrays under GSPMD (the gather
+    crosses shards); used by the mesh int8 path when
+    `IndexConfig.device_refine` is set."""
+    safe = jnp.where(cand_ids >= 0, cand_ids, 0)
+    rows = e_i8[safe].astype(jnp.float32) * e_scale[safe][:, :, None]
+    exact = jnp.einsum(
+        "qd,qcd->qc", q_f32.astype(jnp.float32), rows,
+        preferred_element_type=jnp.float32,
+    )
+    exact = jnp.where((cand_ids >= 0) & (cand_scores > -5e3), exact,
+                      -1e30)
+    kk = min(k, exact.shape[1])
+    top, pos = jax.lax.top_k(exact, kk)
+    ids = jnp.take_along_axis(safe, pos, axis=1)
+    ids = jnp.where(top > -1e29, ids, -1)
+    if kk < k:
+        top = jnp.pad(top, ((0, 0), (0, k - kk)), constant_values=-1e30)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    return top, ids.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "oversample"))
 def approx_topk_int8_selfrefined(q_f32, e_i8, e_scale, k: int,
                                  oversample: int = 4, penalty=None):

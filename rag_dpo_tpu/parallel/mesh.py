@@ -113,15 +113,28 @@ def initialize_multihost(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
-            raise
+        msg = str(e).lower()
+        # jax wording varies across versions: 0.9 raises "distributed.
+        # initialize should only be called once", older builds said
+        # "already initialized"
+        if "already initialized" in msg or "only be called once" in msg:
+            return
+        # auto mode in an already-running single-process session (XLA
+        # backends up, nothing to join) is a benign no-op; with EXPLICIT
+        # coordinates the same condition is a real misconfiguration —
+        # the caller wanted a multi-host join that can no longer happen
+        if (coordinator_address is None
+                and "before any jax calls" in msg.replace("  ", " ")):
+            return
+        raise
 
 
 def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
-def create_multihost_mesh(spec: MeshSpec | None = None) -> Mesh:
+def create_multihost_mesh(spec: MeshSpec | None = None, *,
+                          allow_split_collectives: bool = False) -> Mesh:
     """Mesh over ALL hosts' devices, host-boundary-aligned.
 
     Devices are ordered host-major ((slice, process, local id)), so with
@@ -147,11 +160,19 @@ def create_multihost_mesh(spec: MeshSpec | None = None) -> Mesh:
         raise ValueError(
             f"mesh {spec} covers {spec.n_devices} devices but the "
             f"deployment has {len(devices)}")
-    if n_hosts > 1 and spec.data % n_hosts != 0 and \
-            n_hosts % max(spec.data, 1) != 0:
+    # Host alignment: devices are host-major, so a (data, model, shard)
+    # reshape keeps model/shard collectives inside one host iff each
+    # host's device count is a whole number of (model·shard) rows.
+    per_host = len(devices) // max(n_hosts, 1)
+    inner = spec.model * spec.shard
+    if n_hosts > 1 and per_host % inner != 0 \
+            and not allow_split_collectives:
         raise ValueError(
-            f"data={spec.data} cannot align with {n_hosts} hosts: the "
-            f"DCN boundary would cut through model/shard collectives")
+            f"model×shard={inner} does not divide the {per_host} devices "
+            f"per host: shard/model collectives would cross DCN. Use a "
+            f"data axis that is a multiple of the host count, or pass "
+            f"allow_split_collectives=True to accept DCN-crossing "
+            f"shard merges (corpus larger than one host's HBM)")
     devs = np.asarray(devices).reshape(spec.data, spec.model, spec.shard)
     return Mesh(devs, (AXIS_DATA, AXIS_MODEL, AXIS_SHARD))
 

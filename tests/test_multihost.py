@@ -119,3 +119,26 @@ def test_two_process_dcn_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK p{pid}" in out, out[-3000:]
+
+
+def test_create_multihost_mesh_guards_and_idempotent_init():
+    """Single-process checks of the multihost helpers: split-collective
+    guard (review finding: the old condition accepted DCN-crossing shard
+    merges) and idempotent initialize."""
+    import jax
+
+    from rag_dpo_tpu.parallel import (
+        MeshSpec, create_multihost_mesh, initialize_multihost,
+    )
+
+    # single process: everything aligns, any divisible spec works
+    mesh = create_multihost_mesh(MeshSpec(data=2, model=1, shard=4))
+    assert mesh.shape == {"data": 2, "model": 1, "shard": 4}
+    mesh = create_multihost_mesh()  # default: data=hosts(1), shard=rest
+    assert mesh.shape["shard"] == len(jax.devices())
+    with pytest.raises(ValueError, match="covers"):
+        create_multihost_mesh(MeshSpec(data=64, model=1, shard=64))
+    # idempotent double-init must not raise even when jax.distributed
+    # was never set up / already set up by another component
+    initialize_multihost()
+    initialize_multihost()

@@ -102,3 +102,25 @@ def test_pooled_rejects_bad_tiling():
     with pytest.raises(ValueError, match="multiple of 128"):
         pooled_topk_int8(jnp.asarray(qs), e_i8, e_s, embs, 5,
                          block_n=1024, group=32)
+
+
+def test_pooled_topk_store_convention_penalty():
+    """-1e4 (the index's filter/tombstone convention) must exclude rows —
+    the refine re-scores without the penalty, so a loose candidate
+    threshold would resurrect masked rows (review finding)."""
+    qs, e = _corpus(n=9000, d=128, q=8, seed=5)
+    embs = jnp.asarray(e, jnp.bfloat16)
+    e_i8, e_s = jax.jit(quantize_rows)(embs)
+    # mask everything EXCEPT 10 arbitrary rows: most groups fully masked
+    allowed = np.asarray([11, 222, 3333, 4444, 5555, 6666, 7777, 8888,
+                          123, 456])
+    pen = np.full((9000,), -1e4, np.float32)
+    pen[allowed] = 0.0
+    s, i = pooled_topk_int8(jnp.asarray(qs), e_i8, e_s, embs, 10,
+                            oversample=8, penalty=jnp.asarray(pen),
+                            block_n=4096, group=32)
+    i = np.asarray(i)
+    valid = i[i >= 0]
+    assert valid.size > 0
+    assert set(valid.tolist()) <= set(allowed.tolist()), \
+        sorted(set(valid.tolist()) - set(allowed.tolist()))

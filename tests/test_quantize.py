@@ -116,3 +116,26 @@ def test_int8_index_device_refine_path():
     dev.delete(["c123"])
     sd, idd = dev.search_dense(qq[1:2], 3)
     assert 123 not in idd[0]
+
+
+def test_sharded_int8_device_refine():
+    """device_refine must be honored on the MESH path too (review
+    finding: it was silently ignored), with filters intact."""
+    from rag_dpo_tpu.parallel import MeshSpec, create_mesh
+
+    q, e = _corpus(n=320, d=64, seed=9)
+    idx = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=8,
+                                  quantize_int8=True, device_refine=True),
+                      mesh=create_mesh(MeshSpec(shard=8)))
+    idx.add([f"c{i}" for i in range(320)], e,
+            [{"nature": "GUIDE" if i % 2 else "DOCTRINE"}
+             for i in range(320)])
+    qq = e[[7, 123]]
+    s, rows = idx.search_dense(qq, 5)
+    assert rows[:, 0].tolist() == [7, 123]
+    s, rows = idx.search_dense(qq[:1], 5, where={"nature": "DOCTRINE"})
+    natures = {idx.meta.row(int(r))["nature"] for r in rows[0] if r >= 0}
+    assert natures == {"DOCTRINE"} and 7 not in rows[0]
+    idx.delete(["c123"])
+    s, rows = idx.search_dense(qq[1:2], 3)
+    assert 123 not in rows[0]
