@@ -6,13 +6,19 @@ server exposing the framework for programmatic/production use:
     POST /query     {"question", "agent"?, "where_filter"?,
                      "enterprise_tags"?, "n_documents"?,
                      "conversation_history"?}
+    POST /search    {"vectors": [[...f32 x dim...]] | "texts": [...],
+                     "k"?, "where"?} — retrieval-only vector-search API
     POST /feedback  {"query_id", "rating", "comment"?}
-    GET  /stats     query-log statistics (JSON)
+    GET  /stats     query-log statistics + micro-batcher stats (JSON)
     GET  /healthz   liveness + device inventory
 
 Run: python -m rag_dpo_tpu.app.server [--port 8900] [--tpu] [--agent]
-One pipeline instance serves sequentially (device programs are already
-batched internally); put a real ASGI gateway in front for concurrency.
+
+/query serves one full RAG pipeline run at a time (the LLM dominates);
+/search MICRO-BATCHES concurrent requests into one device sweep
+(serving/batcher.py): same-(k, where) searches arriving within the
+collection window share a single corpus read, which is where the
+batch-256 throughput on one chip comes from (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -24,6 +30,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 def make_handler(system: dict):
     lock = threading.Lock()
+    if "search" not in system and system.get("index") is not None:
+        from ..serving import batched_dense_search
+
+        system["search"] = batched_dense_search(
+            system["index"], max_batch=system.get("max_batch", 256),
+            max_wait_ms=system.get("max_wait_ms", 3.0))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
@@ -56,7 +68,17 @@ def make_handler(system: dict):
                     else None,
                 })
             elif self.path.startswith("/stats"):
-                self._send(200, system["qlog"].get_stats())
+                stats = system["qlog"].get_stats()
+                search = system.get("search")
+                if search is not None:
+                    bs = search.batcher.stats
+                    stats["search_batcher"] = {
+                        "n_requests": bs.n_requests,
+                        "n_device_calls": bs.n_device_calls,
+                        "max_batch_seen": bs.max_batch_seen,
+                        "mean_batch": round(bs.mean_batch, 2),
+                    }
+                self._send(200, stats)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -98,6 +120,53 @@ def make_handler(system: dict):
                     },
                     "error": resp.error,
                 })
+            elif self.path == "/search":
+                search = system.get("search")
+                if search is None:
+                    self._send(503, {"error": "no index loaded"})
+                    return
+                import numpy as np
+
+                vectors = data.get("vectors")
+                texts = data.get("texts")
+                if vectors is None and not texts:
+                    self._send(400, {"error":
+                                     "need 'vectors' or 'texts'"})
+                    return
+                try:
+                    if vectors is None:
+                        emb = system["embedder"].embed(
+                            [str(t) for t in texts])
+                        vectors = np.asarray(emb["dense"], np.float32)
+                    else:
+                        vectors = np.asarray(vectors, np.float32)
+                        if vectors.ndim != 2:
+                            raise ValueError(
+                                f"vectors must be [q, dim], got "
+                                f"shape {vectors.shape}")
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                k = int(data.get("k", 10))
+                scores, rows = search(vectors, k,
+                                      where=data.get("where"))
+                index = system["index"]
+                out = []
+                for qi in range(rows.shape[0]):
+                    hits = []
+                    for s_, r in zip(scores[qi], rows[qi]):
+                        if r < 0:
+                            continue
+                        meta = index.meta.row(int(r))
+                        hits.append({
+                            "id": index.ids[int(r)],
+                            "score": float(s_),
+                            "metadata": {k_: v for k_, v in meta.items()
+                                         if k_ != "text"},
+                            "text": meta.get("text"),
+                        })
+                    out.append(hits)
+                self._send(200, {"results": out})
             elif self.path == "/feedback":
                 qid = data.get("query_id")
                 if not qid or "rating" not in data:
@@ -131,6 +200,7 @@ def build_system(agent_too: bool = True, llm=None) -> dict:
         "pipe": pipe,
         "agent_pipe": agent_pipe or pipe,
         "index": ctx["index"],
+        "embedder": ctx["embedder"],
         "qlog": QueryLogger(paths.queries_log, paths.feedback_log),
     }
 

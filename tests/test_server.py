@@ -75,3 +75,52 @@ def test_unknown_route(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_search_endpoint_vectors_and_texts(server):
+    # by text (embedded server-side)
+    code, data = _post(server, "/search",
+                       {"texts": ["délai de notification violation"],
+                        "k": 3})
+    assert code == 200 and len(data["results"]) == 1
+    hits = data["results"][0]
+    assert hits and all("id" in h and "score" in h for h in hits)
+    # by raw vector: query with a hit's own embedding via texts roundtrip
+    code2, data2 = _post(server, "/search",
+                         {"texts": ["registre des traitements"],
+                          "k": 2, "where": None})
+    assert code2 == 200
+    # validation
+    code3, data3 = _post(server, "/search", {})
+    assert code3 == 400
+    code4, data4 = _post(server, "/search", {"vectors": [1, 2, 3]})
+    assert code4 == 400
+
+
+def test_search_endpoint_concurrent_batches(server):
+    import json as _json
+    import threading
+    import urllib.request
+
+    results = []
+
+    def call(text):
+        req = urllib.request.Request(
+            server + "/search",
+            data=_json.dumps({"texts": [text], "k": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            results.append(_json.loads(r.read()))
+
+    threads = [threading.Thread(target=call, args=(t,)) for t in
+               ["durée de conservation", "sous-traitant", "AIPD",
+                "droit d'accès", "registre", "sanction CNIL"]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6 and all(r["results"][0] for r in results)
+    # stats expose the batcher
+    with urllib.request.urlopen(server + "/stats") as r:
+        stats = _json.loads(r.read())
+    assert stats["search_batcher"]["n_requests"] >= 6
