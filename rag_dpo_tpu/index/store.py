@@ -63,6 +63,12 @@ class IndexConfig:
     # planted-neighbor self-match 1.0). Scores carry the corpus rows'
     # int8 quantization instead of the host store's f16.
     device_refine: bool = False
+    # device_refine sweep blocking: 0 = auto — scan row-blocks when the
+    # [Q, N] score intermediate would exceed ~1 GB f32 (it crowds out a
+    # 10M-row corpus at batch ≥64); >0 forces that block size. Batch 256
+    # at 10M rows measures 11.1k qps vs 2.0k at the full-sweep batch-32
+    # cap (benchmarks/bench_10m_batch.py).
+    sweep_block_rows: int = 0
 
 
 class DeviceIndex:
@@ -554,6 +560,7 @@ class DeviceIndex:
         IndexConfig.device_refine)."""
         from ..ops.quantize import (
             approx_topk_int8,
+            approx_topk_int8_blockscan,
             approx_topk_int8_selfrefined,
             quantize_rows,
         )
@@ -569,10 +576,24 @@ class DeviceIndex:
             # sweep + dequant refine in ONE device program (no candidate
             # round-trip; corpus may exceed what a host f16 refine store
             # could mirror — see IndexConfig.device_refine)
-            s, i = approx_topk_int8_selfrefined(
-                qf, dev["embs_i8"], dev["embs_scale"], k,
-                oversample=4, penalty=penalty,
-            )
+            q_n, n_pad = qf.shape[0], dev["n_pad"]
+            score_budget = 256 * 1024 * 1024  # 1 GB of live f32 scores
+            if self.config.sweep_block_rows:
+                blk = self.config.sweep_block_rows
+            elif q_n * n_pad > score_budget:
+                blk = max(self.config.row_block, score_budget // q_n)
+            else:
+                blk = 0
+            if blk and blk < n_pad:
+                s, i = approx_topk_int8_blockscan(
+                    qf, dev["embs_i8"], dev["embs_scale"], k,
+                    oversample=4, block_rows=blk, penalty=penalty,
+                )
+            else:
+                s, i = approx_topk_int8_selfrefined(
+                    qf, dev["embs_i8"], dev["embs_scale"], k,
+                    oversample=4, penalty=penalty,
+                )
             return self._finish(s, i, k)
         q_i8, q_scale = quantize_rows(qf)
         kk = min(4 * k, dev["n_pad"])

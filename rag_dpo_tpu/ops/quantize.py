@@ -133,6 +133,83 @@ def approx_topk_int8_selfrefined(q_f32, e_i8, e_scale, k: int,
     return top, ids.astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "oversample", "block_rows"))
+def approx_topk_int8_blockscan(q_f32, e_i8, e_scale, k: int,
+                               oversample: int = 4,
+                               block_rows: int = 1_048_576,
+                               penalty=None):
+    """Int8 sweep scanned over row blocks — batch size no longer bounded
+    by the [Q, N] score intermediate.
+
+    The full-sweep paths materialize scores for the whole corpus at
+    once: at N=10M that caps Q at ~32 before the [Q, N] f32 block
+    (1.3 GB per 32 queries) crowds out the 9.5 GB corpus. Scanning
+    `block_rows`-row slabs keeps the live intermediate at [Q, B] and
+    carries a running top-(k·oversample) merge, so batch 256+ fits
+    beside a 10M-row corpus and the corpus HBM read amortizes over 8×
+    the queries. Final order comes from the same device-side dequant
+    refine as `approx_topk_int8_selfrefined`.
+
+    The last block is start-clamped (dynamic_slice semantics); rows that
+    would re-enter from the previous block are masked out so no id can
+    appear twice in the merged candidate set.
+    """
+    n, d = e_i8.shape
+    q = q_f32.shape[0]
+    block_rows = min(block_rows, n)
+    n_blocks = -(-n // block_rows)
+    kk = min(k * oversample, n)
+    q_i8, q_scale = quantize_rows(q_f32)
+
+    def step(carry, j):
+        cvals, cids = carry
+        start = jnp.minimum(j * block_rows, n - block_rows)
+        blk = jax.lax.dynamic_slice(e_i8, (start, 0), (block_rows, d))
+        bscale = jax.lax.dynamic_slice(e_scale, (start,), (block_rows,))
+        raw = jax.lax.dot_general(
+            q_i8, blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = (raw.astype(jnp.float32)
+                  * q_scale[:, None] * bscale[None, :])
+        if penalty is not None:
+            pblk = jax.lax.dynamic_slice(penalty, (start,), (block_rows,))
+            scores = scores + pblk[None, :]
+        rows_global = start + jnp.arange(block_rows, dtype=jnp.int32)
+        # clamped tail block: mask rows already scored by block j-1
+        scores = jnp.where(rows_global[None, :] >= j * block_rows,
+                           scores, -jnp.inf).astype(jnp.bfloat16)
+        bk = min(kk, block_rows)
+        bvals, bidx = jax.lax.approx_max_k(scores, bk)
+        bids = rows_global[bidx]
+        mvals = jnp.concatenate([cvals, bvals.astype(jnp.float32)], axis=1)
+        mids = jnp.concatenate([cids, bids], axis=1)
+        top, pos = jax.lax.top_k(mvals, kk)
+        return (top, jnp.take_along_axis(mids, pos, axis=1)), None
+
+    init = (jnp.full((q, kk), -jnp.inf, jnp.float32),
+            jnp.full((q, kk), -1, jnp.int32))
+    (cvals, cids), _ = jax.lax.scan(
+        step, init, jnp.arange(n_blocks, dtype=jnp.int32))
+
+    safe = jnp.where(cids >= 0, cids, 0)
+    rows = e_i8[safe].astype(jnp.float32) * e_scale[safe][:, :, None]
+    exact = jnp.einsum(
+        "qd,qcd->qc", q_f32.astype(jnp.float32), rows,
+        preferred_element_type=jnp.float32,
+    )
+    exact = jnp.where((cids >= 0) & (cvals > -1e3), exact, -1e30)
+    top, pos = jax.lax.top_k(exact, min(k, kk))
+    ids = jnp.take_along_axis(safe, pos, axis=1)
+    ids = jnp.where(top > -1e29, ids, -1)
+    if kk < k:
+        top = jnp.pad(top, ((0, 0), (0, k - kk)), constant_values=-1e30)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+    return top, ids.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "oversample"))
 def approx_topk_int8(q_i8, q_scale, e_i8, e_scale, k: int,
                      oversample: int = 4, penalty=None):

@@ -139,3 +139,87 @@ def test_sharded_int8_device_refine():
     idx.delete(["c123"])
     s, rows = idx.search_dense(qq[1:2], 3)
     assert 123 not in rows[0]
+
+
+def test_int8_blockscan_matches_selfrefined():
+    """Block-scanned sweep == full-sweep selfrefined on a corpus whose
+    size is NOT a multiple of the block (exercises the clamped tail +
+    overlap mask: no id may appear twice)."""
+    from rag_dpo_tpu.ops.quantize import (
+        approx_topk_int8_blockscan,
+        approx_topk_int8_selfrefined,
+    )
+
+    q, e = _corpus(n=2900, d=128, seed=11)
+    e_i8, e_s = quantize_rows(e)
+    s_full, i_full = approx_topk_int8_selfrefined(
+        jnp.asarray(q), e_i8, e_s, k=10, oversample=8)
+    s_blk, i_blk = approx_topk_int8_blockscan(
+        jnp.asarray(q), e_i8, e_s, k=10, oversample=8, block_rows=512)
+    i_blk = np.asarray(i_blk)
+    for r in range(i_blk.shape[0]):
+        valid = i_blk[r][i_blk[r] >= 0]
+        assert len(set(valid.tolist())) == len(valid), "duplicate id"
+    # same exact-refined scores → same ranking (ties aside)
+    assert np.allclose(np.asarray(s_blk), np.asarray(s_full), atol=1e-3)
+    assert np.mean(np.asarray(i_full) == i_blk) > 0.95
+
+
+def test_int8_blockscan_penalty_and_edges():
+    from rag_dpo_tpu.ops.quantize import approx_topk_int8_blockscan
+
+    q, e = _corpus(n=700, d=64, seed=12)
+    e_i8, e_s = quantize_rows(e)
+    pen = np.where(np.arange(700) % 2 == 0, -1e4, 0.0).astype(np.float32)
+    s, i = approx_topk_int8_blockscan(
+        jnp.asarray(q), e_i8, e_s, k=10, oversample=8, block_rows=256,
+        penalty=jnp.asarray(pen))
+    i = np.asarray(i)
+    assert (i[i >= 0] % 2 != 0).all()
+    # k > n: padded with -1 ids
+    s2, i2 = approx_topk_int8_blockscan(
+        jnp.asarray(q[:2]), e_i8[:4], e_s[:4], k=10, block_rows=256)
+    i2 = np.asarray(i2)
+    assert (i2[:, 4:] == -1).all() or (np.asarray(s2)[:, 4:] < -1e29).all()
+    # single block (block_rows >= n) degenerates to the full sweep
+    s3, i3 = approx_topk_int8_blockscan(
+        jnp.asarray(q), e_i8, e_s, k=5, block_rows=4096)
+    deq = np.asarray(e_i8, np.float32) * np.asarray(e_s)[:, None]
+    i_ref = np.argsort(-(q @ deq.T), axis=1)[:, :5]
+    assert np.mean(np.asarray(i3) == i_ref) > 0.9
+
+
+def test_int8_index_blockscan_routing():
+    """sweep_block_rows forces the block-scanned sweep through the index
+    path; results must match the full-sweep device_refine path, with
+    filters and tombstones intact."""
+    q, e = _corpus(n=400, d=64, seed=9)
+    metas = [{"nature": "GUIDE" if i % 2 else "DOCTRINE"}
+             for i in range(400)]
+    ids = [f"c{i}" for i in range(400)]
+    full = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=64,
+                                   quantize_int8=True, device_refine=True))
+    full.add(ids, e, metas)
+    blk = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=64,
+                                  quantize_int8=True, device_refine=True,
+                                  sweep_block_rows=128))
+    blk.add(ids, e, metas)
+    qq = e[[7, 123, 350]]
+    sf, i_f = full.search_dense(qq, 5)
+    sb, i_b = blk.search_dense(qq, 5)
+    assert i_b[:, 0].tolist() == [7, 123, 350]
+    assert np.allclose(sf, sb, atol=1e-3)
+    sb, i_b = blk.search_dense(qq[:1], 5, where={"nature": "DOCTRINE"})
+    natures = {blk.meta.row(int(r))["nature"] for r in i_b[0] if r >= 0}
+    assert natures == {"DOCTRINE"}
+    blk.delete(["c123"])
+    sb, i_b = blk.search_dense(qq[1:2], 3)
+    assert 123 not in i_b[0]
+    # config round-trips through the checkpoint
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        blk.save(d)
+        again = DeviceIndex.load(d)
+        assert again.config.sweep_block_rows == 128
+        s2, i2 = again.search_dense(qq[:1], 3)
+        assert i2[0, 0] == 7
