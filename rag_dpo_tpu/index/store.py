@@ -427,15 +427,30 @@ class DeviceIndex:
         store by default, or ON DEVICE against the dequantized sharded
         int8 rows when `device_refine` is set (no candidate round-trip;
         no full-precision store needed)."""
-        from ..ops.quantize import dequant_refine, quantize_rows
+        from ..ops.quantize import (
+            dequant_refine,
+            int8_blockscan_candidates,
+            quantize_rows,
+        )
         from ..parallel.collectives import sharded_topk_multi
 
         q_i8, q_scale = jax.jit(quantize_rows)(qf)
         k_fetch = min(4 * k, dev["n_pad"])
-        key = ("sharded_int8", k_fetch)
+        q_n = int(qf.shape[0])
+        score_budget = 256 * 1024 * 1024  # 1 GB of live f32 per shard
+        blk = self.config.sweep_block_rows or max(
+            self.config.row_block, score_budget // max(q_n, 1))
+        key = ("sharded_int8", k_fetch, q_n)
         if key not in self._searchers:
             def local_fn(q_pack, e_i8, e_scale, pen):
                 qi, qsc = q_pack
+                kk = min(k_fetch, e_i8.shape[0])
+                if blk < e_i8.shape[0]:
+                    # per-shard block-scan: the [Q, n_local] score
+                    # intermediate never materializes (same batch-cap
+                    # removal as the single-chip path)
+                    return int8_blockscan_candidates(
+                        qi, qsc, e_i8, e_scale, kk, blk, penalty=pen)
                 raw = jax.lax.dot_general(
                     qi, e_i8,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -443,8 +458,7 @@ class DeviceIndex:
                 )
                 s = (raw.astype(jnp.float32) * qsc[:, None]
                      * e_scale[None, :] + pen[None, :])
-                kk = min(k_fetch, s.shape[1])
-                return jax.lax.approx_max_k(s, kk)
+                return jax.lax.approx_max_k(s, min(k_fetch, s.shape[1]))
 
             self._searchers[key] = sharded_topk_multi(
                 self.mesh, local_fn, k_fetch, n_sharded=3)

@@ -133,34 +133,20 @@ def approx_topk_int8_selfrefined(q_f32, e_i8, e_scale, k: int,
     return top, ids.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "oversample", "block_rows"))
-def approx_topk_int8_blockscan(q_f32, e_i8, e_scale, k: int,
-                               oversample: int = 4,
-                               block_rows: int = 1_048_576,
-                               penalty=None):
-    """Int8 sweep scanned over row blocks — batch size no longer bounded
-    by the [Q, N] score intermediate.
-
-    The full-sweep paths materialize scores for the whole corpus at
-    once: at N=10M that caps Q at ~32 before the [Q, N] f32 block
-    (1.3 GB per 32 queries) crowds out the 9.5 GB corpus. Scanning
-    `block_rows`-row slabs keeps the live intermediate at [Q, B] and
-    carries a running top-(k·oversample) merge, so batch 256+ fits
-    beside a 10M-row corpus and the corpus HBM read amortizes over 8×
-    the queries. Final order comes from the same device-side dequant
-    refine as `approx_topk_int8_selfrefined`.
-
-    The last block is start-clamped (dynamic_slice semantics); rows that
-    would re-enter from the previous block are masked out so no id can
-    appear twice in the merged candidate set.
-    """
+def int8_blockscan_candidates(q_i8, q_scale, e_i8, e_scale, kk: int,
+                              block_rows: int, penalty=None):
+    """Scanned int8 sweep → (cand scores [Q, kk] f32, cand row ids
+    [Q, kk] int32). Live intermediate stays at [Q, block_rows]; the
+    carry holds the running top-kk merge. Plain-jnp (no jit wrapper) so
+    it composes inside shard_map local functions and the jitted
+    full-search entry points alike. The last block is start-clamped;
+    rows re-entering from the previous block are masked so no id can
+    appear twice."""
     n, d = e_i8.shape
-    q = q_f32.shape[0]
+    q = q_i8.shape[0]
     block_rows = min(block_rows, n)
     n_blocks = -(-n // block_rows)
-    kk = min(k * oversample, n)
-    q_i8, q_scale = quantize_rows(q_f32)
+    kk = min(kk, n)
 
     def step(carry, j):
         cvals, cids = carry
@@ -184,7 +170,8 @@ def approx_topk_int8_blockscan(q_f32, e_i8, e_scale, k: int,
         bk = min(kk, block_rows)
         bvals, bidx = jax.lax.approx_max_k(scores, bk)
         bids = rows_global[bidx]
-        mvals = jnp.concatenate([cvals, bvals.astype(jnp.float32)], axis=1)
+        mvals = jnp.concatenate([cvals, bvals.astype(jnp.float32)],
+                                axis=1)
         mids = jnp.concatenate([cids, bids], axis=1)
         top, pos = jax.lax.top_k(mvals, kk)
         return (top, jnp.take_along_axis(mids, pos, axis=1)), None
@@ -193,9 +180,45 @@ def approx_topk_int8_blockscan(q_f32, e_i8, e_scale, k: int,
             jnp.full((q, kk), -1, jnp.int32))
     (cvals, cids), _ = jax.lax.scan(
         step, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return cvals, cids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "oversample", "block_rows"))
+def approx_topk_int8_blockscan(q_f32, e_i8, e_scale, k: int,
+                               oversample: int = 4,
+                               block_rows: int = 1_048_576,
+                               penalty=None, e_ref=None):
+    """Int8 sweep scanned over row blocks — batch size no longer bounded
+    by the [Q, N] score intermediate.
+
+    The full-sweep paths materialize scores for the whole corpus at
+    once: at N=10M that caps Q at ~32 before the [Q, N] f32 block
+    (1.3 GB per 32 queries) crowds out the 9.5 GB corpus. Scanning
+    `block_rows`-row slabs keeps the live intermediate at [Q, B] and
+    carries a running top-(k·oversample) merge, so batch 256+ fits
+    beside a 10M-row corpus and the corpus HBM read amortizes over 8×
+    the queries. Final order comes from the same device-side dequant
+    refine as `approx_topk_int8_selfrefined`.
+
+    The last block is start-clamped (dynamic_slice semantics); rows that
+    would re-enter from the previous block are masked out so no id can
+    appear twice in the merged candidate set.
+
+    `e_ref` (optional full-precision row store) switches the final
+    refine from the dequantized int8 rows to an exact gather against it
+    — same contract as `approx_topk_int8_refined`.
+    """
+    q_i8, q_scale = quantize_rows(q_f32)
+    kk = min(k * oversample, e_i8.shape[0])
+    cvals, cids = int8_blockscan_candidates(
+        q_i8, q_scale, e_i8, e_scale, kk, block_rows, penalty=penalty)
 
     safe = jnp.where(cids >= 0, cids, 0)
-    rows = e_i8[safe].astype(jnp.float32) * e_scale[safe][:, :, None]
+    if e_ref is not None:
+        rows = e_ref[safe].astype(jnp.float32)
+    else:
+        rows = e_i8[safe].astype(jnp.float32) * e_scale[safe][:, :, None]
     exact = jnp.einsum(
         "qd,qcd->qc", q_f32.astype(jnp.float32), rows,
         preferred_element_type=jnp.float32,

@@ -223,3 +223,55 @@ def test_int8_index_blockscan_routing():
         assert again.config.sweep_block_rows == 128
         s2, i2 = again.search_dense(qq[:1], 3)
         assert i2[0, 0] == 7
+
+
+def test_int8_blockscan_eref_matches_refined():
+    """blockscan with e_ref refines against the full-precision store —
+    must agree with approx_topk_int8_refined's exact scores."""
+    from rag_dpo_tpu.ops.quantize import (
+        approx_topk_int8_blockscan,
+        approx_topk_int8_refined,
+    )
+
+    q, e = _corpus(n=1500, d=128, seed=13)
+    e_i8, e_s = quantize_rows(e)
+    eref = jnp.asarray(e)
+    s_r, i_r = approx_topk_int8_refined(
+        jnp.asarray(q), e_i8, e_s, eref, k=10, oversample=8)
+    s_b, i_b = approx_topk_int8_blockscan(
+        jnp.asarray(q), e_i8, e_s, k=10, oversample=8, block_rows=400,
+        e_ref=eref)
+    assert np.allclose(np.asarray(s_b), np.asarray(s_r), atol=1e-3)
+    assert np.mean(np.asarray(i_b) == np.asarray(i_r)) > 0.95
+
+
+def test_sharded_int8_blockscan_local_sweep():
+    """Forcing sweep_block_rows below the per-shard row count routes the
+    MESH int8 sweep through the scanned candidates helper; results and
+    filters must match the full-sweep mesh path."""
+    from rag_dpo_tpu.parallel import MeshSpec, create_mesh
+
+    q, e = _corpus(n=320, d=64, seed=21)
+    mesh = create_mesh(MeshSpec(shard=8))
+    metas = [{"nature": "GUIDE" if i % 2 else "DOCTRINE"}
+             for i in range(320)]
+    ids = [f"c{i}" for i in range(320)]
+    full = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=8,
+                                   quantize_int8=True,
+                                   device_refine=True), mesh=mesh)
+    full.add(ids, e, metas)
+    blk = DeviceIndex(IndexConfig(dim=64, ell_width=4, row_block=8,
+                                  quantize_int8=True, device_refine=True,
+                                  sweep_block_rows=16), mesh=mesh)
+    blk.add(ids, e, metas)
+    qq = e[[7, 123]]
+    sf, rf = full.search_dense(qq, 5)
+    sb, rb = blk.search_dense(qq, 5)
+    assert rb[:, 0].tolist() == [7, 123]
+    assert np.allclose(sf, sb, atol=1e-3)
+    sb, rb = blk.search_dense(qq[:1], 5, where={"nature": "DOCTRINE"})
+    natures = {blk.meta.row(int(r))["nature"] for r in rb[0] if r >= 0}
+    assert natures == {"DOCTRINE"} and 7 not in rb[0]
+    blk.delete(["c123"])
+    sb, rb = blk.search_dense(qq[1:2], 3)
+    assert 123 not in rb[0]
