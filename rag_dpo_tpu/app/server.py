@@ -83,6 +83,19 @@ def make_handler(system: dict):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            try:
+                self._do_post()
+            except BrokenPipeError:  # client went away mid-response
+                pass
+            except Exception as e:  # noqa: BLE001 — JSON error, not a
+                # reset connection, whatever the pipeline threw
+                try:
+                    self._send(500, {
+                        "error": f"{type(e).__name__}: {e}"[:500]})
+                except Exception:
+                    pass
+
+        def _do_post(self):
             data = self._read_json()
             if data is None:
                 self._send(400, {"error": "invalid JSON body"})
@@ -94,6 +107,13 @@ def make_handler(system: dict):
                     return
                 pipe = system["agent_pipe"] if data.get("agent") \
                     else system["pipe"]
+                try:
+                    n_docs = max(1, min(int(data.get("n_documents", 5)),
+                                        50))
+                except (TypeError, ValueError):
+                    self._send(400, {"error":
+                                     "n_documents must be an int"})
+                    return
                 with lock:
                     resp = pipe.query(
                         question,
@@ -101,7 +121,7 @@ def make_handler(system: dict):
                         enterprise_tags=data.get("enterprise_tags"),
                         conversation_history=data.get(
                             "conversation_history"),
-                        n_documents=int(data.get("n_documents", 5)),
+                        n_documents=n_docs,
                     )
                 qid = system["qlog"].log_query(
                     resp, pipeline="agent" if data.get("agent")
@@ -147,7 +167,11 @@ def make_handler(system: dict):
                 except ValueError as e:
                     self._send(400, {"error": str(e)})
                     return
-                k = int(data.get("k", 10))
+                try:
+                    k = max(1, min(int(data.get("k", 10)), 1000))
+                except (TypeError, ValueError):
+                    self._send(400, {"error": "k must be an int"})
+                    return
                 scores, rows = search(vectors, k,
                                       where=data.get("where"))
                 index = system["index"]

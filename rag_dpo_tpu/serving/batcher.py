@@ -80,23 +80,29 @@ class MicroBatcher:
         rows = np.asarray(rows)
         if rows.ndim < 1 or rows.shape[0] == 0:
             raise ValueError("rows must be a non-empty [q, ...] batch")
-        if rows.shape[0] > self.max_batch:
-            # split oversized requests into max_batch slabs
-            outs = [self(rows[i:i + self.max_batch], key)
-                    for i in range(0, rows.shape[0], self.max_batch)]
-            return tuple(np.concatenate([o[j] for o in outs], axis=0)
-                         for j in range(len(outs[0])))
-        p = _Pending(rows=rows, key=key, event=threading.Event())
+        slabs = [rows[i:i + self.max_batch]
+                 for i in range(0, rows.shape[0], self.max_batch)]
+        # enqueue EVERY slab before waiting on any, so an oversized
+        # request's slabs batch/pipeline instead of serializing one
+        # device call per slab
+        pendings = [_Pending(rows=s, key=key, event=threading.Event())
+                    for s in slabs]
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._queue.append(p)
+            self._queue.extend(pendings)
             self.stats.n_requests += 1
             self._lock.notify_all()
-        p.event.wait()
-        if p.error is not None:
-            raise p.error
-        return p.result
+        for p in pendings:
+            p.event.wait()
+        errs = [p.error for p in pendings if p.error is not None]
+        if errs:
+            raise errs[0]
+        if len(pendings) == 1:
+            return pendings[0].result
+        return tuple(np.concatenate([p.result[j] for p in pendings],
+                                    axis=0)
+                     for j in range(len(pendings[0].result)))
 
     def close(self) -> None:
         with self._lock:

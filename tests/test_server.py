@@ -124,3 +124,25 @@ def test_search_endpoint_concurrent_batches(server):
     with urllib.request.urlopen(server + "/stats") as r:
         stats = _json.loads(r.read())
     assert stats["search_batcher"]["n_requests"] >= 6
+
+
+def test_bad_params_return_json_errors(server):
+    code, data = _post(server, "/search",
+                       {"texts": ["délai violation"], "k": "beaucoup"})
+    assert code == 400 and "k" in data["error"]
+    code, data = _post(server, "/query",
+                       {"question": "q", "n_documents": "douze"})
+    assert code == 400 and "n_documents" in data["error"]
+    # out-of-range k clamps instead of crashing the device path
+    code, data = _post(server, "/search",
+                       {"texts": ["délai violation"], "k": 99999})
+    assert code == 200 and data["results"]
+
+
+def test_oversized_search_batch_splits(server):
+    # > max_batch rows go through the batcher's slab path and come back
+    # stitched in order
+    code, data = _post(server, "/search",
+                       {"texts": ["notification violation"] * 3,
+                        "k": 2})
+    assert code == 200 and len(data["results"]) == 3
