@@ -100,8 +100,9 @@ class SelfAttention(nn.Module):
             # context parallelism: sequence sharded over the mesh `shard`
             # axis, KV blocks rotate around the ICI ring — documents past
             # one chip's attention budget encode without truncation.
-            # Requires full-length batches (no ragged masking on the
-            # ring path) and an enclosing `parallel.context_parallel`.
+            # Ragged batches mask like the single-chip kernels (global
+            # key positions are recomputed per rotation). Needs an
+            # enclosing `parallel.context_parallel` scope.
             from ..ops.ring_attention import ring_attention_inline
             from ..parallel.mesh import active_cp_mesh
 
@@ -111,7 +112,7 @@ class SelfAttention(nn.Module):
                     "attention_impl='ring' needs an enclosing "
                     "`with parallel.context_parallel(mesh):` scope"
                 )
-            ctx = ring_attention_inline(mesh, q, k, v)
+            ctx = ring_attention_inline(mesh, q, k, v, lengths)
         elif impl == "flash":
             # fused Pallas forward AND backward — O(S) memory end to end
             ctx = flash_attention_fused(

@@ -80,3 +80,55 @@ def test_encoder_ring_without_scope_raises(eight_devices):
     lengths = jnp.full((1,), 64, jnp.int32)
     with pytest.raises(RuntimeError, match="context_parallel"):
         model.init(jax.random.key(0), ids, lengths)
+
+
+def test_ring_ragged_lengths_match_reference(eight_devices):
+    """Padded keys must be masked identically to the single-chip
+    reference — including padding that spans whole ring devices."""
+    mesh = create_mesh(MeshSpec(shard=8))
+    rng = np.random.default_rng(11)
+    b, h, s, dh = 3, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    # 100: cuts inside device 3; 32: exactly one device; 256: full
+    lengths = jnp.asarray([100, 32, 256], jnp.int32)
+    ref = attention_reference(q, k, v, lengths)
+    ring = make_ring_attention(mesh)
+    out = ring(q, k, v, lengths)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    for i, ln in enumerate([100, 32, 256]):
+        np.testing.assert_allclose(out_np[i, :, :ln], ref_np[i, :, :ln],
+                                   atol=2e-5, rtol=2e-5)
+        assert np.isfinite(out_np[i]).all()
+
+
+def test_encoder_context_parallel_ragged_matches_single_chip(
+        eight_devices):
+    import dataclasses
+
+    from rag_dpo_tpu.models.encoder import (
+        EncoderConfig,
+        TransformerEncoder,
+    )
+    from rag_dpo_tpu.parallel import context_parallel
+
+    mesh = create_mesh(MeshSpec(shard=8))
+    base = EncoderConfig.tiny(use_flash_attention=False,
+                              max_position_embeddings=130)
+    ring_cfg = dataclasses.replace(base, attention_impl="ring")
+    rng = np.random.default_rng(13)
+    b, s = 2, 64
+    ids = jnp.asarray(rng.integers(4, base.vocab_size, (b, s)), jnp.int32)
+    lengths = jnp.asarray([40, 64], jnp.int32)  # ragged
+
+    ref_model = TransformerEncoder(base)
+    params = ref_model.init(jax.random.key(0), ids, lengths)
+    ref = np.asarray(ref_model.apply(params, ids, lengths))
+
+    ring_model = TransformerEncoder(ring_cfg)
+    with context_parallel(mesh):
+        out = np.asarray(ring_model.apply(params, ids, lengths))
+    np.testing.assert_allclose(out[0, :40], ref[0, :40],
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(out[1], ref[1], atol=2e-4, rtol=2e-4)
