@@ -267,7 +267,7 @@ class DecoderModel(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, positions=None, caches=None,
-                 attn_mask=None, write_mask=None):
+                 attn_mask=None, write_mask=None, last_index=None):
         cfg = self.config
         b, s = input_ids.shape
         if positions is None:
@@ -285,6 +285,16 @@ class DecoderModel(nn.Module):
             new_caches.append(new_cache)
         hidden = RMSNorm(cfg.rms_norm_eps, cfg.param_dtype,
                          name="final_norm")(hidden)
+        if last_index is not None:
+            # project the LM head ONLY at each row's last valid position
+            # — at 12B the full-prefill logits block is [B, S, 131k] f32
+            # (537 MB at batch 8) computed just to keep one row; this
+            # gathers [B, 1, H] first, saving that memory and the
+            # S×vocab matmul FLOPs
+            idx = jnp.broadcast_to(
+                last_index.astype(jnp.int32)[:, None, None],
+                (b, 1, hidden.shape[-1]))
+            hidden = jnp.take_along_axis(hidden, idx, axis=1)
         if cfg.tie_embeddings:
             logits = embed.attend(hidden.astype(jnp.float32))
         else:

@@ -71,15 +71,14 @@ class TextGenerator:
                 positions = jnp.broadcast_to(
                     jnp.arange(ids.shape[1])[None, :], ids.shape)
                 valid = positions < lengths[:, None]
+                # LM head projected only at each row's last valid token
+                # (logits [B, 1, V], not [B, S, V] — see DecoderModel)
                 logits, caches = self.model.apply(
                     params, ids, positions, caches,
                     attn_mask=None, write_mask=valid,
+                    last_index=jnp.clip(lengths - 1, 0),
                 )
-                # logits at each row's LAST valid token
-                last = jnp.clip(lengths - 1, 0)
-                last_logits = jnp.take_along_axis(
-                    logits, last[:, None, None], axis=1)[:, 0]
-                return last_logits, caches
+                return logits[:, 0], caches
 
             self._programs[key] = prefill
         return self._programs[key]
