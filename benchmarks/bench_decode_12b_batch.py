@@ -33,7 +33,11 @@ BATCHES = (1, 4, 8)
 
 def main():
     cfg = DecoderConfig.mistral_nemo_12b()
+    # tied embeddings: the untied lm_head adds 0.67 GB that does not fit
+    # beside 11.6 GB of int8 kernels on a 16 GB chip — same configuration
+    # as the recorded single-stream 52 tok/s run ("tied embed")
     cfg = dataclasses.replace(cfg, quantize_weights=True,
+                              tie_embeddings=True,
                               max_seq_len=PROMPT + NEW,
                               param_dtype=jnp.bfloat16)
     n_params = None

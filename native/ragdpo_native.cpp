@@ -136,8 +136,11 @@ void tokenize(const char* text, int64_t len,
         size_t pos;
         while ((pos = cur.find("--")) != std::string::npos) {
           std::string head = cur.substr(0, pos);
-          if (head.size() > 1 && !stopwords().count(head))
-            out->push_back(head);
+          // same keep rule as whole tokens: multi-char, or single DIGIT
+          bool keep = head.size() > 1 ||
+                      (head.size() == 1 && head[0] >= '0' &&
+                       head[0] <= '9');
+          if (keep && !stopwords().count(head)) out->push_back(head);
           cur.erase(0, pos + 2);
         }
         if (!cur.empty() && (cur.size() > 1 ||

@@ -126,3 +126,18 @@ def test_native_speedup_on_bulk():
     build_ell_corpus(tokens, stats, ell_width=32)
     t_python = time.time() - t0
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_tokenize_single_digit_head_in_double_hyphen_run():
+    """Parity nit: '1--b' must keep the single-digit head '1' exactly
+    like the Python regex tokenizer does."""
+    import numpy as np
+    from rag_dpo_tpu import native
+    from rag_dpo_tpu.tokenize.french import tokenize_french_text
+
+    if not native.is_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    for text in ("1--b article 83--bis", "aipd--2 x--7--y"):
+        assert native.tokenize_french_native(text) == \
+            tokenize_french_text(text), text
