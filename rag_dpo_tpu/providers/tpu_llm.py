@@ -5,11 +5,21 @@ Drop-in `BaseLLMProvider` whose backend is the in-process JAX decoder
 converted Mistral/Llama weights and a real tokenizer this serves the same
 role as the reference's Ollama process; with random weights it still
 exercises the full generation machinery (tests, load benchmarks).
+
+Decode is weight-read bound, so concurrent requests should share one
+weight sweep (measured: 12B int8 serves 53 tok/s single-stream but 343
+aggregate at batch 8 — benchmarks/bench_decode_12b_batch.py).
+`batch_concurrent=True` routes generate() through a MicroBatcher:
+same-(bucket, sampling) requests arriving within the window run as ONE
+batched decode, padded to a power-of-two batch so the jit program count
+stays bounded.
 """
 
 from __future__ import annotations
 
 import time
+
+import numpy as np
 
 from ..models.decoder import DecoderConfig
 from ..models.generate import SamplingConfig, TextGenerator
@@ -26,6 +36,9 @@ class TPULLMProvider(BaseLLMProvider):
         tokenizer: Tokenizer | None = None,
         max_new_tokens: int = 256,
         model_name: str = "tpu-decoder",
+        batch_concurrent: bool = False,
+        max_batch: int = 8,
+        max_wait_ms: float = 6.0,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -33,6 +46,39 @@ class TPULLMProvider(BaseLLMProvider):
             vocab_size=self.config.vocab_size)
         self.max_new_tokens = max_new_tokens
         self.model_name = model_name
+        self._batcher = None
+        if batch_concurrent:
+            from ..serving.batcher import MicroBatcher
+
+            self._batcher = MicroBatcher(
+                self._generate_batched, max_batch=max_batch,
+                max_wait_ms=max_wait_ms)
+
+    # ------------------------------------------------- batched decode path
+    def _generate_batched(self, stacked, key):
+        """MicroBatcher fn: rows = [q, S+1] (ids ‖ length column).
+        Generation is row-independent (per-row attention, greedy/per-row
+        sampling), so padding the collected batch to a power of two with
+        copies of row 0 changes nothing for real rows while keeping the
+        set of compiled (b, s) programs bounded."""
+        _, max_new, temp = key
+        ids = np.ascontiguousarray(stacked[:, :-1], dtype=np.int32)
+        lengths = np.ascontiguousarray(stacked[:, -1], dtype=np.int32)
+        q = ids.shape[0]
+        b = 1
+        while b < q:
+            b *= 2
+        if b > q:
+            pad = np.repeat(ids[:1], b - q, axis=0)
+            ids = np.concatenate([ids, pad], axis=0)
+            lengths = np.concatenate(
+                [lengths, np.repeat(lengths[:1], b - q)], axis=0)
+        sampling = SamplingConfig(
+            temperature=temp, max_new_tokens=max_new,
+            eos_id=self.tokenizer.sep_id, pad_id=self.tokenizer.pad_id,
+        )
+        tokens = self.generator.generate_ids(ids, lengths, sampling)
+        return (tokens[:q],)
 
     def load_converted(self, state_dict):
         self.generator.load_converted(state_dict)
@@ -60,14 +106,24 @@ class TPULLMProvider(BaseLLMProvider):
                 max_tokens or self.max_new_tokens) - 1
             enc = self.tokenizer.encode_batch(
                 [text], min(bucket_length(len(text) // 3 + 2), budget))
-            sampling = SamplingConfig(
-                temperature=temperature,
-                max_new_tokens=max_tokens or self.max_new_tokens,
-                eos_id=self.tokenizer.sep_id,
-                pad_id=self.tokenizer.pad_id,
-            )
-            tokens = self.generator.generate_ids(
-                enc.input_ids, enc.lengths, sampling)
+            max_new = max_tokens or self.max_new_tokens
+            if self._batcher is not None:
+                rows = np.concatenate(
+                    [np.asarray(enc.input_ids, np.int32),
+                     np.asarray(enc.lengths, np.int32)[:, None]], axis=1)
+                (tokens,) = self._batcher(
+                    rows,
+                    key=(rows.shape[1] - 1, max_new, float(temperature)),
+                )
+            else:
+                sampling = SamplingConfig(
+                    temperature=temperature,
+                    max_new_tokens=max_new,
+                    eos_id=self.tokenizer.sep_id,
+                    pad_id=self.tokenizer.pad_id,
+                )
+                tokens = self.generator.generate_ids(
+                    enc.input_ids, enc.lengths, sampling)
             return LLMResponse(self._decode_text(tokens[0]),
                                self.model_name, time.time() - t0)
         except Exception as e:

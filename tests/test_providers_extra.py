@@ -108,3 +108,41 @@ def test_package_and_download_index_roundtrip(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode == 1
+
+
+def test_tpu_llm_batches_concurrent_generates():
+    """batch_concurrent=True must aggregate same-bucket requests into one
+    batched decode and return exactly the unbatched greedy outputs."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cfg = DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                             dtype=jnp.float32)
+    plain = TPULLMProvider(cfg, max_new_tokens=5)
+    batched = TPULLMProvider(cfg, params=plain.generator.load(),
+                             max_new_tokens=5, batch_concurrent=True,
+                             max_wait_ms=60.0)
+    prompts = [f"question numéro {i} sur le registre des traitements"
+               for i in range(4)]
+    want = [plain.generate(p).text for p in prompts]
+
+    got = {}
+
+    def call(i):
+        got[i] = batched.generate(prompts[i]).text
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert [got[i] for i in range(4)] == want
+    stats = batched._batcher.stats
+    assert stats.n_requests == 4
+    assert stats.n_device_calls < 4, "requests must have batched"
+    batched._batcher.close()
