@@ -29,7 +29,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def make_handler(system: dict):
-    lock = threading.Lock()
+    # /query concurrency: 1 by default (the LLM dominates and an external
+    # endpoint serializes anyway). With a TPU-served LLM in
+    # batch_concurrent mode, raise system["max_concurrent_queries"] so
+    # concurrent generations share one batched decode
+    # (providers/tpu_llm.py) — the retrieval stages are stateless and
+    # JAX dispatch is thread-safe.
+    lock = threading.BoundedSemaphore(
+        int(system.get("max_concurrent_queries", 1)))
     if "search" not in system and system.get("index") is not None:
         from ..serving import batched_dense_search
 

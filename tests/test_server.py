@@ -146,3 +146,33 @@ def test_oversized_search_batch_splits(server):
                        {"texts": ["notification violation"] * 3,
                         "k": 2})
     assert code == 200 and len(data["results"]) == 3
+
+
+def test_concurrent_queries_with_semaphore(tmp_path_factory):
+    """max_concurrent_queries > 1 admits parallel /query requests; both
+    complete correctly (components are stateless across requests)."""
+    import os
+    import threading as th
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("srv2"))
+    system = build_system(agent_too=False)
+    system["max_concurrent_queries"] = 4
+    srv = serve(port=0, system=system)
+    t = th.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    out = {}
+
+    def ask(i):
+        out[i] = _post(url, "/query",
+                       {"question": f"Quel délai de notification ? v{i}"})
+
+    threads = [th.Thread(target=ask, args=(i,)) for i in range(3)]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join()
+    for i in range(3):
+        code, data = out[i]
+        assert code == 200 and data["answer"]
+    srv.shutdown()
