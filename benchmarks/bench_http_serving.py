@@ -1,0 +1,141 @@
+"""End-to-end HTTP serving load: /search under concurrency on real TPU.
+
+Everything between the wire and the chip is in the measurement: JSON
+decode, micro-batcher aggregation, device sweep, metadata hydration,
+JSON encode. This is deliberately the WORST-case transport (float
+vectors as JSON text); it proves the serving stack works under load
+and quantifies the HTTP tax relative to the device-only numbers —
+production deployments that need more move the embedding server-side
+("texts" mode) or batch more per request.
+
+Corpus: 250k × 1024 int8+refine (host-built, ~1 GB transfer through
+the tunnel). Load: THREADS clients, each posting VEC_PER_REQ vectors
+per request for DURATION seconds.
+"""
+
+import json
+import pathlib
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import numpy as np
+
+N, D = 250_000, 1024
+THREADS, VEC_PER_REQ, DURATION = 16, 64, 20.0
+K = 10
+
+
+def _client(url, payload, duration):
+    """One load-generator process: posts `payload` until the deadline."""
+    count, lats = 0, []
+    stop = time.time() + duration
+    while time.time() < stop:
+        t1 = time.time()
+        req = urllib.request.Request(
+            url, data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        lats.append(time.time() - t1)
+        assert out["results"]
+        count += 1
+    return count, lats
+
+
+def main():
+    from rag_dpo_tpu.app.server import serve
+    from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+    from rag_dpo_tpu.utils.query_logger import QueryLogger
+
+    rng = np.random.default_rng(0)
+    print("building corpus...", flush=True)
+    e = rng.standard_normal((N, D)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    index = DeviceIndex(IndexConfig(dim=D, ell_width=4,
+                                    quantize_int8=True,
+                                    device_refine=True))
+    t0 = time.time()
+    step = 50_000
+    for s in range(0, N, step):
+        index.add([f"c{i}" for i in range(s, s + step)],
+                  e[s:s + step],
+                  [{"text": f"chunk {i}"} for i in range(s, s + step)])
+    print(f"indexed {N} rows in {time.time() - t0:.1f}s", flush=True)
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    system = {"index": index, "embedder": None,
+              "qlog": QueryLogger(pathlib.Path(tmp) / "q.jsonl",
+                                  pathlib.Path(tmp) / "f.jsonl"),
+              "pipe": None, "agent_pipe": None}
+    srv = serve(port=0, system=system)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/search"
+
+    # warm: compile the sweep + fill the metadata path
+    qs = e[rng.integers(0, N, VEC_PER_REQ)] \
+        + 0.01 * rng.standard_normal((VEC_PER_REQ, D)).astype(np.float32)
+    body = json.dumps({"vectors": qs.tolist(), "k": K}).encode()
+
+    def post(payload):
+        req = urllib.request.Request(
+            url, data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    warm = post(body)
+    assert len(warm["results"]) == VEC_PER_REQ
+    assert warm["results"][0][0]["id"].startswith("c")
+    print("warm request ok", flush=True)
+
+    # client PROCESSES: in-process client threads would steal the GIL
+    # from the server's JSON encode/decode and measure contention, not
+    # serving
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(THREADS) as pool:
+        t0 = time.time()
+        outs = pool.starmap(
+            _client, [(url, body, DURATION)] * THREADS)
+        wall = time.time() - t0
+    counts = [o[0] for o in outs]
+    lat = [x for o in outs for x in o[1]]
+    n_req = sum(counts)
+    n_q = n_req * VEC_PER_REQ
+    lat_ms = sorted(x * 1e3 for x in lat)
+    bs = system["search"].batcher.stats
+    res = {
+        "bench": "http_serving_search", "device": str(jax.devices()[0]),
+        "n_chunks": N, "threads": THREADS,
+        "vectors_per_request": VEC_PER_REQ, "k": K,
+        "wall_s": round(wall, 1), "n_requests": n_req,
+        "http_qps": round(n_q / wall, 1),
+        "latency_ms_p50": round(lat_ms[len(lat_ms) // 2], 1),
+        "latency_ms_p99": round(lat_ms[int(len(lat_ms) * 0.99)], 1),
+        "batcher": {"n_device_calls": bs.n_device_calls,
+                    "mean_batch": round(bs.mean_batch, 1),
+                    "max_batch_seen": bs.max_batch_seen},
+        "note": "JSON-vector transport (worst case); texts mode or "
+                "bigger request batches amortize the HTTP tax",
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    print(json.dumps(res), flush=True)
+    with open(pathlib.Path(__file__).parent / "RESULTS.jsonl", "a") as f:
+        f.write(json.dumps(res) + "\n")
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
