@@ -79,6 +79,12 @@ class ChunkTagger:
                 n_tagged += 1
                 if n_tagged % self.checkpoint_every == 0:
                     self._save_checkpoint(done)
-            meta["rgpd_topics"] = tags
+            # go through MetadataStore.update so the COLUMNAR filter
+            # arrays learn the new tags too — writing meta["rgpd_topics"]
+            # directly would leave where-filters evaluating stale columns
+            # (same stale-column class as the round-1 upsert finding)
+            updated = dict(meta)
+            updated["rgpd_topics"] = tags
+            index.meta.update(i, updated)
         self._save_checkpoint(done)
         return n_tagged
