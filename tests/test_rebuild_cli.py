@@ -35,3 +35,22 @@ def test_rebuild_empty_corpus_runs(tmp_path, capsys):
     reports = json.loads(capsys.readouterr().out)
     assert reports["filter"]["n_kept"] == 0
     assert reports["dedup"]["n_kept"] == 0
+
+
+def test_update_cli_status(tmp_path, monkeypatch):
+    """`update_cli --status` runs without network or index and reports
+    the empty-state counters."""
+    import json
+
+    from rag_dpo_tpu.ingest import update_cli
+
+    monkeypatch.setenv("RAGDPO_LLM_MODE", "fake")
+    out = []
+    monkeypatch.setattr("builtins.print", lambda *a, **k:
+                        out.append(" ".join(str(x) for x in a)))
+    rc = update_cli.main(["--status", "--root", str(tmp_path),
+                          "--llm-mode", "fake"])
+    assert rc == 0
+    status = json.loads(out[-1])
+    assert status["n_known_urls"] == 0
+    assert status["index_exists"] is False
