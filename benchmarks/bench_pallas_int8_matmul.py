@@ -36,18 +36,27 @@ ITERS = 10
 
 
 def kernel_bf16(q_ref, e_ref, o_ref):
+    # output block last dim must be 128-divisible (Mosaic lane
+    # constraint) → emit a 128-wide pooled strip per corpus block
     e = e_ref[...].astype(jnp.bfloat16)
     q = q_ref[...].astype(jnp.bfloat16)
     s = jax.lax.dot_general(q, e, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[...] = jnp.max(s, axis=1, keepdims=True)
+    out = s[:, :128]          # Mosaic: 2-D intermediates only —
+    for i in range(1, s.shape[1] // 128):   # unrolled strided max
+        out = jnp.maximum(out, s[:, i * 128:(i + 1) * 128])
+    o_ref[...] = out
 
 
 def kernel_int8(q_ref, e_ref, o_ref):
     s = jax.lax.dot_general(q_ref[...], e_ref[...],
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    o_ref[...] = jnp.max(s, axis=1, keepdims=True).astype(jnp.float32)
+    out = s[:, :128]          # Mosaic: 2-D intermediates only —
+    for i in range(1, s.shape[1] // 128):   # unrolled strided max
+        out = jnp.maximum(out, s[:, i * 128:(i + 1) * 128])
+    o_ref[...] = out.astype(
+        jnp.float32)
 
 
 def make(kernel, name):
@@ -61,8 +70,9 @@ def make(kernel, name):
                 pl.BlockSpec((Q, D), lambda j: (0, 0)),
                 pl.BlockSpec((BLOCK, D), lambda j: (j, 0)),
             ],
-            out_specs=pl.BlockSpec((Q, 1), lambda j: (0, j)),
-            out_shape=jax.ShapeDtypeStruct((Q, N // BLOCK), jnp.float32),
+            out_specs=pl.BlockSpec((Q, 128), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((Q, (N // BLOCK) * 128),
+                                           jnp.float32),
         )(q_i8, e_i8)
 
     return run
@@ -90,8 +100,8 @@ def main():
         def step(c, _):
             s = jax.lax.dot_general(c, e, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            m = jnp.max(s, axis=1)
-            return c + (m[:, :1] * 0).astype(c.dtype), m[0]
+            m = jnp.max(s, axis=1, keepdims=True)  # [Q, 1]
+            return c + (m[:, :1] * 0).astype(c.dtype), m[0, 0]
         return jax.lax.scan(step, q, None, length=ITERS)[1]
 
     np.asarray(xla_chain(q_i8, e_i8))
