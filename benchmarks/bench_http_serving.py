@@ -8,8 +8,9 @@ and quantifies the HTTP tax relative to the device-only numbers —
 production deployments that need more move the embedding server-side
 ("texts" mode) or batch more per request.
 
-Corpus: 250k × 1024 int8+refine (host-built, ~1 GB transfer through
-the tunnel). Load: THREADS clients, each posting VEC_PER_REQ vectors
+Corpus: 100k × 1024 int8+refine (the corpus upload through the axon
+tunnel is minutes/GB and highly variable — the JSON codec, not the
+corpus size, is the measured ceiling). Load: THREADS clients, each posting VEC_PER_REQ vectors
 per request for DURATION seconds.
 """
 
@@ -22,22 +23,17 @@ import urllib.request
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-
-import numpy as np
-
-N, D = 250_000, 1024
+N, D = 100_000, 1024
 THREADS, VEC_PER_REQ, DURATION = 16, 64, 20.0
 K = 10
 
 
 def _client(url, payload, duration):
-    """One load-generator process: posts `payload` until the deadline."""
+    """One load-generator process (NO jax import — heavy imports live in
+    main() so spawn children start in ~0.5 s): posts until deadline."""
     count, lats = 0, []
-    stop = time.time() + duration
+    t_first = time.time()
+    stop = t_first + duration
     while time.time() < stop:
         t1 = time.time()
         req = urllib.request.Request(
@@ -48,10 +44,16 @@ def _client(url, payload, duration):
         lats.append(time.time() - t1)
         assert out["results"]
         count += 1
-    return count, lats
+    return count, lats, t_first, time.time()
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import numpy as np
+
     from rag_dpo_tpu.app.server import serve
     from rag_dpo_tpu.index import DeviceIndex, IndexConfig
     from rag_dpo_tpu.utils.query_logger import QueryLogger
@@ -106,10 +108,10 @@ def main():
 
     ctx = mp.get_context("spawn")
     with ctx.Pool(THREADS) as pool:
-        t0 = time.time()
         outs = pool.starmap(
             _client, [(url, body, DURATION)] * THREADS)
-        wall = time.time() - t0
+    # wall = the actual overlapping request window, not pool startup
+    wall = max(o[3] for o in outs) - min(o[2] for o in outs)
     counts = [o[0] for o in outs]
     lat = [x for o in outs for x in o[1]]
     n_req = sum(counts)
