@@ -194,10 +194,16 @@ def render_documents(st, system):
         tags = chosen + ([new_tag] if new_tag else [])
         tmp = pathlib.Path(tempfile.mkdtemp()) / upload.name
         tmp.write_bytes(upload.getvalue())
-        result = ingestor.ingest(tmp, tags=tags)
-        st.success(
-            f"{result['n_chunks']} extraits indexés "
-            f"({result['doc_id']}, tags: {', '.join(result['tags'])})")
+        try:
+            result = ingestor.ingest(tmp, tags=tags)
+        except ValueError as e:
+            # corrupt/unsupported upload: parser contract raises
+            # ValueError — show it instead of crashing the page
+            st.error(f"Fichier illisible : {e}")
+        else:
+            st.success(
+                f"{result['n_chunks']} extraits indexés "
+                f"({result['doc_id']}, tags: {', '.join(result['tags'])})")
 
     st.subheader("Documents indexés")
     docs = ingestor.list_documents()

@@ -42,6 +42,26 @@ def _zip_xml(data: bytes, member: str):
             return None
 
 
+def unparseable_to_value_error(fn):
+    """Parser contract: unparseable bytes raise ValueError (the error
+    the per-document callers catch and skip) — never BadZipFile /
+    ParseError / truncation artifacts that would crash a whole corpus
+    run on one corrupt file."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes, *a, **k):
+        try:
+            return fn(data, *a, **k)
+        except (zipfile.BadZipFile, ET.ParseError, OSError,
+                UnicodeDecodeError) as e:
+            raise ValueError(
+                f"unparseable document ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------- docx
 
 def _w_text(el) -> str:
@@ -68,6 +88,7 @@ def _docx_table(tbl) -> Table:
     return Table(headers=rows[0] if rows else [], rows=rows[1:])
 
 
+@unparseable_to_value_error
 def parse_docx(data: bytes) -> list[Section]:
     root = _zip_xml(data, "word/document.xml")
     if root is None:
@@ -143,6 +164,7 @@ def _zones_to_sections(title: str, grid: list[list[str]]) -> list[Section]:
     return sections
 
 
+@unparseable_to_value_error
 def parse_xlsx(data: bytes) -> list[Section]:
     shared = _xlsx_shared_strings(data)
     wb = _zip_xml(data, "xl/workbook.xml")
@@ -188,6 +210,7 @@ def _odf_text(el) -> str:
     return "".join(el.itertext())
 
 
+@unparseable_to_value_error
 def parse_odt(data: bytes) -> list[Section]:
     root = _zip_xml(data, "content.xml")
     if root is None:
@@ -230,6 +253,7 @@ def parse_odt(data: bytes) -> list[Section]:
     return sections
 
 
+@unparseable_to_value_error
 def parse_ods(data: bytes) -> list[Section]:
     root = _zip_xml(data, "content.xml")
     if root is None:

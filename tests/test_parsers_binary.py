@@ -139,3 +139,29 @@ def test_chunker_end_to_end(builder, fmt):
     for c in chunks:
         assert c.chunk_id.startswith(f"doc_{fmt}")
         assert c.text.strip()
+
+
+def test_corrupt_office_files_raise_value_error():
+    """Parser contract: unparseable bytes raise ValueError (what the
+    per-document pipeline loop catches) — never BadZipFile."""
+    import pytest
+
+    from rag_dpo_tpu.ingest.office import (
+        parse_docx,
+        parse_ods,
+        parse_odt,
+        parse_xlsx,
+    )
+
+    for fn in (parse_docx, parse_xlsx, parse_odt, parse_ods):
+        with pytest.raises(ValueError, match="unparseable"):
+            fn(b"PK\x03\x04 truncated zip")
+        with pytest.raises(ValueError, match="unparseable"):
+            fn(b"not a zip at all")
+
+
+def test_corrupt_pdf_returns_empty_not_raises():
+    from rag_dpo_tpu.ingest.pdf import parse_pdf
+
+    assert parse_pdf(b"%PDF-1.4 garbage\x00\x01") == []
+    assert parse_pdf(b"") == []

@@ -115,6 +115,9 @@ class FakeSt:
     def success(self, *a, **k):
         self.calls.append(("success", a))
 
+    def error(self, *a, **k):
+        self.calls.append(("error", a))
+
     def warning(self, *a, **k):
         self.calls.append(("warning", a))
 
@@ -259,3 +262,16 @@ def test_documents_upload_list_purge(system):
     render_documents(st2, system)
     assert all(d["doc_id"] != docs[0]["doc_id"]
                for d in system["ingestor"].list_documents())
+
+
+def test_documents_corrupt_upload_shows_error(system):
+    """A corrupt upload must render st.error, not crash the page."""
+    st = FakeSt(script={
+        "Document interne (pdf, docx, xlsx, odt, ods, html, txt)":
+            FakeUpload("corrompu.docx", b"PK\x03\x04 truncated"),
+        "Indexer": True,
+    })
+    render_documents(st, system)
+    errs = st.labels("error")
+    assert errs and "illisible" in errs[0][0]
+    assert not st.labels("success")
