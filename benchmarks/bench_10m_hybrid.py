@@ -38,7 +38,7 @@ N, D, K = 10_000_000, 1024, 10
 SLAB = 1_000_000
 ELL_W, N_TERMS, VOCAB = 8, 16, 50_000
 ITERS = 8
-BATCHES = (64, 256)
+BATCHES = (256, 512)
 BLOCK = 1_000_000
 
 
