@@ -28,21 +28,25 @@ THREADS, VEC_PER_REQ, DURATION = 16, 64, 20.0
 K = 10
 
 
-def _client(url, payload, duration):
+def _client(url, payload, duration, binary=False):
     """One load-generator process (NO jax import — heavy imports live in
     main() so spawn children start in ~0.5 s): posts until deadline."""
+    ctype = ("application/octet-stream" if binary
+             else "application/json")
     count, lats = 0, []
     t_first = time.time()
     stop = t_first + duration
     while time.time() < stop:
         t1 = time.time()
         req = urllib.request.Request(
-            url, data=payload,
-            headers={"Content-Type": "application/json"})
+            url, data=payload, headers={"Content-Type": ctype})
         with urllib.request.urlopen(req, timeout=300) as r:
-            out = json.loads(r.read())
+            raw = r.read()
         lats.append(time.time() - t1)
-        assert out["results"]
+        if binary:
+            assert raw[:4] == b"RDPR"
+        else:
+            assert json.loads(raw)["results"]
         count += 1
     return count, lats, t_first, time.time()
 
@@ -106,33 +110,46 @@ def main():
     # serving
     import multiprocessing as mp
 
+    import struct
+
+    bin_body = (b"RDPV" + struct.pack("<III", VEC_PER_REQ, D, K)
+                + np.ascontiguousarray(qs, np.float32).tobytes())
+    # binary warm (protocol check)
+    req = urllib.request.Request(
+        url, data=bin_body,
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.read()[:4] == b"RDPR"
+    print("binary warm ok", flush=True)
+
     ctx = mp.get_context("spawn")
-    with ctx.Pool(THREADS) as pool:
-        outs = pool.starmap(
-            _client, [(url, body, DURATION)] * THREADS)
-    # wall = the actual overlapping request window, not pool startup
-    wall = max(o[3] for o in outs) - min(o[2] for o in outs)
-    counts = [o[0] for o in outs]
-    lat = [x for o in outs for x in o[1]]
-    n_req = sum(counts)
-    n_q = n_req * VEC_PER_REQ
-    lat_ms = sorted(x * 1e3 for x in lat)
-    bs = system["search"].batcher.stats
     res = {
         "bench": "http_serving_search", "device": str(jax.devices()[0]),
         "n_chunks": N, "threads": THREADS,
         "vectors_per_request": VEC_PER_REQ, "k": K,
-        "wall_s": round(wall, 1), "n_requests": n_req,
-        "http_qps": round(n_q / wall, 1),
-        "latency_ms_p50": round(lat_ms[len(lat_ms) // 2], 1),
-        "latency_ms_p99": round(lat_ms[int(len(lat_ms) * 0.99)], 1),
-        "batcher": {"n_device_calls": bs.n_device_calls,
-                    "mean_batch": round(bs.mean_batch, 1),
-                    "max_batch_seen": bs.max_batch_seen},
-        "note": "JSON-vector transport (worst case); texts mode or "
-                "bigger request batches amortize the HTTP tax",
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
+    for tag, payload, binary in (("json", body, False),
+                                 ("binary", bin_body, True)):
+        with ctx.Pool(THREADS) as pool:
+            outs = pool.starmap(
+                _client,
+                [(url, payload, DURATION, binary)] * THREADS)
+        wall = max(o[3] for o in outs) - min(o[2] for o in outs)
+        n_req = sum(o[0] for o in outs)
+        lat_ms = sorted(x * 1e3 for o in outs for x in o[1])
+        res[tag] = {
+            "wall_s": round(wall, 1), "n_requests": n_req,
+            "http_qps": round(n_req * VEC_PER_REQ / wall, 1),
+            "latency_ms_p50": round(lat_ms[len(lat_ms) // 2], 1),
+            "latency_ms_p99": round(lat_ms[int(len(lat_ms) * 0.99)], 1),
+        }
+        print(f"{tag}: {res[tag]['http_qps']} qps "
+              f"(p50 {res[tag]['latency_ms_p50']} ms)", flush=True)
+    bs = system["search"].batcher.stats
+    res["batcher"] = {"n_device_calls": bs.n_device_calls,
+                      "mean_batch": round(bs.mean_batch, 1),
+                      "max_batch_seen": bs.max_batch_seen}
     print(json.dumps(res), flush=True)
     with open(pathlib.Path(__file__).parent / "RESULTS.jsonl", "a") as f:
         f.write(json.dumps(res) + "\n")

@@ -8,6 +8,14 @@ server exposing the framework for programmatic/production use:
                      "conversation_history"?}
     POST /search    {"vectors": [[...f32 x dim...]] | "texts": [...],
                      "k"?, "where"?} — retrieval-only vector-search API
+    POST /search (Content-Type: application/octet-stream) — binary fast
+                    path: 16-byte header (magic 'RDPV', uint32 q, dim,
+                    k, little-endian) + q·dim f32 vectors; response is
+                    binary too (q, k, then [q,k] f32 scores + [q,k]
+                    int32 row ids; resolve ids via JSON mode or
+                    /healthz-advertised metadata endpoints). The JSON
+                    float-text codec is the measured serving ceiling
+                    (BENCHMARKS.md) — this path removes it.
     POST /feedback  {"query_id", "rating", "comment"?}
     GET  /stats     query-log statistics + micro-batcher stats (JSON)
     GET  /healthz   liveness + device inventory
@@ -89,6 +97,45 @@ def make_handler(system: dict):
             else:
                 self._send(404, {"error": "not found"})
 
+        def _search_binary(self):
+            """Binary /search: 'RDPV' + uint32 q, dim, k + q·dim f32 →
+            'RDPR' + uint32 q, k + [q,k] f32 scores + [q,k] int32 row
+            ids (-1 = empty). No JSON anywhere on the hot path."""
+            import struct
+
+            import numpy as np
+
+            search = system.get("search")
+            if search is None:
+                self._send(503, {"error": "no index loaded"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if len(body) < 16 or body[:4] != b"RDPV":
+                self._send(400, {"error": "bad binary header "
+                                          "(want magic 'RDPV')"})
+                return
+            q, dim, k = struct.unpack("<III", body[4:16])
+            k = max(1, min(k, 1000))
+            want = 16 + q * dim * 4
+            if q == 0 or len(body) != want:
+                self._send(400, {"error":
+                                 f"body length {len(body)} != {want} "
+                                 f"for q={q} dim={dim}"})
+                return
+            vectors = np.frombuffer(body, np.float32, count=q * dim,
+                                    offset=16).reshape(q, dim)
+            scores, rows = search(vectors, k, where=None)
+            scores = np.ascontiguousarray(scores, np.float32)
+            rows = np.ascontiguousarray(rows, np.int32)
+            out = (b"RDPR" + struct.pack("<II", q, rows.shape[1])
+                   + scores.tobytes() + rows.tobytes())
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
         def do_POST(self):
             try:
                 self._do_post()
@@ -103,6 +150,11 @@ def make_handler(system: dict):
                     pass
 
         def _do_post(self):
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if (self.path.startswith("/search")
+                    and ctype == "application/octet-stream"):
+                self._search_binary()
+                return
             data = self._read_json()
             if data is None:
                 self._send(400, {"error": "invalid JSON body"})
