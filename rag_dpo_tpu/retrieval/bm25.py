@@ -125,11 +125,20 @@ def build_bm25_stats(
 
 
 def _recompute_idf(df: np.ndarray, n: int, epsilon: float) -> np.ndarray:
-    """rank_bm25 idf: ln((N−df+0.5)/(df+0.5)), negatives → ε·avg_idf."""
+    """rank_bm25 idf: ln((N−df+0.5)/(df+0.5)), negatives → ε·avg_idf.
+
+    RETIRED terms (df=0 — every document that carried them was since
+    replaced) are excluded from the average and weighted 0: a fresh
+    rebuild's vocabulary wouldn't contain them at all, and their
+    ln((N+0.5)/0.5) ceiling would otherwise inflate the negative-idf
+    floor and drift common-term scores away from the fresh-build oracle
+    (found by the incremental fuzz test)."""
     idf = np.log((n - df + 0.5) / (df + 0.5)).astype(np.float32)
-    if len(idf):
-        avg = float(idf.mean())
-        idf[idf < 0] = epsilon * avg
+    live = df > 0
+    if live.any():
+        avg = float(idf[live].mean())
+        idf[(idf < 0) & live] = epsilon * avg
+    idf[~live] = 0.0
     return idf
 
 

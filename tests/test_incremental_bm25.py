@@ -162,3 +162,67 @@ def test_native_tf_export_matches_python():
     _, tf_p, dl_p = build_ell_corpus_tf(toks, stats_p, 12)
     np.testing.assert_array_equal(dl_n, dl_p)
     np.testing.assert_array_equal(np.sort(tf_n), np.sort(tf_p))
+
+
+_VOCAB_WORDS = (
+    "notification violation registre traitement delegue protection "
+    "analyse impact transfert international clause contractuelle "
+    "consentement cookie prospection sanction amende controle "
+    "securite chiffrement pseudonymisation archivage duree "
+    "conservation droit acces effacement portabilite opposition "
+    "sous-traitant responsable conjoint europeen adequat"
+).split()
+
+
+def test_fuzz_incremental_matches_fresh_rebuild(embedder):
+    """Randomized append/update rounds must keep sparse scoring
+    identical to a from-scratch rebuild over the same final corpus —
+    the exact invariant the round-1 advisor finding violated."""
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        def make_batch(start, n):
+            out = []
+            for j in range(n):
+                words = rng.choice(_VOCAB_WORDS,
+                                   size=rng.integers(6, 18))
+                out.append((f"t{trial}c{start + j}",
+                            "donnees " + " ".join(words)))
+            return out
+
+        b1 = make_batch(0, int(rng.integers(4, 9)))
+        inc_idx, inc_stats, _ = CorpusIndexer(
+            embedder, ell_width=16).build(_chunks(b1), mode="reset")
+        corpus = list(b1)
+        for round_ in range(int(rng.integers(1, 4))):
+            if rng.integers(0, 2) and corpus:
+                # update: rewrite an existing chunk's text
+                pos = int(rng.integers(0, len(corpus)))
+                cid = corpus[pos][0]
+                new = make_batch(900 + round_ * 10, 1)[0][1]
+                corpus[pos] = (cid, new)
+                batch = [(cid, new)]
+                mode = "update"
+            else:
+                batch = make_batch(100 + round_ * 100,
+                                   int(rng.integers(2, 6)))
+                corpus += batch
+                mode = "append"
+            inc_idx, inc_stats, _ = CorpusIndexer(
+                embedder, ell_width=16).build(
+                _chunks(batch), mode=mode, index=inc_idx)
+
+        fresh_idx, fresh_stats, _ = CorpusIndexer(
+            embedder, ell_width=16).build(_chunks(corpus), mode="reset")
+
+        for _ in range(5):
+            words = rng.choice(_VOCAB_WORDS, size=3)
+            query = " ".join(words)
+            inc_ids, inc_s = _sparse_results(inc_idx, inc_stats, query)
+            fr_ids, fr_s = _sparse_results(fresh_idx, fresh_stats,
+                                           query)
+            ok_i = [x for x in inc_ids if x]
+            ok_f = [x for x in fr_ids if x]
+            assert ok_i == ok_f, (trial, query, ok_i, ok_f)
+            np.testing.assert_allclose(
+                np.asarray(inc_s)[:len(ok_i)],
+                np.asarray(fr_s)[:len(ok_f)], rtol=1e-4, atol=1e-5)
