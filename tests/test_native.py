@@ -141,3 +141,30 @@ def test_tokenize_single_digit_head_in_double_hyphen_run():
     for text in ("1--b article 83--bis", "aipd--2 x--7--y"):
         assert native.tokenize_french_native(text) == \
             tokenize_french_text(text), text
+
+
+def test_fuzz_tokenizer_parity_random_unicode():
+    """Native and Python tokenizers must agree on arbitrary text —
+    random mixes of French words, accents, digits, hyphens, punctuation,
+    multibyte codepoints and invalid-ish sequences."""
+    import numpy as np
+
+    from rag_dpo_tpu import native
+    from rag_dpo_tpu.tokenize.french import tokenize_french_text
+
+    if not native.is_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(0)
+    pieces = ["données", "RGPD", "l'article", "72h", "sous-traitant",
+              "œuvre", "cœur", "ÉTÉ", "naïve", "straße", "Æsir",
+              "a-b-c", "--x--", "42", "º°§", "…", "«cité»", " ",
+              "\t", "🙂", "Ω", "ça", "déjà-vu", "n°17", "CNIL."]
+    for _ in range(60):
+        n = int(rng.integers(1, 12))
+        text = " ".join(rng.choice(pieces, size=n))
+        if rng.integers(0, 4) == 0:
+            text += "\xc3"  # dangling UTF-8 lead byte
+        assert native.tokenize_french_native(text) == \
+            tokenize_french_text(text), repr(text)
