@@ -185,7 +185,11 @@ class StructuralChunker:
         merged: list[tuple[str, str, str]] = []
         for heading, body, page in pieces:
             if (merged and len(body.split()) < cfg.min_words
-                    and merged[-1][0] == heading):
+                    and merged[-1][0] == heading
+                    # never grow an already-full piece: chains of small
+                    # merges would compound past any size bound (a small
+                    # trailing chunk beats an oversized one)
+                    and len(merged[-1][1].split()) < cfg.max_words):
                 ph, pb, pp = merged[-1]
                 merged[-1] = (ph, pb + "\n" + body, pp)
             else:
