@@ -103,12 +103,22 @@ class GroundingValidator:
         # answer must literally occur in the context
         for m in _AMOUNT_RE.finditer(answer):
             token = (m.group(1) or m.group(2) or "").strip()
-            if token and _norm(token) not in norm_context:
+            # word-boundary match: a bare substring check lets "4"
+            # ride inside "45" (same vacuousness the delay check below
+            # guards against — found by the grounding fuzz)
+            if token and not re.search(
+                    rf"\b{re.escape(_norm(token))}\b", norm_context):
                 issues.append(f"montant non sourcé: {token}")
         for m in _ARTICLE_RE.finditer(answer):
-            ref = m.group(1)
-            if _norm(ref) not in norm_context:
-                issues.append(f"article non sourcé: article {ref}")
+            ref = _norm(m.group(1))
+            # the context must mention THIS article — "article 5" must
+            # not pass because "35" appears somewhere ("art. 83"
+            # abbreviations accepted)
+            if not re.search(
+                    rf"\bart(?:icles?|\.)?\s*{re.escape(ref)}\b",
+                    norm_context):
+                issues.append(
+                    f"article non sourcé: article {m.group(1)}")
         for m in _DELAY_RE.finditer(answer):
             token = m.group(0)
             # the FULL number+unit token must occur in the context
