@@ -250,6 +250,38 @@ def make_handler(system: dict):
                         })
                     out.append(hits)
                 self._send(200, {"results": out})
+            elif self.path == "/generate":
+                # direct generation endpoint (TPU-served decoder). With
+                # "stream": true → Server-Sent Events, one `data:` per
+                # text delta (the reference's Ollama backend streams the
+                # same way; its app never used it — capability superset)
+                llm = system.get("stream_llm")
+                if llm is None or not hasattr(llm, "generate_stream"):
+                    self._send(503, {"error": "no streaming LLM loaded"})
+                    return
+                prompt = str(data.get("prompt", "")).strip()
+                if not prompt:
+                    self._send(400, {"error": "missing 'prompt'"})
+                    return
+                max_new = max(1, min(int(data.get("max_tokens", 128)),
+                                     2048))
+                if not data.get("stream"):
+                    resp = llm.generate(prompt, max_tokens=max_new)
+                    self._send(200, {"text": resp.text,
+                                     "model": resp.model,
+                                     "error": resp.error})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                for delta in llm.generate_stream(prompt,
+                                                 max_tokens=max_new):
+                    payload = json.dumps({"delta": delta},
+                                         ensure_ascii=False)
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
             elif self.path == "/feedback":
                 qid = data.get("query_id")
                 if not qid or "rating" not in data:

@@ -125,7 +125,75 @@ class TextGenerator:
             self._programs[key] = decode
         return self._programs[key]
 
+    def _decode_chunk(self, b: int, n_steps: int,
+                      sampling: SamplingConfig):
+        """Like _decode but returns the carry too, so successive chunks
+        continue exactly where the previous one stopped (streaming)."""
+        key = ("decode_chunk", b, n_steps, sampling.temperature,
+               sampling.top_k, sampling.eos_id, sampling.pad_id)
+        if key not in self._programs:
+            temp, top_k = sampling.temperature, sampling.top_k
+            eos, pad = sampling.eos_id, sampling.pad_id
+
+            def sample(logits, rng):
+                if temp <= 0:
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                kk = min(top_k, logits.shape[-1])
+                vals, idxs = jax.lax.top_k(logits, kk)
+                choice = jax.random.categorical(rng, vals / temp,
+                                                axis=-1)
+                return jnp.take_along_axis(
+                    idxs, choice[:, None], axis=1)[:, 0].astype(
+                    jnp.int32)
+
+            @jax.jit
+            def decode(params, carry):
+                def step(c, _):
+                    logits, caches, pos, done, rng = c
+                    rng, sub = jax.random.split(rng)
+                    token = sample(logits, sub)
+                    token = jnp.where(done, pad, token)
+                    done = done | (token == eos)
+                    new_logits, caches = self.model.apply(
+                        params, token[:, None], pos[:, None], caches,
+                    )
+                    return (new_logits[:, 0], caches, pos + 1, done,
+                            rng), token
+
+                carry, tokens = jax.lax.scan(step, carry, None,
+                                             length=n_steps)
+                return carry, tokens.T
+
+            self._programs[key] = decode
+        return self._programs[key]
+
     # ------------------------------------------------------------ public
+    def generate_stream(self, input_ids: np.ndarray,
+                        lengths: np.ndarray,
+                        sampling: SamplingConfig | None = None,
+                        rng_seed: int = 0, chunk: int = 8):
+        """Yield [B, ≤chunk] token blocks as they decode. Greedy streams
+        are bit-identical to generate_ids; stops early once every row
+        has emitted EOS."""
+        sampling = sampling or SamplingConfig()
+        params = self.load()
+        b, s = input_ids.shape
+        assert s + sampling.max_new_tokens <= self.config.max_seq_len
+        first_logits, caches = self._prefill(b, s)(
+            params, jnp.asarray(input_ids), jnp.asarray(lengths))
+        carry = (first_logits, caches, jnp.asarray(lengths),
+                 jnp.zeros((b,), bool), jax.random.key(rng_seed))
+        emitted = 0
+        while emitted < sampling.max_new_tokens:
+            n = min(chunk, sampling.max_new_tokens - emitted)
+            carry, tokens = self._decode_chunk(b, n, sampling)(
+                params, carry)
+            emitted += n
+            tokens = np.asarray(tokens)
+            yield tokens
+            if bool(np.asarray(carry[3]).all()):
+                return
+
     def generate_ids(self, input_ids: np.ndarray, lengths: np.ndarray,
                      sampling: SamplingConfig | None = None,
                      rng_seed: int = 0) -> np.ndarray:

@@ -130,5 +130,34 @@ class TPULLMProvider(BaseLLMProvider):
             return LLMResponse("", self.model_name, time.time() - t0,
                                error=str(e))
 
+    def generate_stream(self, prompt, system=None, temperature=0.0,
+                        max_tokens=None, chunk: int = 8):
+        """Yield text deltas as the decoder produces them. Incremental
+        detokenization re-decodes the full emitted prefix each block and
+        yields the string delta, so subword/multibyte joins across block
+        boundaries come out right. Greedy streams concatenate to exactly
+        the non-streaming output."""
+        text = f"{system}\n\n{prompt}" if system else prompt
+        budget = self.config.max_seq_len - (
+            max_tokens or self.max_new_tokens) - 1
+        enc = self.tokenizer.encode_batch(
+            [text], min(bucket_length(len(text) // 3 + 2), budget))
+        sampling = SamplingConfig(
+            temperature=temperature,
+            max_new_tokens=max_tokens or self.max_new_tokens,
+            eos_id=self.tokenizer.sep_id,
+            pad_id=self.tokenizer.pad_id,
+        )
+        emitted: list[int] = []
+        prev = ""
+        for block in self.generator.generate_stream(
+                np.asarray(enc.input_ids), np.asarray(enc.lengths),
+                sampling, chunk=chunk):
+            emitted.extend(int(t) for t in block[0])
+            full = self._decode_text(emitted)
+            delta, prev = full[len(prev):], full
+            if delta:
+                yield delta
+
     def is_available(self) -> bool:
         return True

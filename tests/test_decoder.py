@@ -136,3 +136,46 @@ def test_torch_parity_llama():
     ours = DecoderModel(cfg).apply(params, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3,
                                rtol=2e-3)
+
+
+def test_generate_stream_matches_generate_ids():
+    """Chunked streaming must be bit-identical to the one-shot decode
+    (same rng threading), and stop early once every row hit EOS."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.models.generate import (
+        SamplingConfig,
+        TextGenerator,
+    )
+
+    cfg = DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                             dtype=jnp.float32)
+    gen = TextGenerator(cfg)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(3, 512, (2, 10)).astype(np.int32)
+    lengths = np.asarray([10, 6])
+
+    s = SamplingConfig(temperature=0.0, max_new_tokens=13, eos_id=-1)
+    want = gen.generate_ids(ids, lengths, s)
+    got = np.concatenate(list(gen.generate_stream(ids, lengths, s,
+                                                  chunk=4)), axis=1)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+    # sampled path: identical rng threading → identical stream
+    s2 = SamplingConfig(temperature=0.8, max_new_tokens=12, eos_id=-1)
+    want2 = gen.generate_ids(ids, lengths, s2, rng_seed=7)
+    got2 = np.concatenate(list(gen.generate_stream(
+        ids, lengths, s2, rng_seed=7, chunk=5)), axis=1)
+    assert np.array_equal(got2, want2)
+
+    # early stop (single row so all-done is reachable): the row's own
+    # first greedy token as EOS stops the stream at the first chunk
+    first = int(want[0, 0])
+    s3 = SamplingConfig(temperature=0.0, max_new_tokens=64, eos_id=first)
+    chunks = list(gen.generate_stream(ids[:1], lengths[:1], s3,
+                                      chunk=4))
+    total = sum(c.shape[1] for c in chunks)
+    assert total == 4, "stream must stop after the all-EOS chunk"

@@ -227,3 +227,49 @@ def test_binary_search_roundtrip(server):
         assert False, "should 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_generate_sse_streaming(tmp_path_factory):
+    """SSE /generate streams deltas that concatenate to the
+    non-streaming output (greedy, TPU-served tiny decoder)."""
+    import json as _json
+    import os
+    import threading as th
+
+    import jax.numpy as jnp
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("sse"))
+    system = build_system(agent_too=False)
+    system["stream_llm"] = TPULLMProvider(
+        DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32), max_new_tokens=12)
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    code, data = _post(url, "/generate",
+                       {"prompt": "registre des traitements",
+                        "max_tokens": 12})
+    assert code == 200 and data["text"], data
+
+    req = urllib.request.Request(
+        url + "/generate",
+        data=_json.dumps({"prompt": "registre des traitements",
+                          "max_tokens": 12, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    deltas = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[6:]
+            if body == "[DONE]":
+                break
+            deltas.append(_json.loads(body)["delta"])
+    assert deltas and "".join(deltas) == data["text"]
+    srv.shutdown()
