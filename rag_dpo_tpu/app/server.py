@@ -125,7 +125,15 @@ def make_handler(system: dict):
                 return
             vectors = np.frombuffer(body, np.float32, count=q * dim,
                                     offset=16).reshape(q, dim)
-            scores, rows = search(vectors, k, where=None)
+            where = None
+            where_hdr = self.headers.get("X-Where")
+            if where_hdr:
+                try:
+                    where = json.loads(where_hdr)
+                except json.JSONDecodeError:
+                    self._send(400, {"error": "X-Where must be JSON"})
+                    return
+            scores, rows = search(vectors, k, where=where)
             scores = np.ascontiguousarray(scores, np.float32)
             rows = np.ascontiguousarray(rows, np.int32)
             out = (b"RDPR" + struct.pack("<II", q, rows.shape[1])

@@ -218,6 +218,18 @@ def test_binary_search_roundtrip(server):
     assert (rows >= -1).all()
     assert json_ids  # JSON path still fine alongside
 
+    # filters ride the X-Where header in binary mode
+    req = urllib.request.Request(
+        server + "/search", data=body,
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Where": '{"nature": "GUIDE"}'})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out2 = r.read()
+    assert out2[:4] == b"RDPR"
+    rows2 = np.frombuffer(out2, np.int32, count=q * ok,
+                          offset=12 + q * ok * 4).reshape(q, ok)
+    assert (rows2 >= -1).all()
+
     # malformed header → JSON error, not a reset
     req = urllib.request.Request(
         server + "/search", data=b"XXXX....",
