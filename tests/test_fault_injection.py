@@ -165,3 +165,23 @@ def test_embedder_failure_surfaces_not_hangs(stack):
                            use_expansion=False, use_intent=False)
     with pytest.raises(RuntimeError, match="device lost"):
         pipe.query(QUESTION)
+
+
+@pytest.mark.parametrize("fail_at", [0, 1, 2, 3, 5, 7])
+def test_agent_survives_failure_at_any_call_position(stack, fail_at):
+    """Whatever single LLM call dies — rewrite, classify, expansion,
+    decompose, generation, completeness — the agent must return an
+    in-band RAGResponse, never raise."""
+    from rag_dpo_tpu.agent.graph import create_agent_pipeline
+
+    index, embedder, stats = stack
+    llm = FlakyLLM(FakeLLMProvider(), fail_calls={fail_at})
+    agent = create_agent_pipeline(index, embedder, llm,
+                                  bm25_stats=stats)
+    resp = agent.query(
+        QUESTION,
+        conversation_history=[{"role": "user", "content": "Bonjour"},
+                              {"role": "assistant",
+                               "content": "Bonjour !"}])
+    assert isinstance(resp.answer, str) and resp.answer
+    assert resp.total_time > 0
