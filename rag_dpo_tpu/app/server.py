@@ -110,18 +110,43 @@ def make_handler(system: dict):
                 self._send(503, {"error": "no index loaded"})
                 return
             length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
-            if len(body) < 16 or body[:4] != b"RDPV":
+            # sanity-check the header BEFORE buffering the body: read
+            # just the 16-byte preamble, validate q/dim against the
+            # loaded index, and only then read the payload (advisor
+            # round-2: a huge Content-Length was fully buffered before
+            # any check, and a wrong dim surfaced as a 500 from inside
+            # the device sweep instead of a 400 here)
+            if length < 16:
                 self._send(400, {"error": "bad binary header "
                                           "(want magic 'RDPV')"})
                 return
-            q, dim, k = struct.unpack("<III", body[4:16])
+            head = self.rfile.read(16)
+            if head[:4] != b"RDPV":
+                self._send(400, {"error": "bad binary header "
+                                          "(want magic 'RDPV')"})
+                return
+            q, dim, k = struct.unpack("<III", head[4:16])
             k = max(1, min(k, 1000))
-            want = 16 + q * dim * 4
-            if q == 0 or len(body) != want:
+            index = system.get("index")
+            index_dim = getattr(getattr(index, "config", None), "dim",
+                                None)
+            if index_dim is not None and dim != index_dim:
                 self._send(400, {"error":
-                                 f"body length {len(body)} != {want} "
+                                 f"dim {dim} != index dim {index_dim}"})
+                return
+            if q == 0 or q > 65536:
+                self._send(400, {"error": f"q={q} out of range "
+                                          "(1..65536)"})
+                return
+            want = 16 + q * dim * 4
+            if length != want:
+                self._send(400, {"error":
+                                 f"body length {length} != {want} "
                                  f"for q={q} dim={dim}"})
+                return
+            body = head + self.rfile.read(length - 16)
+            if len(body) != want:
+                self._send(400, {"error": "truncated body"})
                 return
             vectors = np.frombuffer(body, np.float32, count=q * dim,
                                     offset=16).reshape(q, dim)
@@ -138,6 +163,7 @@ def make_handler(system: dict):
             rows = np.ascontiguousarray(rows, np.int32)
             out = (b"RDPR" + struct.pack("<II", q, rows.shape[1])
                    + scores.tobytes() + rows.tobytes())
+            self._raw_started = True
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(out)))
@@ -145,15 +171,31 @@ def make_handler(system: dict):
             self.wfile.write(out)
 
         def do_POST(self):
+            # _raw_started: headers already on the wire (binary /search
+            # or an SSE stream). A late exception must NOT write a second
+            # status line into the open stream (advisor round-2): emit a
+            # final SSE error event when streaming, else just close.
+            self._raw_started = False
+            self._sse_started = False
             try:
                 self._do_post()
             except BrokenPipeError:  # client went away mid-response
                 pass
             except Exception as e:  # noqa: BLE001 — JSON error, not a
                 # reset connection, whatever the pipeline threw
+                msg = f"{type(e).__name__}: {e}"[:500]
                 try:
-                    self._send(500, {
-                        "error": f"{type(e).__name__}: {e}"[:500]})
+                    if self._sse_started:
+                        payload = json.dumps({"error": msg},
+                                             ensure_ascii=False)
+                        self.wfile.write(
+                            f"data: {payload}\n\ndata: [DONE]\n\n"
+                            .encode())
+                        self.close_connection = True
+                    elif self._raw_started:
+                        self.close_connection = True
+                    else:
+                        self._send(500, {"error": msg})
                 except Exception:
                     pass
 
@@ -279,6 +321,8 @@ def make_handler(system: dict):
                                      "model": resp.model,
                                      "error": resp.error})
                     return
+                self._raw_started = True
+                self._sse_started = True
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")

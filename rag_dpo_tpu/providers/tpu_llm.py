@@ -17,6 +17,7 @@ stays bounded.
 
 from __future__ import annotations
 
+import threading
 import time
 
 import numpy as np
@@ -46,6 +47,13 @@ class TPULLMProvider(BaseLLMProvider):
             vocab_size=self.config.vocab_size)
         self.max_new_tokens = max_new_tokens
         self.model_name = model_name
+        # per-batch sampling seed: a server-side counter threaded into
+        # each batched decode so identical prompts sampled at
+        # temperature>0 are independent across calls instead of
+        # replaying rng_seed=0 forever (advisor round-2). Only bumped
+        # per device call, so it never fragments batching keys.
+        self._seed_counter = 0
+        self._seed_lock = threading.Lock()
         self._batcher = None
         if batch_concurrent:
             from ..serving.batcher import MicroBatcher
@@ -77,8 +85,18 @@ class TPULLMProvider(BaseLLMProvider):
             temperature=temp, max_new_tokens=max_new,
             eos_id=self.tokenizer.sep_id, pad_id=self.tokenizer.pad_id,
         )
-        tokens = self.generator.generate_ids(ids, lengths, sampling)
+        tokens = self.generator.generate_ids(
+            ids, lengths, sampling, rng_seed=self._next_seed(temp))
         return (tokens[:q],)
+
+    def _next_seed(self, temperature: float) -> int:
+        """Fresh seed per sampled decode; stable 0 when greedy (where
+        the rng is unused and a constant keeps cache keys stable)."""
+        if temperature <= 0:
+            return 0
+        with self._seed_lock:
+            self._seed_counter += 1
+            return self._seed_counter
 
     def load_converted(self, state_dict):
         self.generator.load_converted(state_dict)
@@ -123,7 +141,8 @@ class TPULLMProvider(BaseLLMProvider):
                     pad_id=self.tokenizer.pad_id,
                 )
                 tokens = self.generator.generate_ids(
-                    enc.input_ids, enc.lengths, sampling)
+                    enc.input_ids, enc.lengths, sampling,
+                    rng_seed=self._next_seed(temperature))
             return LLMResponse(self._decode_text(tokens[0]),
                                self.model_name, time.time() - t0)
         except Exception as e:
@@ -152,12 +171,26 @@ class TPULLMProvider(BaseLLMProvider):
         prev = ""
         for block in self.generator.generate_stream(
                 np.asarray(enc.input_ids), np.asarray(enc.lengths),
-                sampling, chunk=chunk):
+                sampling, rng_seed=self._next_seed(temperature),
+                chunk=chunk):
             emitted.extend(int(t) for t in block[0])
             full = self._decode_text(emitted)
             delta, prev = full[len(prev):], full
             if delta:
                 yield delta
+
+    def chat_stream(self, messages, temperature=0.0, max_tokens=None):
+        """Native token-streamed chat: flatten messages the same way the
+        base `chat()` does, then ride the decoder's chunked stream."""
+        system, parts = None, []
+        for m in messages:
+            if m["role"] == "system":
+                system = m["content"]
+            else:
+                parts.append(f"{m['role']}: {m['content']}")
+        yield from self.generate_stream(
+            "\n\n".join(parts), system=system, temperature=temperature,
+            max_tokens=max_tokens)
 
     def is_available(self) -> bool:
         return True

@@ -113,9 +113,14 @@ class GroundingValidator:
             ref = _norm(m.group(1))
             # the context must mention THIS article — "article 5" must
             # not pass because "35" appears somewhere ("art. 83"
-            # abbreviations accepted)
+            # abbreviations accepted). Enumerations ground too:
+            # "articles 12, 13 et 14" must ground "article 13", so the
+            # number may sit anywhere inside a digits/comma/et/à span
+            # that follows the article keyword (advisor round-2 fix).
+            enum_span = r"(?:\d+(?:-\d+)?(?:\.\d+)?\s*(?:,|et|a|à)?\s*)*"
             if not re.search(
-                    rf"\bart(?:icles?|\.)?\s*{re.escape(ref)}\b",
+                    rf"\bart(?:icles?|\.)?\s+{enum_span}"
+                    rf"\b{re.escape(ref)}\b",
                     norm_context):
                 issues.append(
                     f"article non sourcé: article {m.group(1)}")

@@ -97,7 +97,14 @@ class MicroBatcher:
             p.event.wait()
         errs = [p.error for p in pendings if p.error is not None]
         if errs:
-            raise errs[0]
+            # a batch error is shared by every caller of that batch;
+            # raising the SAME exception object concurrently in several
+            # threads mutates its __traceback__ mid-flight (advisor
+            # round-2) — each caller raises its own wrapper instead
+            err = errs[0]
+            raise RuntimeError(
+                f"micro-batched call failed: "
+                f"{type(err).__name__}: {err}") from err
         if len(pendings) == 1:
             return pendings[0].result
         return tuple(np.concatenate([p.result[j] for p in pendings],
