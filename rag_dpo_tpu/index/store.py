@@ -38,6 +38,34 @@ from .metadata import MetadataStore, compile_filter
 NEG_INF = -1e30
 
 
+def _repl(x):
+    """Multihost-safe replicated operand: committed process-local jax
+    arrays cannot be auto-resharded into a cross-host replication, so
+    under multi-process the value travels as host numpy (every process
+    contributes the identical value — SPMD contract)."""
+    return np.asarray(x) if jax.process_count() > 1 else x
+
+
+def _local_row_range(sharding, shape) -> tuple[int, int]:
+    """[lo, hi) leading-axis rows owned by THIS process under a
+    row-sharded NamedSharding. With host-major device ordering and
+    P(shard) the local rows are one contiguous run; asserted, since
+    `host_local_rows` requires process-local data in global order."""
+    pid = jax.process_index()
+    slices = sorted(
+        (idx[0].start or 0,
+         shape[0] if idx[0].stop is None else idx[0].stop)
+        for d, idx in sharding.devices_indices_map(tuple(shape)).items()
+        if d.process_index == pid
+    )
+    lo, hi = slices[0][0], slices[0][1]
+    for s, e in slices[1:]:
+        assert s <= hi, (
+            f"non-contiguous local rows under {sharding}: {slices}")
+        hi = max(hi, e)
+    return lo, hi
+
+
 @dataclasses.dataclass(frozen=True)
 class IndexConfig:
     dim: int = 1024
@@ -243,6 +271,27 @@ class DeviceIndex:
         self._searchers.clear()
 
     # ------------------------------------------------------------ device
+    def _put_rows(self, x):
+        """Upload an array sharded along its LEADING axis over the mesh
+        `shard` axis (corpus rows, penalty vectors, stacked per-shard
+        posting tables). Single-host: a plain sharded device_put. In a
+        multi-host deployment (jax.process_count() > 1) each process
+        uploads ONLY the slice its own devices hold, assembled through
+        `host_local_rows` — no host ever ships another host's rows, and
+        the resulting global array feeds the exact same shard_map search
+        programs over DCN (tests/test_multihost.py runs this for every
+        engine against a single-device oracle)."""
+        arr = np.asarray(x)
+        if self.mesh is None:
+            return jax.device_put(jnp.asarray(arr))
+        from ..parallel.mesh import host_local_rows, shard_leading_axis
+
+        sh = shard_leading_axis(self.mesh)
+        if jax.process_count() > 1:
+            lo, hi = _local_row_range(sh, arr.shape)
+            return host_local_rows(arr.shape, self.mesh, arr[lo:hi])
+        return jax.device_put(jnp.asarray(arr), sh)
+
     def _n_pad(self) -> int:
         blk = self.config.row_block
         if self.mesh is not None:
@@ -264,13 +313,7 @@ class DeviceIndex:
         alive[:n] = self._alive.astype(np.float32)
         alive_penalty = (alive - 1.0) * 1e4  # 0 for live, -1e4 otherwise
 
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_leading_axis
-
-            sh = shard_leading_axis(self.mesh)
-            put = lambda x: jax.device_put(jnp.asarray(x), sh)
-        else:
-            put = lambda x: jax.device_put(jnp.asarray(x))
+        put = self._put_rows
         embs_d = put(embs)
         if cfg.quantize_int8:
             from ..ops.quantize import quantize_rows
@@ -337,10 +380,7 @@ class DeviceIndex:
         m = np.full((dev["n_pad"],), -1e4, np.float32)
         m[: len(mask)] = np.where(mask, 0.0, -1e4)
         if self.mesh is not None:
-            from ..parallel.mesh import shard_leading_axis
-
-            return jax.device_put(jnp.asarray(m),
-                                  shard_leading_axis(self.mesh))
+            return self._put_rows(m)
         return jnp.asarray(m)
 
     def _finish(self, s, i, k):
@@ -418,7 +458,8 @@ class DeviceIndex:
             self._searchers[key] = sharded_topk_multi(
                 self.mesh, local_fn, k, n_sharded=2)
         pen = self._combined_penalty(mask, dev)
-        s, i = self._searchers[key](q, dev["row_ids"], dev["embs"], pen)
+        s, i = self._searchers[key](_repl(q), dev["row_ids"],
+                                    dev["embs"], pen)
         return self._finish(s, i, k)
 
     def _sharded_int8(self, qf, k: int, mask, dev):
@@ -464,7 +505,7 @@ class DeviceIndex:
                 self.mesh, local_fn, k_fetch, n_sharded=3)
         pen = self._combined_penalty(mask, dev)
         s, i = self._searchers[key](
-            (q_i8, q_scale), dev["row_ids"],
+            (_repl(q_i8), _repl(q_scale)), dev["row_ids"],
             dev["embs_i8"], dev["embs_scale"], pen,
         )
         if self.config.device_refine:
@@ -482,7 +523,6 @@ class DeviceIndex:
         if "postings_sharded" in dev:
             return dev["postings_sharded"]
         from ..ops.postings import PostingsIndex
-        from ..parallel.mesh import shard_leading_axis
 
         n_shards = self.mesh.shape[AXIS_SHARD]
         n_pad = dev["n_pad"]
@@ -503,10 +543,9 @@ class DeviceIndex:
             )
             docs_s.append(pidx.post_docs)
             imps_s.append(pidx.post_impacts)
-        sh = shard_leading_axis(self.mesh)
         dev["postings_sharded"] = (
-            jax.device_put(jnp.asarray(np.stack(docs_s)), sh),
-            jax.device_put(jnp.asarray(np.stack(imps_s)), sh),
+            self._put_rows(np.stack(docs_s)),
+            self._put_rows(np.stack(imps_s)),
         )
         return dev["postings_sharded"]
 
@@ -522,8 +561,8 @@ class DeviceIndex:
         heavy = q_terms.shape[0] * q_terms.shape[1] > 128
         use_postings = nloc > self.config.postings_threshold or heavy
         pen = self._combined_penalty(mask, dev)
-        qt = jnp.asarray(np.asarray(q_terms), jnp.int32)
-        qw = jnp.asarray(np.asarray(q_weights), jnp.float32)
+        qt = _repl(jnp.asarray(np.asarray(q_terms), jnp.int32))
+        qw = _repl(jnp.asarray(np.asarray(q_weights), jnp.float32))
 
         if use_postings:
             post_docs, post_imps = self._sharded_postings(dev)

@@ -87,6 +87,110 @@ WORKER = textwrap.dedent("""
 """).format(repo=REPO)
 
 
+# Production-index worker: the REAL DeviceIndex engines (dense bf16,
+# masked, ELL sparse, impact-ordered postings, int8 blockscan+refine, and
+# device RRF over the arms) run over a mesh whose `shard` axis SPANS the
+# two processes — every per-arm top-k merge is an all-gather across the
+# process (DCN) boundary, and each process uploads only its own rows
+# (store._put_rows → host_local_rows). Every arm is asserted equal to a
+# single-device oracle, with planted winners on the OTHER host.
+WORKER_INDEX = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from rag_dpo_tpu.parallel import (
+        MeshSpec, create_multihost_mesh, initialize_multihost)
+
+    initialize_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+    # import AFTER distributed init (module import touches the backend)
+    from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+    from rag_dpo_tpu.ops.fusion import rrf_fuse
+
+    # index sharding ACROSS hosts (the corpus-larger-than-one-host's-HBM
+    # layout): shard axis spans both processes, so every per-arm top-k
+    # merge crosses DCN
+    mesh = create_multihost_mesh(MeshSpec(data=1, model=1, shard=8),
+                                 allow_split_collectives=True)
+    shard_devs = list(mesh.devices[0, 0])
+    assert {{d.process_index for d in shard_devs[:4]}} == {{0}}
+    assert {{d.process_index for d in shard_devs[4:]}} == {{1}}
+
+    N, D, ELL = 64, 16, 4     # rows 0..31 on host 0, 32..63 on host 1
+    rng = np.random.default_rng(0)
+    dense = rng.standard_normal((N, D)).astype(np.float32)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    terms = rng.integers(0, 40, size=(N, ELL)).astype(np.int32)
+    impacts = np.abs(rng.standard_normal((N, ELL))).astype(np.float32)
+    terms[51, 0] = 77; impacts[51, 0] = 9.0  # planted lexical winner (host 1)
+    metas = [{{"nature": ["DOCTRINE", "GUIDE", "SANCTION"][i % 3]}}
+             for i in range(N)]
+    ids = [f"chunk_{{i}}" for i in range(N)]
+
+    def build(mesh=None, **cfg):
+        idx = DeviceIndex(IndexConfig(dim=D, ell_width=ELL, row_block=8,
+                                      **cfg), mesh=mesh)
+        idx.add(ids, dense, metas, terms, impacts)
+        return idx
+
+    def check(tag, got, want, atol=2e-2):
+        gs, gi = got; ws, wi = want
+        valid = wi >= 0
+        assert (gi[valid] == wi[valid]).all(), (tag, gi, wi)
+        assert np.allclose(gs[valid], ws[valid], atol=atol), tag
+        assert ((gi < 0) == (wi < 0)).all(), tag
+
+    q = dense[[40, 10]]       # row 40 lives on host 1, row 10 on host 0
+
+    # ---- dense bf16 (+ masked) through the production DeviceIndex ----
+    sh = build(mesh=mesh); si = build()
+    got = sh.search_dense(q, 8)
+    check("dense", got, si.search_dense(q, 8, exact=True))
+    assert got[1][0, 0] == 40 and got[1][1, 0] == 10
+    where = {{"nature": "GUIDE"}}
+    gm = sh.search_dense(q, 8, where=where)
+    check("masked", gm, si.search_dense(q, 8, where=where, exact=True))
+    assert gm[1][0, 0] == 40  # 40 % 3 == 1 -> GUIDE, cross-host winner
+
+    # ---- sparse: ELL engine and postings engine ----
+    qt = np.array([[77, 3, -2, -2]], np.int32)
+    qw = np.array([[2.0, 0.5, 0.0, 0.0]], np.float32)
+    gs = sh.search_sparse(qt, qw, 5)
+    check("sparse_ell", gs, si.search_sparse(qt, qw, 5), atol=1e-4)
+    assert gs[1][0, 0] == 51  # planted cross-host lexical winner
+    shp = build(mesh=mesh, postings_threshold=4)
+    gp = shp.search_sparse(qt, qw, 5)
+    check("sparse_postings", gp, si.search_sparse(qt, qw, 5), atol=1e-4)
+
+    # ---- int8 blockscan + exact refine ----
+    shi = build(mesh=mesh, quantize_int8=True)
+    sii = build(quantize_int8=True)
+    gi8 = shi.search_dense(dense[[55, 7]], 8)
+    check("int8", gi8, sii.search_dense(dense[[55, 7]], 8), atol=1e-3)
+    assert gi8[1][0, 0] == 55 and gi8[1][1, 0] == 7
+
+    # ---- production RRF over the two arms ----
+    _, d_rows = sh.search_dense(q[:1], 10)
+    _, s_rows = sh.search_sparse(qt, qw, 10)
+    w = jnp.asarray([2.0, 1.5], jnp.float32)
+    fs, fr = rrf_fuse(jnp.asarray(np.stack([d_rows, s_rows]), jnp.int32),
+                      w, k_rrf=60, topk=5)
+    _, d_o = si.search_dense(q[:1], 10, exact=True)
+    _, s_o = si.search_sparse(qt, qw, 10)
+    fso, fro = rrf_fuse(jnp.asarray(np.stack([d_o, s_o]), jnp.int32),
+                        w, k_rrf=60, topk=5)
+    assert np.array_equal(np.asarray(fr), np.asarray(fro))
+    print(f"MULTIHOST_INDEX_OK p{{pid}}", flush=True)
+""").format(repo=REPO)
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -119,6 +223,37 @@ def test_two_process_dcn_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK p{pid}" in out, out[-3000:]
+
+
+def test_two_process_production_index(tmp_path):
+    """The production DeviceIndex hybrid (dense + masked + sparse ELL +
+    postings + int8 + RRF) executes across the two-process DCN mesh with
+    single-device-oracle parity (VERDICT round-2 item 1)."""
+    script = tmp_path / "worker_index.py"
+    script.write_text(WORKER_INDEX)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(tmp_path),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=400)
+        except subprocess.TimeoutExpired:
+            for pp in procs:
+                pp.kill()
+            pytest.fail("multihost index worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST_INDEX_OK p{pid}" in out, out[-3000:]
 
 
 def test_create_multihost_mesh_guards_and_idempotent_init():
