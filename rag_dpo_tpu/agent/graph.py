@@ -84,6 +84,7 @@ class RAGAgentPipeline:
         n_documents: int = 5,
         n_chunks_per_doc: int = 3,
         temperature: float | None = None,
+        on_delta=None,
     ) -> RAGResponse:
         t0 = time.time()
         state = AgentState(
@@ -94,6 +95,7 @@ class RAGAgentPipeline:
             n_documents=n_documents,
             n_chunks_per_doc=n_chunks_per_doc,
             temperature=temperature,
+            on_delta=on_delta,
         )
         state = self.graph.run(state)
         timings = state.timings
@@ -124,6 +126,63 @@ class RAGAgentPipeline:
                 "rewritten_question": state.question,
             },
         )
+
+
+    def query_stream(
+        self,
+        question: str,
+        where_filter: dict | None = None,
+        enterprise_tags: Sequence[str] | None = None,
+        conversation_history: Sequence[dict] | None = None,
+        n_documents: int = 5,
+        n_chunks_per_doc: int = 3,
+        temperature: float | None = None,
+    ):
+        """Streaming agent query — same event protocol as
+        `RAGPipeline.query_stream`: ("delta", str) as the generate node
+        produces answer text, ("reset", None) when a grounding retry or
+        re-retrieval regenerates (the client discards the draft), then
+        one final ("response", RAGResponse) with the post-processed
+        answer. The graph runs in a worker thread; deltas cross over a
+        queue so the caller iterates while generation is in flight."""
+        import queue as _queue
+        import threading as _threading
+
+        q: _queue.Queue = _queue.Queue()
+        _DONE = object()
+
+        def on_delta(d):
+            q.put(("delta", d) if d is not None else ("reset", None))
+
+        def run():
+            try:
+                resp = self.query(
+                    question,
+                    where_filter=where_filter,
+                    enterprise_tags=enterprise_tags,
+                    conversation_history=conversation_history,
+                    n_documents=n_documents,
+                    n_chunks_per_doc=n_chunks_per_doc,
+                    temperature=temperature,
+                    on_delta=on_delta,
+                )
+                q.put(("response", resp))
+            except BaseException as e:  # noqa: BLE001 — surface to caller
+                q.put(("error", e))
+            finally:
+                q.put(_DONE)
+
+        worker = _threading.Thread(target=run, daemon=True,
+                                   name="agent-query-stream")
+        worker.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            if item[0] == "error":
+                raise item[1]
+            yield item
+        worker.join(timeout=5)
 
 
 def create_agent_pipeline(

@@ -325,8 +325,15 @@ def generate(c: NodeComponents, s: AgentState) -> AgentState:
         )
         temperature = min((temperature or 0.0) + 0.2, 0.7)
 
-    gen = c.generator.generate(built.system_prompt, user_prompt,
-                               temperature=temperature)
+    if s.on_delta is not None:
+        if s.generation_retries or s.re_retrievals:
+            s.on_delta(None)  # reset marker: new attempt replaces draft
+        gen = c.generator.generate_streamed(
+            built.system_prompt, user_prompt, temperature=temperature,
+            on_delta=s.on_delta)
+    else:
+        gen = c.generator.generate(built.system_prompt, user_prompt,
+                                   temperature=temperature)
     answer = gen.text
     # strip a model-invented "Sources" trailer (ours is appended at
     # respond). The pattern requires the colon — an optional colon would

@@ -56,6 +56,11 @@ class AgentState:
     re_retrievals: int = 0
     coverage_pct: int = 100
 
+    # streaming: called with each answer text delta as the generate node
+    # produces it; called with None to signal that a NEW attempt replaces
+    # the streamed draft (grounding retry / re-retrieval regeneration)
+    on_delta: Any = None
+
     # bookkeeping
     timings: dict[str, float] = dataclasses.field(default_factory=dict)
     node_trace: list[str] = dataclasses.field(default_factory=list)

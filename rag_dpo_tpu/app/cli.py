@@ -73,12 +73,29 @@ def cmd_chat(args) -> int:
             qlog.log_feedback(last_qid, 1 if q == "+1" else -1)
             print("merci pour le retour.")
             continue
-        resp = pipe.query(
-            q, where_filter=where, enterprise_tags=tags,
-            conversation_history=history,
-            n_documents=args.depth,
-        )
-        print(f"\nassistant> {resp.answer}")
+        kwargs = dict(where_filter=where, enterprise_tags=tags,
+                      conversation_history=history,
+                      n_documents=args.depth)
+        if getattr(args, "no_stream", False) \
+                or not hasattr(pipe, "query_stream"):
+            resp = pipe.query(q, **kwargs)
+            print(f"\nassistant> {resp.answer}")
+        else:
+            # stream the draft as the LLM produces it, then replace it
+            # with the post-processed (renumbered-citation) final answer
+            print("\nassistant> ", end="", flush=True)
+            resp = None
+            for ev, val in pipe.query_stream(q, **kwargs):
+                if ev == "delta":
+                    print(val, end="", flush=True)
+                elif ev == "reset":
+                    print("\n  [nouvelle tentative]\nassistant> ",
+                          end="", flush=True)
+                elif ev == "response":
+                    resp = val
+            if resp.answer != "":
+                print(f"\n--- réponse finale (sources renumérotées) ---"
+                      f"\n{resp.answer}")
         print(f"  [{resp.intent} · {len(resp.sources)} sources · "
               f"{resp.total_time:.2f}s]")
         last_qid = qlog.log_query(
@@ -184,6 +201,9 @@ def main(argv=None) -> int:
     chat.add_argument("--tags", help="tags entreprise séparés par ,")
     chat.add_argument("--depth", type=int, default=5,
                       help="n_documents (5/8/12)")
+    chat.add_argument("--no-stream", dest="no_stream",
+                      action="store_true",
+                      help="réponse d'un bloc (pas de streaming)")
     chat.set_defaults(fn=cmd_chat)
 
     dash = sub.add_parser("dashboard")

@@ -5,7 +5,13 @@ server exposing the framework for programmatic/production use:
 
     POST /query     {"question", "agent"?, "where_filter"?,
                      "enterprise_tags"?, "n_documents"?,
-                     "conversation_history"?}
+                     "conversation_history"?, "stream"?} — with
+                    "stream": true the response is SSE: {"delta": ...}
+                    events as the LLM produces the answer,
+                    {"reset": true} when a quality retry regenerates,
+                    then {"response": <full oneshot payload>} (markdown
+                    fixup + citation renumbering applied on the
+                    completed stream) and [DONE]
     POST /search    {"vectors": [[...f32 x dim...]] | "texts": [...],
                      "k"?, "where"?} — retrieval-only vector-search API
     POST /search (Content-Type: application/octet-stream) — binary fast
@@ -223,32 +229,71 @@ def make_handler(system: dict):
                     self._send(400, {"error":
                                      "n_documents must be an int"})
                     return
+                kwargs = dict(
+                    where_filter=data.get("where_filter"),
+                    enterprise_tags=data.get("enterprise_tags"),
+                    conversation_history=data.get(
+                        "conversation_history"),
+                    n_documents=n_docs,
+                )
+
+                def payload(resp):
+                    qid = system["qlog"].log_query(
+                        resp, pipeline="agent" if data.get("agent")
+                        else "native")
+                    return {
+                        "query_id": qid,
+                        "answer": resp.answer,
+                        "sources": resp.sources,
+                        "intent": resp.intent,
+                        "grounded": resp.grounded,
+                        "timings": {
+                            "retrieval": resp.retrieval_time,
+                            "rerank": resp.rerank_time,
+                            "generation": resp.generation_time,
+                            "total": resp.total_time,
+                        },
+                        "error": resp.error,
+                    }
+
+                if data.get("stream"):
+                    # SSE: answer deltas as the LLM produces them, a
+                    # {"reset": true} event when a quality retry
+                    # regenerates (client drops the draft), then the
+                    # SAME final payload as the oneshot mode — with
+                    # markdown fixup + cited-source renumbering applied
+                    # on the completed stream — and [DONE]. The
+                    # reference's chat blocks ~39 s with zero output
+                    # (`pages/1_💬_Chat.py:312`); this path puts first
+                    # tokens on the wire as soon as retrieval finishes.
+                    with lock:
+                        self._raw_started = True
+                        self._sse_started = True
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+
+                        def emit(obj):
+                            body = json.dumps(obj, ensure_ascii=False)
+                            self.wfile.write(
+                                f"data: {body}\n\n".encode())
+                            self.wfile.flush()
+
+                        for ev, val in pipe.query_stream(question,
+                                                         **kwargs):
+                            if ev == "delta":
+                                emit({"delta": val})
+                            elif ev == "reset":
+                                emit({"reset": True})
+                            elif ev == "response":
+                                emit({"response": payload(val)})
+                        self.wfile.write(b"data: [DONE]\n\n")
+                    return
                 with lock:
-                    resp = pipe.query(
-                        question,
-                        where_filter=data.get("where_filter"),
-                        enterprise_tags=data.get("enterprise_tags"),
-                        conversation_history=data.get(
-                            "conversation_history"),
-                        n_documents=n_docs,
-                    )
-                qid = system["qlog"].log_query(
-                    resp, pipeline="agent" if data.get("agent")
-                    else "native")
-                self._send(200, {
-                    "query_id": qid,
-                    "answer": resp.answer,
-                    "sources": resp.sources,
-                    "intent": resp.intent,
-                    "grounded": resp.grounded,
-                    "timings": {
-                        "retrieval": resp.retrieval_time,
-                        "rerank": resp.rerank_time,
-                        "generation": resp.generation_time,
-                        "total": resp.total_time,
-                    },
-                    "error": resp.error,
-                })
+                    resp = pipe.query(question, **kwargs)
+                self._send(200, payload(resp))
             elif self.path == "/search":
                 search = system.get("search")
                 if search is None:

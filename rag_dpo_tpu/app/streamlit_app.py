@@ -18,6 +18,13 @@ mirrors the same features in the terminal.
 from __future__ import annotations
 
 import json
+import pathlib
+import sys
+
+if __package__ in (None, ""):  # `streamlit run .../streamlit_app.py`
+    # executes this file as a top-level script with no package context:
+    # bootstrap the repo root so the absolute imports below resolve
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 NATURES = [None, "DOCTRINE", "GUIDE", "SANCTION", "TECHNIQUE", "MIXTE"]
 DEPTHS = [5, 8, 12]
@@ -38,9 +45,10 @@ def _require_streamlit():
 def build_system():
     """Assemble both pipelines + logging once (st.cache_resource target,
     mirroring the reference's init_rag_system, app.py:42-124)."""
-    from ..ingest.enterprise import EnterpriseIngestor, TagRegistry
-    from ..utils import Alerter, QueryLogger, default_paths
-    from .demo import build_demo_stack
+    from rag_dpo_tpu.app.demo import build_demo_stack
+    from rag_dpo_tpu.ingest.enterprise import EnterpriseIngestor, \
+        TagRegistry
+    from rag_dpo_tpu.utils import Alerter, QueryLogger, default_paths
 
     native, ctx = build_demo_stack(agent=False)
     agent, _ = build_demo_stack(llm=ctx["llm"], agent=True)
@@ -97,14 +105,33 @@ def render_chat(st, system):
     if q:
         st.chat_message("user").write(q)
         pipe = system["agent"] if use_agent else system["native"]
-        resp = pipe.query(
-            q,
+        kwargs = dict(
             where_filter={"nature": nature} if nature else None,
             enterprise_tags=selected_tags or None,
             conversation_history=st.session_state["history"],
             n_documents=depth,
         )
-        st.chat_message("assistant").write(resp.answer)
+        box = st.chat_message("assistant")
+        if hasattr(pipe, "query_stream") and hasattr(box, "empty"):
+            # stream the draft, then replace it with the post-processed
+            # final answer (citation renumbering happens stream-end; the
+            # reference chat blocks the whole ~39 s instead,
+            # `pages/1_💬_Chat.py:312`)
+            slot = box.empty()
+            draft = ""
+            for ev, val in pipe.query_stream(q, **kwargs):
+                if ev == "delta":
+                    draft += val
+                    slot.write(draft + " ▌")
+                elif ev == "reset":
+                    draft = ""
+                    slot.write("*(nouvelle tentative…)*")
+                elif ev == "response":
+                    resp = val
+            slot.write(resp.answer)
+        else:
+            resp = pipe.query(q, **kwargs)
+            box.write(resp.answer)
 
         # composite-question expander (reference :255-262, 345-350)
         subs = (resp.extras or {}).get("sub_questions") or []
@@ -171,6 +198,31 @@ def render_dashboard(st, system):
     st.download_button(
         "Exporter JSON", data=json.dumps(stats, ensure_ascii=False),
         file_name="stats.json")
+
+    # système: device inventory + index + micro-batcher (the same data
+    # the HTTP /stats endpoint reports; reference Dashboard has no
+    # system view at all — capability superset)
+    st.subheader("Système")
+    import jax
+
+    sys_cols = st.columns(3)
+    devices = jax.devices()
+    sys_cols[0].metric("Puces", len(devices))
+    index = system.get("index")
+    sys_cols[1].metric("Extraits indexés",
+                       len(index) if index is not None else 0)
+    search = system.get("search")
+    if search is not None and hasattr(search, "batcher"):
+        bs = search.batcher.stats
+        sys_cols[2].metric(
+            "Batch moyen (recherche)", f"{bs.mean_batch:.1f}")
+        st.caption(
+            f"micro-batcher : {bs.n_requests} requêtes → "
+            f"{bs.n_device_calls} appels device "
+            f"(max batch {bs.max_batch_seen})")
+    else:
+        sys_cols[2].metric("Batch moyen (recherche)", "—")
+    st.caption("devices : " + ", ".join(str(d) for d in devices))
     return stats
 
 
@@ -222,6 +274,54 @@ def render_documents(st, system):
 
 # ----------------------------------------------------------------- main
 
+def render_about(st, system):
+    """À-propos page: project, stack table, version (reference
+    `pages/4_ℹ️_À_propos.py` — content independently authored for the
+    TPU stack)."""
+    from rag_dpo_tpu import __version__
+
+    st.markdown(
+        "### À propos\n\n"
+        "**RAG-DPO TPU** — assistant RGPD/CNIL pour délégués à la "
+        "protection des données, reconstruit comme un moteur de "
+        "récupération TPU-natif : l'index vit en HBM, la recherche "
+        "hybride est un programme device unique, et tout reste local "
+        "(aucun appel cloud)."
+    )
+    st.markdown(
+        "#### Pile technique\n\n"
+        "| Composant | Implémentation |\n"
+        "|---|---|\n"
+        "| Index | matrice device-résidente shardée (dense bf16/int8 + "
+        "lexical ELL/postings), top-k fusionné |\n"
+        "| Encodeur | BGE-M3 en JAX/Flax (dense + lexical + ColBERT en "
+        "une passe, flash-attention Pallas) |\n"
+        "| Re-ranking | cross-encoder JAX ou MaxSim ColBERT |\n"
+        "| Fusion | RRF pondérée sur device (k=60) |\n"
+        "| Agent | machine à états explicite (11 comportements, "
+        "validation d'ancrage déterministe) |\n"
+        "| Génération | LLM au choix : endpoint HTTP compatible Ollama "
+        "ou décodeur 12B servi sur puce (int8, micro-batché) |\n"
+        "| Parallélisme | jax.sharding Mesh — index shardé, TP, "
+        "ring-attention, multi-hôte DCN |\n"
+        "| Interfaces | Streamlit, CLI, API HTTP (JSON + binaire + "
+        "SSE) |\n"
+    )
+    index = system.get("index")
+    cols = st.columns(3)
+    cols[0].metric("Version", __version__)
+    cols[1].metric("Extraits indexés",
+                   len(index) if index is not None else 0)
+    import jax
+
+    cols[2].metric("Backend", jax.default_backend())
+    st.caption(
+        "Parité fonctionnelle avec l'assistant de référence, "
+        "re-conçue TPU-first — voir PARITY.md et BENCHMARKS.md du "
+        "dépôt pour la couverture et les mesures."
+    )
+
+
 def render_home(st, system):
     st.markdown(
         "## RAG-DPO TPU\nMoteur de recherche documentaire RGPD "
@@ -235,6 +335,13 @@ def render_home(st, system):
 
 
 def main():  # pragma: no cover — requires streamlit runtime
+    import os
+
+    if not os.environ.get("RAGDPO_TPU"):  # default: CPU demo backend
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     st = _require_streamlit()
     st.set_page_config(page_title="RAG-DPO TPU", layout="wide")
 
@@ -254,11 +361,7 @@ def main():  # pragma: no cover — requires streamlit runtime
     elif page == "Accueil":
         render_home(st, system)
     else:
-        st.markdown(
-            "### À propos\nPile 100 % locale : récupération hybride "
-            "(dense + BM25 + RRF), re-ranking cross-encoder, génération "
-            "validée (ancrage, sources), le tout sur TPU."
-        )
+        render_about(st, system)
 
 
 if __name__ == "__main__":  # pragma: no cover

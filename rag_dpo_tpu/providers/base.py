@@ -57,6 +57,26 @@ class BaseLLMProvider(abc.ABC):
         return self.generate("\n\n".join(parts), system=system,
                              temperature=temperature)
 
+    def chat_stream(
+        self,
+        messages: Sequence[Mapping[str, str]],
+        temperature: float = 0.0,
+        max_tokens: int | None = None,
+    ):
+        """Yield text deltas for a chat turn. Providers with a native
+        token stream override this (TPULLMProvider wires the decoder's
+        chunked decode; an Ollama-style HTTP backend would forward its
+        SSE deltas). The default falls back to ONE delta carrying the
+        complete `chat()` answer, so every provider is streamable.
+        Errors raise (callers convert to in-band per the degradation
+        ladder)."""
+        resp = self.chat(messages, temperature=temperature,
+                         max_tokens=max_tokens)
+        if resp.error:
+            raise RuntimeError(resp.error)
+        if resp.text:
+            yield resp.text
+
     def generate_with_image(
         self, prompt: str, image_bytes: bytes, temperature: float = 0.0
     ) -> LLMResponse:

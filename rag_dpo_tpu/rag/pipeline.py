@@ -168,13 +168,107 @@ class RAGPipeline:
             where, n_documents, n_chunks_per_doc,
         )
 
-        # --- formatting
+        return self._final_response(
+            answer, question, intent, built, gen, grounding, retried,
+            retrieval_time, rerank_time, len(candidates), t_start,
+        )
+
+    def query_stream(
+        self,
+        question: str,
+        where_filter: dict | None = None,
+        enterprise_tags: Sequence[str] | None = None,
+        conversation_history: Sequence[dict] | None = None,
+        n_documents: int = 5,
+        n_chunks_per_doc: int = 3,
+        temperature: float | None = None,
+    ):
+        """Streaming variant of `query`: yields ("delta", str) events as
+        the LLM produces the answer, then ONE ("response", RAGResponse)
+        carrying the fully post-processed answer (markdown fixup +
+        cited-source renumbering applied once the stream completes —
+        clients replace the streamed draft with it). Same stages and
+        semantics as `query`; with a greedy deterministic LLM and no
+        quality retry, the final answer equals the oneshot `query`
+        answer exactly (tests/test_streaming_query.py). When the
+        quality-retry ladder replaces the answer, the final response
+        carries the improved (non-streamed) answer. Dual generation is
+        bypassed on this path (two parallel samples can't stream as
+        one). The reference's chat surface blocks ~39 s with zero
+        output (`pages/1_💬_Chat.py:312`); here first tokens arrive as
+        soon as retrieval (+TTFT) completes."""
+        t_start = time.time()
+        where = build_enterprise_where_filter(enterprise_tags,
+                                              where_filter)
+        intent = QuestionIntent()
+        if self.intent_classifier is not None:
+            intent = self.intent_classifier.classify(question)
+
+        t0 = time.time()
+        documents, candidates, rerank_time = self._retrieve(
+            question, where, intent, n_documents, n_chunks_per_doc
+        )
+        retrieval_time = time.time() - t0 - rerank_time
+
+        if not documents:
+            yield ("response", RAGResponse(
+                answer=("Je n'ai trouvé aucun document pertinent pour "
+                        "cette question dans la base documentaire."),
+                question=question,
+                sources=[],
+                intent=intent.intent,
+                topics=intent.topics,
+                retrieval_time=retrieval_time,
+                total_time=time.time() - t_start,
+                n_candidates=0,
+            ))
+            return
+
+        # --- streamed first generation
+        built = self.context_builder.build_context(
+            question, documents, intent=intent.intent,
+            negative_topics=intent.negative_topics,
+            conversation_history=conversation_history,
+        )
+        t0 = time.time()
+        pieces: list[str] = []
+        err = None
+        try:
+            for delta in self.generator.stream(
+                    built.system_prompt, built.user_prompt, temperature):
+                pieces.append(delta)
+                yield ("delta", delta)
+        except Exception as e:  # noqa: BLE001 — degrade in-band
+            err = f"{type(e).__name__}: {e}"
+        text = "".join(pieces)
+        gen = GeneratedResponse(
+            text=text,
+            model=getattr(self.generator.llm, "model_name", ""),
+            generation_time=time.time() - t0,
+            error=err or ("réponse vide du modèle"
+                          if not text.strip() else None),
+        )
+
+        # --- validation + retry ladder, formatting (shared with query)
+        answer, built, gen, grounding, retried = self._generate_validated(
+            question, documents, intent, conversation_history,
+            temperature, where, n_documents, n_chunks_per_doc,
+            first=(built, gen),
+        )
+        yield ("response", self._final_response(
+            answer, question, intent, built, gen, grounding, retried,
+            retrieval_time, rerank_time, len(candidates), t_start,
+        ))
+
+    # ------------------------------------------------------------ helpers
+    def _final_response(self, answer, question, intent, built, gen,
+                        grounding, retried, retrieval_time, rerank_time,
+                        n_candidates, t_start) -> RAGResponse:
         t0 = time.time()
         answer = fix_markdown_formatting(answer)
         answer, used_sources = self.context_builder.\
             format_response_with_sources(answer, built.sources)
         validation_time = time.time() - t0
-
         return RAGResponse(
             answer=answer,
             question=question,
@@ -187,14 +281,12 @@ class RAGPipeline:
             generation_time=gen.generation_time,
             validation_time=validation_time,
             total_time=time.time() - t_start,
-            n_candidates=len(candidates),
+            n_candidates=n_candidates,
             grounded=grounding.grounded,
             grounding_issues=grounding.issues,
             retried=retried,
             error=gen.error,
         )
-
-    # ------------------------------------------------------------ helpers
     def _retrieve(self, question, where, intent, n_documents,
                   n_chunks_per_doc):
         rerank_time = 0.0
@@ -245,9 +337,12 @@ class RAGPipeline:
 
     def _generate_validated(self, question, documents, intent, history,
                             temperature, where, n_documents,
-                            n_chunks_per_doc):
+                            n_chunks_per_doc, first=None):
+        """Validation + quality-retry ladder around the first generation.
+        `first=(built, gen)` injects an attempt already produced (the
+        streaming path) instead of generating here."""
         retried = False
-        built, gen = self._generate_once(
+        built, gen = first if first is not None else self._generate_once(
             question, documents, intent, history, temperature
         )
         answer = gen.text

@@ -9,6 +9,7 @@ import pytest
 
 from rag_dpo_tpu.app.streamlit_app import (
     build_system,
+    render_about,
     render_chat,
     render_dashboard,
     render_documents,
@@ -275,3 +276,77 @@ def test_documents_corrupt_upload_shows_error(system):
     errs = st.labels("error")
     assert errs and "illisible" in errs[0][0]
     assert not st.labels("success")
+
+
+def test_chat_streams_when_ctx_supports_empty(system):
+    """When the chat message container supports `.empty()` (the real
+    streamlit runtime), the chat page streams the draft into the slot
+    and finishes by writing the post-processed final answer."""
+
+    class _Slot:
+        def __init__(self, rec):
+            self.rec = rec
+
+        def write(self, *a, **k):
+            self.rec.append(("slot_write", a))
+
+    class _StreamCtx(_Ctx):
+        def empty(self):
+            self.rec.append(("empty",))
+            return _Slot(self.rec)
+
+    class StreamSt(FakeSt):
+        def chat_message(self, role):
+            self.calls.append(("chat_message", role))
+            return _StreamCtx(self.calls)
+
+    st = StreamSt(script={
+        "Votre question RGPD…": "Quel délai pour notifier une violation "
+                                "de données à la CNIL ?",
+        "Pipeline agent": False,
+    })
+    resp = render_chat(st, system)
+    assert resp is not None and resp.answer
+    slot_writes = [c[1] for c in st.calls if c[0] == "slot_write"]
+    assert len(slot_writes) >= 2, "expected draft delta(s) + final"
+    # the draft carries the streaming cursor; the final write is the
+    # post-processed answer without it
+    assert any("▌" in w[0] for w in slot_writes[:-1])
+    assert slot_writes[-1][0] == resp.answer
+
+
+def test_about_page_renders_stack_and_version(system):
+    from rag_dpo_tpu import __version__
+
+    st = FakeSt()
+    render_about(st, system)
+    md = " ".join(str(a) for _, a in
+                  [c for c in st.calls if c[0] == "markdown"])
+    assert "Pile technique" in md and "BGE-M3" in md
+    metrics = {c[1]: c[2] for c in st.calls if c[0] == "metric"}
+    assert metrics["Version"] == __version__
+    assert metrics["Extraits indexés"] == len(system["index"])
+    assert "Backend" in metrics
+
+
+def test_dashboard_renders_system_section(system):
+    """Device inventory + micro-batcher stats surface in the dashboard
+    (VERDICT round-2 item 9; the data already served by /stats)."""
+    from rag_dpo_tpu.serving import batched_dense_search
+
+    system2 = dict(system)
+    system2["search"] = batched_dense_search(system["index"])
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    dim = system["index"].config.dim
+    system2["search"](rng.standard_normal((2, dim)).astype(np.float32), 3)
+    st = FakeSt()
+    render_dashboard(st, system2)
+    metrics = {c[1] for c in st.calls if c[0] == "metric"}
+    assert {"Puces", "Extraits indexés",
+            "Batch moyen (recherche)"} <= metrics
+    caps = " ".join(str(a) for _, a in
+                    [c for c in st.calls if c[0] == "caption"])
+    assert "micro-batcher" in caps and "devices" in caps
+    system2["search"].batcher.close()
