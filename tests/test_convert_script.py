@@ -65,3 +65,117 @@ def test_convert_decoder_snapshot_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-2)
     agree = np.mean(ref.argmax(-1) == np.asarray(ours).argmax(-1))
     assert agree == 1.0
+
+
+_XLMR_KW = dict(
+    vocab_size=512, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=4, intermediate_size=64,
+    max_position_embeddings=130, type_vocab_size=1, pad_token_id=1,
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    layer_norm_eps=1e-5, position_embedding_type="absolute",
+)
+
+
+def _encoder_cfg():
+    from rag_dpo_tpu.models import EncoderConfig
+
+    return EncoderConfig(
+        vocab_size=512, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=130,
+        type_vocab_size=1, pad_token_id=1, use_flash_attention=False,
+    )
+
+
+def _run_convert(kind, snapshot, out):
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_weights.py", kind,
+         str(snapshot), str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    mod = _load_script()
+    return jax.tree.map(jnp.asarray, mod.load_params_npz(out))
+
+
+@pytest.mark.slow
+def test_convert_bge_m3_snapshot_roundtrip(tmp_path):
+    """`convert_weights.py bge-m3` end-to-end over a real HF snapshot
+    layout: XLMRobertaModel (with pooler, like BAAI/bge-m3's export) +
+    FlagEmbedding's `sparse_linear.pt` / `colbert_linear.pt` sidecars —
+    the one-command real-weights recipe for the retrieval encoder
+    (VERDICT round-2 item 3; model role:
+    /root/reference/src/utils/embedding_provider.py:79-105)."""
+    torch = pytest.importorskip("torch")
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    torch.manual_seed(2)
+    hf = XLMRobertaModel(XLMRobertaConfig(**_XLMR_KW)).eval()
+    snapshot = tmp_path / "snap"
+    hf.save_pretrained(snapshot, safe_serialization=False)
+    torch.manual_seed(3)
+    sparse = torch.nn.Linear(32, 1).eval()
+    colbert = torch.nn.Linear(32, 16).eval()
+    torch.save(sparse.state_dict(), snapshot / "sparse_linear.pt")
+    torch.save(colbert.state_dict(), snapshot / "colbert_linear.pt")
+
+    params = _run_convert("bge-m3", snapshot, tmp_path / "bge.npz")
+
+    from rag_dpo_tpu.models import BgeM3Config, BgeM3Model
+
+    cfg = BgeM3Config(encoder=_encoder_cfg(), colbert_dim=16)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(4, 512, size=(2, 12)).astype(np.int64)
+    ids[1, 9:] = 1  # padding
+    attn = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        h = hf(torch.tensor(ids),
+               attention_mask=torch.tensor(attn)).last_hidden_state
+        ref_dense = torch.nn.functional.normalize(
+            h[:, 0], dim=-1).numpy()
+        mask = attn.astype(np.float32)
+        ref_sparse = torch.relu(sparse(h)[..., 0]).numpy() * mask
+        ref_colbert = (torch.nn.functional.normalize(
+            colbert(h), dim=-1).numpy() * mask[:, :, None])
+
+    ours = BgeM3Model(cfg).apply(params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours.dense), ref_dense,
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours.sparse), ref_sparse,
+                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours.colbert), ref_colbert,
+                               atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_convert_reranker_snapshot_roundtrip(tmp_path):
+    """`convert_weights.py reranker` end-to-end over a real HF
+    sequence-classification snapshot (Jina-reranker-v2-class XLM-RoBERTa
+    architecture; VERDICT round-2 item 3; model role:
+    /root/reference/src/rag/reranker.py:74-108)."""
+    torch = pytest.importorskip("torch")
+    from transformers import (
+        XLMRobertaConfig,
+        XLMRobertaForSequenceClassification,
+    )
+
+    torch.manual_seed(4)
+    hf = XLMRobertaForSequenceClassification(XLMRobertaConfig(
+        num_labels=1, classifier_dropout=0.0, **_XLMR_KW)).eval()
+    snapshot = tmp_path / "snap"
+    hf.save_pretrained(snapshot, safe_serialization=False)
+
+    params = _run_convert("reranker", snapshot, tmp_path / "rr.npz")
+
+    from rag_dpo_tpu.models import CrossEncoderModel
+
+    rng = np.random.default_rng(6)
+    ids = rng.integers(4, 512, size=(3, 12)).astype(np.int64)
+    ids[2, 8:] = 1  # padding
+    attn = (ids != 1).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids),
+                 attention_mask=torch.tensor(attn)).logits.numpy()[:, 0]
+    ours = CrossEncoderModel(_encoder_cfg()).apply(
+        params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref,
+                               atol=2e-4, rtol=2e-3)
