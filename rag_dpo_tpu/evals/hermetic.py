@@ -1,0 +1,136 @@
+"""Hermetic eval replay — the framework's committed-record regression gate.
+
+The reference keeps 80+ historical eval-result JSONs under `eval/` as its
+regression record (`/root/reference/eval/results_*.json`, SURVEY §4) but
+nothing ever FAILS when scores drift. Here the replay is both:
+
+* an artifact producer (`scripts/run_hermetic_replay.py` appends a
+  record per round to `evals/results/`), and
+* an enforced gate (`tests/test_hermetic_regression.py` re-runs the
+  replay and fails if any gated metric regresses below the best
+  committed record by more than a small tolerance).
+
+Everything is hermetic and deterministic on CPU: synthetic corpus derived
+from the vendored qa_dataset, tiny random-init encoder, extractive fake
+LLM — so the scores track the retrieval + orchestration path, and any
+regression in the device path moves them.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+# metrics gated against the committed records, with the max allowed
+# regression per metric (scores are deterministic on CPU; the tolerance
+# absorbs legitimate small re-tuning — anything larger must consciously
+# regenerate the records)
+GATED_METRICS = {
+    "global_score_mean": 0.02,
+    "faithfulness": 0.02,
+    "source_score": 0.02,
+    "cited_source_hit_rate_at_5": 0.02,
+}
+
+RESULTS_DIR = pathlib.Path(__file__).resolve().parent / "results"
+
+
+def run_hermetic_replay(n_runs: int = 3) -> dict:
+    """Build the synthetic stack, replay the 48-question dataset, and
+    return the regression record (shared by the script and the gate
+    test)."""
+    from ..ingest.indexer import CorpusIndexer
+    from ..models import BgeM3Config, EncoderConfig
+    from ..providers import Embedder, EmbedderConfig
+    from ..rag import create_pipeline
+    from ..retrieval import HybridRetriever, RetrieverConfig
+    from . import EvalHarness, load_qa_dataset
+    from .harness import EvalConfig
+    from .retrieval_eval import cited_source_hit_rate
+    from .synthetic import ExtractiveFakeLLM, build_synthetic_corpus
+
+    dataset = load_qa_dataset()
+    chunks = build_synthetic_corpus(dataset)
+    embedder = Embedder(EmbedderConfig(
+        model=BgeM3Config(
+            encoder=EncoderConfig.tiny(use_flash_attention=False),
+            colbert_dim=32,
+        ),
+        batch_size=64,
+    ))
+    index, stats, report = CorpusIndexer(
+        embedder, ell_width=24).build(chunks, mode="reset")
+    assert report.verification["self_retrieval_ok"]
+    pipe = create_pipeline(
+        index, embedder, ExtractiveFakeLLM(), bm25_stats=stats,
+        use_reranker=False, use_expansion=False,
+    )
+    harness = EvalHarness(pipe, embedder=embedder,
+                          config=EvalConfig(n_runs=n_runs))
+    multi = harness.run_multi(dataset)
+
+    retriever = HybridRetriever(
+        index, embedder, bm25_stats=stats,
+        config=RetrieverConfig(use_prefilter=False),
+    )
+    hits = cited_source_hit_rate(dataset, retriever, k=5)
+    return {
+        "kind": "hermetic_replay",
+        "notes": "synthetic corpus from the vendored qa_dataset; tiny "
+                 "random-init encoder; extractive fake LLM — tracks the "
+                 "retrieval/orchestration path, not LLM quality",
+        "n_questions": len(dataset),
+        "global_score": multi["global_score"],
+        "high_spread_questions": multi["high_spread_questions"],
+        "per_category": multi["runs"][0]["per_category"],
+        "conciseness": multi["runs"][0]["conciseness"],
+        "faithfulness": multi["runs"][0]["faithfulness"],
+        "source_score": multi["runs"][0]["source_score"],
+        "cited_source_hit_rate_at_5": hits["mean_hit_rate"],
+        "total_time_seconds": multi["total_time_seconds"],
+    }
+
+
+def gated_values(record: dict) -> dict:
+    return {
+        "global_score_mean": record["global_score"]["mean"],
+        "faithfulness": record["faithfulness"],
+        "source_score": record["source_score"],
+        "cited_source_hit_rate_at_5":
+            record["cited_source_hit_rate_at_5"],
+    }
+
+
+def load_committed_records(results_dir=RESULTS_DIR) -> list[dict]:
+    records = []
+    for path in sorted(pathlib.Path(results_dir).glob(
+            "results_hermetic_*.json")):
+        records.append(json.loads(path.read_text()))
+    return records
+
+
+def baseline_from_records(records) -> dict:
+    """Per-metric best across committed records — regressions are judged
+    against the best the framework has ever recorded, so a slow ratchet
+    downward across rounds cannot hide."""
+    base: dict = {}
+    for rec in records:
+        for k, v in gated_values(rec).items():
+            base[k] = max(base.get(k, float("-inf")), v)
+    return base
+
+
+def check_against_baseline(record: dict, records=None) -> list[str]:
+    """Return the list of regression messages (empty = gate passes)."""
+    records = records if records is not None else load_committed_records()
+    if not records:
+        return ["no committed hermetic records found"]
+    base = baseline_from_records(records)
+    got = gated_values(record)
+    failures = []
+    for metric, tol in GATED_METRICS.items():
+        if got[metric] < base[metric] - tol:
+            failures.append(
+                f"{metric} regressed: {got[metric]:.4f} < committed "
+                f"{base[metric]:.4f} - {tol}")
+    return failures
