@@ -31,4 +31,9 @@ ENV RAGDPO_TPU_ROOT=/app \
 #   docker run -e RAGDPO_INDEX_URL=https://…/ragdpo_index.zip …
 COPY scripts/entrypoint.sh /entrypoint.sh
 ENTRYPOINT ["/bin/sh", "/entrypoint.sh"]
-CMD ["python", "-m", "rag_dpo_tpu.app.cli", "chat"]
+# web UI by default (reference parity: `streamlit run app.py`); swap CMD
+# for `python -m rag_dpo_tpu.app.cli chat` for a terminal front-end
+EXPOSE 8501
+CMD ["python", "-m", "streamlit", "run", \
+     "rag_dpo_tpu/app/streamlit_app.py", \
+     "--server.headless", "true", "--server.address", "0.0.0.0"]
