@@ -85,6 +85,42 @@ class HTTPLLMProvider(BaseLLMProvider):
             return LLMResponse("", self.model_name, time.time() - t0,
                                error=str(e))
 
+    def chat_stream(self, messages: Sequence[Mapping[str, str]],
+                    temperature: float = 0.0, max_tokens=None):
+        """True token streaming from the Ollama endpoint: /api/chat with
+        "stream": true emits one JSON object per line; each carries a
+        message.content delta. The reference's backend supports exactly
+        this but its app never used it (`src/utils/llm_provider.py:150`
+        hardcodes stream=False); here it feeds the end-to-end streaming
+        /query path. Errors raise (pipeline converts to in-band)."""
+        payload = {
+            "model": self.model_name,
+            "messages": list(messages),
+            "stream": True,
+            "options": {"temperature": temperature,
+                        "num_ctx": self.num_ctx},
+        }
+        if max_tokens:
+            payload["options"]["num_predict"] = max_tokens
+        req = urllib.request.Request(
+            self.base_url + "/api/chat",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            for line in resp:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if obj.get("error"):
+                    raise RuntimeError(str(obj["error"]))
+                delta = obj.get("message", {}).get("content", "")
+                if delta:
+                    yield delta
+                if obj.get("done"):
+                    break
+
     def generate_with_image(self, prompt, image_bytes, temperature=0.0):
         t0 = time.time()
         payload = {

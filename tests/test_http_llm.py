@@ -52,8 +52,24 @@ def stub():
                 else:
                     self._send({"response": "réponse générée"})
             elif self.path == "/api/chat":
-                self._send({"message": {"role": "assistant",
-                                        "content": "réponse chat"}})
+                if payload.get("stream"):
+                    # Ollama NDJSON stream: one JSON object per line
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-ndjson")
+                    self.end_headers()
+                    for piece in ("réponse ", "en ", "flux"):
+                        self.wfile.write(json.dumps({
+                            "message": {"role": "assistant",
+                                        "content": piece},
+                            "done": False,
+                        }).encode() + b"\n")
+                    self.wfile.write(json.dumps(
+                        {"message": {"content": ""},
+                         "done": True}).encode() + b"\n")
+                else:
+                    self._send({"message": {"role": "assistant",
+                                            "content": "réponse chat"}})
             else:
                 self._send({}, 404)
 
@@ -102,6 +118,19 @@ def test_vision_sends_base64(stub):
     assert resp.ok and resp.text == "image vue"
     img = seen[-1][1]["images"][0]
     assert base64.b64decode(img) == b"\x89PNGdata"
+
+
+def test_chat_stream_yields_ndjson_deltas(stub):
+    """True Ollama streaming (stream=true NDJSON): the reference's
+    backend supports it but its app never used it
+    (`src/utils/llm_provider.py:150` hardcodes stream=False)."""
+    url, seen = stub
+    llm = HTTPLLMProvider(base_url=url)
+    deltas = list(llm.chat_stream([{"role": "user", "content": "u"}],
+                                  max_tokens=32))
+    assert deltas == ["réponse ", "en ", "flux"]
+    assert seen[-1][1]["stream"] is True
+    assert seen[-1][1]["options"]["num_predict"] == 32
 
 
 def test_availability_and_inband_errors(stub):
