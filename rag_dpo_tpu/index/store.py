@@ -79,6 +79,11 @@ class IndexConfig:
     # (O(T·cap) per query — see ops/postings.py)
     postings_threshold: int = 100_000
     postings_cap: int = 512
+    # rescore-candidate pool of the postings engine. 512 is the
+    # exhaustive default; serving at batch ≥512 runs lossless at 64 on
+    # the 1M benchmark corpus and keeps the sparse arm within ~7% of the
+    # dense arm (BENCHMARKS.md "Hybrid tracking dense", VERDICT r2 #2)
+    postings_candidates: int = 512
     # int8 dense storage: halves HBM (2× corpus per chip), int8 MXU rate;
     # recall loss ≲1% recovered by oversample+refine. Works single-device
     # and row-sharded over a mesh (`_sharded_int8`).
@@ -566,7 +571,8 @@ class DeviceIndex:
 
         if use_postings:
             post_docs, post_imps = self._sharded_postings(dev)
-            key = ("sharded_sparse_post", k)
+            n_cand = self.config.postings_candidates
+            key = ("sharded_sparse_post", k, n_cand)
             if key not in self._searchers:
                 from ..ops.postings import postings_candidates_topk
 
@@ -574,7 +580,8 @@ class DeviceIndex:
                     qt_, qw_ = q_pack
                     s, ids = postings_candidates_topk(
                         pd[0], pi[0], terms, impacts, qt_, qw_,
-                        k=min(k, terms.shape[0]), n_candidates=512,
+                        k=min(k, terms.shape[0]),
+                        n_candidates=n_cand,
                         penalty=pen_l,
                     )
                     return s, jnp.where(ids >= 0, ids, 0)
@@ -729,7 +736,7 @@ class DeviceIndex:
             s, i = postings_candidates_topk(
                 *arrays, dev["terms"], dev["impacts"],
                 jnp.asarray(q_terms), jnp.asarray(q_weights), k=k,
-                n_candidates=512,
+                n_candidates=self.config.postings_candidates,
             )
             s, i = np.asarray(s), np.asarray(i)
             i = np.where((i >= 0) & (i < self.n_rows), i, -1)
@@ -753,7 +760,8 @@ class DeviceIndex:
             s, i = postings_candidates_topk(
                 *arrays, dev["terms"], dev["impacts"],
                 jnp.asarray(q_terms), jnp.asarray(q_weights),
-                k=overfetch, n_candidates=512,
+                k=overfetch,
+                n_candidates=self.config.postings_candidates,
             )
             s, i = np.asarray(s), np.asarray(i)
             ok = (i >= 0) & (i < self.n_rows)
