@@ -483,7 +483,10 @@ class DeviceIndex:
         q_i8, q_scale = jax.jit(quantize_rows)(qf)
         k_fetch = min(4 * k, dev["n_pad"])
         q_n = int(qf.shape[0])
-        score_budget = 256 * 1024 * 1024  # 1 GB of live f32 per shard
+        # 2 GB of live f32 per shard: the 10M tuning sweep measured the
+        # 2M-row slab 17% faster than 1M at batch 256 (fewer carry
+        # merges; benchmarks/bench_10m_tuning.py, VERDICT r2 item 8)
+        score_budget = 512 * 1024 * 1024
         blk = self.config.sweep_block_rows or max(
             self.config.row_block, score_budget // max(q_n, 1))
         key = ("sharded_int8", k_fetch, q_n)
@@ -637,7 +640,9 @@ class DeviceIndex:
             # round-trip; corpus may exceed what a host f16 refine store
             # could mirror — see IndexConfig.device_refine)
             q_n, n_pad = qf.shape[0], dev["n_pad"]
-            score_budget = 256 * 1024 * 1024  # 1 GB of live f32 scores
+            # 2 GB live f32: measured optimum at 10M rows (2M-row slab
+            # beats 1M by 17% at b256 — bench_10m_tuning.py)
+            score_budget = 512 * 1024 * 1024
             if self.config.sweep_block_rows:
                 blk = self.config.sweep_block_rows
             elif q_n * n_pad > score_budget:
