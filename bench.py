@@ -10,8 +10,12 @@ BASELINE.json north star: ≥10k queries/sec at 1M chunks (the reference
 never publishes QPS; its single-user hnswlib stack was never
 load-tested). Round-1 recipe (bf16 dense approx, batch 64) measured
 13.9k qps; int8+refine lifted batch-64 to ~20-21k; batch 256 amortizes
-the corpus read across 4× the queries (batch-scaling curve in
-benchmarks/RESULTS.jsonl: 64→15-21k, 128→27.8k, 256→44.7k, 512→57.8k).
+the corpus read across 4× the queries. Round 3 tunes the sparse arm
+(postings cap 256, rescore pool 64 — measured LOSSLESS vs the
+exhaustive config, fused top-10 overlap 1.0000 at every batch) so the
+hybrid tracks the dense arm within ~7% through batch 2048
+(benchmarks/bench_hybrid_tuned.py; BENCHMARKS.md "Hybrid tracking
+dense").
 
 Timing uses a dependent on-device chain (scan feeding results back into
 the query batch): host↔device round-trips through the axon tunnel are
@@ -72,7 +76,7 @@ def main():
     impacts_h = np.abs(rng.standard_normal((N, ELL_W))).astype(np.float32)
     t0 = time.time()
     pidx = PostingsIndex.build(terms_h, impacts_h, vocab_size=VOCAB,
-                               cap=512)
+                               cap=256)
     invert_s = time.time() - t0
     post_docs, post_imps = pidx.device_arrays()
     ell_t = jax.device_put(jnp.asarray(terms_h))
@@ -86,14 +90,14 @@ def main():
         return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
 
     queries = make_queries(jax.random.key(1))
-    steps = 20
+    steps = 40
     weights = jnp.asarray([2.0, 1.5], jnp.float32)
 
     def hybrid(q, ei8, esc, eref, pd, pi, et, ei, qqt, qqw):
         ds, di = approx_topk_int8_refined(q, ei8, esc, eref, 40,
                                           oversample=2)
         ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw,
-                                          k=40, n_candidates=128)
+                                          k=40, n_candidates=64)
         arms = jnp.stack([di, si], axis=0)
         return rrf_fuse(arms, weights, topk=K)
 
@@ -135,7 +139,8 @@ def main():
                     "+ postings sparse top-40 + device RRF to top-10",
         "corpus": {"n_chunks": N, "dim": D,
                    "dtype": "int8 sweep + bf16 refine",
-                   "ell_width": ELL_W, "postings_cap": 512},
+                   "ell_width": ELL_W, "postings_cap": 256,
+                   "postings_candidates": 64},
     }))
 
 
