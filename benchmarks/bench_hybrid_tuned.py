@@ -43,9 +43,9 @@ from rag_dpo_tpu.ops.quantize import (
 N, D, K = 1_000_000, 1024, 10
 ELL_W, N_TERMS, VOCAB = 24, 16, 50_000
 ITERS = 40
-BLOCK = 250_000
+BLOCK = 1_000_000
 BATCHES = (512, 1024, 2048)
-CONFIGS = ((512, 128), (256, 96), (256, 64))
+CONFIGS = ((256, 64),)
 
 
 def timed(fn, args, iters=ITERS):
