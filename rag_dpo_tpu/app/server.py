@@ -430,6 +430,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--port", type=int, default=8900)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--warm", action="store_true",
+                    help="pre-compile search programs for every "
+                         "power-of-two batch up to max_batch before "
+                         "accepting traffic (no first-request compile "
+                         "stall)")
     args = ap.parse_args(argv)
     if not args.tpu:
         import os
@@ -438,7 +443,20 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    server = serve(args.port)
+    system = build_system()
+    if args.warm and system.get("index") is not None:
+        import time as _time
+
+        t0 = _time.time()
+        max_batch = int(system.get("max_batch", 256))
+        sizes, b = [], 1
+        while b <= max_batch:
+            sizes.append(b)
+            b *= 2
+        system["index"].warm(sizes)
+        print(f"warm: compiled search programs for batches {sizes} "
+              f"in {_time.time() - t0:.1f}s")
+    server = serve(args.port, system=system)
     print(f"serving on :{args.port}")
     try:
         server.serve_forever()

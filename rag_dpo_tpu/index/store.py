@@ -808,6 +808,31 @@ class DeviceIndex:
             i, order, axis=1
         )
 
+    def warm(self, batch_sizes: Sequence[int] = (1, 64, 256),
+             k: int = 10, sparse_terms: int = 16):
+        """Pre-compile the search programs for the given query batch
+        shapes. A production server otherwise pays the XLA compile on
+        the first live request of each shape (multi-second on a TPU
+        host, minutes through a tunneled remote compile —
+        benchmarks/bench_http_serving.py measures it). Pairs with the
+        serving batcher's power-of-two padding: warming the powers of
+        two up to max_batch covers every program the server can hit.
+        Results are discarded; zero-vector queries exercise the real
+        engines (dense bf16/int8, masked excluded — filters change the
+        penalty vector, not the program)."""
+        if not self.n_rows:
+            return
+        d = self.config.dim
+        for b in batch_sizes:
+            q = np.zeros((int(b), d), np.float32)
+            q[:, 0] = 1.0
+            self.search_dense(q, k)
+            if sparse_terms:
+                qt = np.full((int(b), sparse_terms), -2, np.int32)
+                qt[:, 0] = 0
+                qw = np.ones((int(b), sparse_terms), np.float32)
+                self.search_sparse(qt, qw, k)
+
     def colbert_vectors(self, rows: Sequence[int]):
         assert self._colbert is not None, "index built without colbert"
         return self._colbert[np.asarray(rows)]

@@ -183,13 +183,28 @@ def batched_dense_search(index, *, max_batch: int = 256,
                          max_wait_ms: float = 3.0) -> MicroBatcher:
     """MicroBatcher over `DeviceIndex.search_dense`: concurrent requests
     with the same (k, where) share one device sweep. Key =
-    (k, canonical-JSON where)."""
+    (k, canonical-JSON where).
+
+    Collected batches are padded to the next power of two before the
+    device call: aggregation produces ARBITRARY row counts (whatever
+    arrived in the window), and every distinct count would otherwise
+    compile its own XLA program — unbounded compile debt in production.
+    Padding bounds the program count at log2(max_batch) per (k, where);
+    pad rows are zero vectors whose results are sliced off."""
     import json
 
     def fn(stacked, key):
         k, where_json = key
         where = json.loads(where_json) if where_json else None
-        return index.search_dense(stacked, k, where=where)
+        q = stacked.shape[0]
+        b = 1
+        while b < q:
+            b *= 2
+        if b > q:
+            pad = np.zeros((b - q,) + stacked.shape[1:], stacked.dtype)
+            stacked = np.concatenate([stacked, pad], axis=0)
+        s, i = index.search_dense(stacked, k, where=where)
+        return np.asarray(s)[:q], np.asarray(i)[:q]
 
     batcher = MicroBatcher(fn, max_batch=max_batch,
                            max_wait_ms=max_wait_ms)

@@ -107,3 +107,54 @@ def test_batched_dense_search_matches_direct():
             assert idx.meta.row(int(r))["nature"] == "GUIDE"
     assert search.batcher.stats.n_requests == 4
     search.batcher.close()
+
+
+def test_batcher_search_pads_to_power_of_two():
+    """Aggregated search batches pad to the next power of two before the
+    device call (bounds the XLA program count) and results slice back to
+    the caller's rows."""
+    import numpy as np
+
+    from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+    from rag_dpo_tpu.serving import batched_dense_search
+
+    rng = np.random.default_rng(0)
+    n, d = 64, 16
+    dense = rng.standard_normal((n, d)).astype(np.float32)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    idx = DeviceIndex(IndexConfig(dim=d, ell_width=4, row_block=8))
+    idx.add([f"c{i}" for i in range(n)], dense)
+
+    seen_shapes = []
+    real = idx.search_dense
+
+    def spy(q, k, where=None, **kw):
+        seen_shapes.append(q.shape[0])
+        return real(q, k, where=where, **kw)
+
+    idx.search_dense = spy
+    search = batched_dense_search(idx, max_batch=16, max_wait_ms=1.0)
+    s, i = search(dense[[3, 7, 11]], 4)   # q=3 → padded to 4
+    assert i.shape == (3, 4)
+    assert i[0, 0] == 3 and i[1, 0] == 7 and i[2, 0] == 11
+    assert all(b & (b - 1) == 0 for b in seen_shapes), seen_shapes
+    search.batcher.close()
+
+
+def test_index_warm_compiles_search_programs():
+    import numpy as np
+
+    from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+
+    rng = np.random.default_rng(1)
+    n, d = 48, 16
+    dense = rng.standard_normal((n, d)).astype(np.float32)
+    dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+    terms = rng.integers(0, 20, (n, 4)).astype(np.int32)
+    imps = np.abs(rng.standard_normal((n, 4))).astype(np.float32)
+    idx = DeviceIndex(IndexConfig(dim=d, ell_width=4, row_block=8))
+    idx.add([f"c{i}" for i in range(n)], dense, None, terms, imps)
+    idx.warm(batch_sizes=(1, 4), k=3)     # must not raise
+    s, i = idx.search_dense(dense[[5]], 3)
+    assert i[0, 0] == 5
+    DeviceIndex(IndexConfig(dim=d)).warm()  # empty index: no-op
