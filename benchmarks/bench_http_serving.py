@@ -23,7 +23,12 @@ import urllib.request
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-N, D = 100_000, 1024
+import os
+
+N = int(os.environ.get("BENCH_N", 100_000))  # corpus upload through the
+# tunnel is the flaky part (minutes/GB in bad weather) and is NOT the
+# measured ceiling — shrink via BENCH_N when the tunnel is sick
+D = 1024
 THREADS, VEC_PER_REQ, DURATION = 16, 64, 20.0
 K = 10
 
@@ -70,11 +75,12 @@ def main():
                                     quantize_int8=True,
                                     device_refine=True))
     t0 = time.time()
-    step = 50_000
+    step = min(50_000, N)
     for s in range(0, N, step):
-        index.add([f"c{i}" for i in range(s, s + step)],
-                  e[s:s + step],
-                  [{"text": f"chunk {i}"} for i in range(s, s + step)])
+        hi = min(s + step, N)
+        index.add([f"c{i}" for i in range(s, hi)],
+                  e[s:hi],
+                  [{"text": f"chunk {i}"} for i in range(s, hi)])
     print(f"indexed {N} rows in {time.time() - t0:.1f}s", flush=True)
 
     import tempfile

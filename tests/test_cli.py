@@ -69,3 +69,29 @@ def test_cli_uses_saved_index(tmp_path, monkeypatch, capsys):
     assert ctx["index"].n_rows == len(CORPUS)
     resp = pipe.query("notification violation CNIL")
     assert resp.answer
+
+
+def test_cli_chat_streams_and_rates(tmp_path, monkeypatch, capsys):
+    """Chat loop: streamed display (deltas then the renumbered final
+    answer), feedback shortcut, clean exit on empty input."""
+    monkeypatch.setenv("RAGDPO_TPU_ROOT", str(tmp_path))
+    answers = iter(["Quel délai pour notifier une violation ?",
+                    "+1", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = cli.main(["chat"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "assistant>" in out
+    assert "réponse finale" in out         # streamed draft got replaced
+    assert "merci pour le retour" in out   # feedback registered
+
+
+def test_cli_chat_no_stream_mode(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("RAGDPO_TPU_ROOT", str(tmp_path))
+    answers = iter(["Quel délai pour notifier une violation ?", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    rc = cli.main(["chat", "--no-stream"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "assistant>" in out
+    assert "réponse finale" not in out
