@@ -184,10 +184,10 @@ def main():
     system["search"].batcher.close()
     system["search"] = batched_dense_search(index, max_batch=1024,
                                             max_wait_ms=5.0)
-    warm_rng = np.random.default_rng(9)
-    big = warm_rng.standard_normal((1024, D)).astype(np.float32)
-    system["search"](big, K)  # compile the 1024-row program directly
-    print("1024-batch warm ok", flush=True)
+    # warm EVERY power-of-two shape the padding batcher can emit —
+    # an unwarmed 512 stalls mid-load for a full remote compile
+    index.warm(batch_sizes=(512, 1024), k=K, sparse_terms=0)
+    print("512/1024-batch warm ok", flush=True)
     with ctx.Pool(THREADS) as pool:
         outs = pool.starmap(
             _client, [(url, bin_body, DURATION, True)] * THREADS)
