@@ -92,6 +92,13 @@ def build_stack(
                 "`python scripts/download_index.py <artifact>`"
             )
         index = DeviceIndex.load(paths.index_dir)
+    if config.retrieval.postings_candidates:
+        # serving-time override of the sparse rescore pool (the stored
+        # manifest keeps the build-time exhaustive default)
+        index.config = dataclasses.replace(
+            index.config,
+            postings_candidates=int(config.retrieval.postings_candidates))
+        index._searchers.clear()
 
     if embedder is None:
         kwargs = dict(

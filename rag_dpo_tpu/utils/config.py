@@ -33,6 +33,11 @@ class RetrievalSection:
     relevance_threshold: float = 0.80
     use_reranker: bool = True
     dense_exact: bool = False          # exact blocked kernel vs approx
+    # sparse-engine rescore pool override for a LOADED index (0 = keep
+    # the index's own setting). Serving at batch ≥512 runs lossless at
+    # 64 on the 1M benchmark corpus and keeps the hybrid within ~9% of
+    # the dense arm (BENCHMARKS.md "Hybrid tracking dense")
+    postings_candidates: int = 0
 
 
 @dataclasses.dataclass

@@ -79,3 +79,19 @@ def test_embedder_index_dim_mismatch_fails_loudly(saved_corpus):
     ))
     with pytest.raises(ValueError, match="embedder dim"):
         build_stack(cfg, paths, llm=FakeLLMProvider(), embedder=wrong)
+
+
+def test_postings_candidates_override(saved_corpus):
+    """retrieval.postings_candidates overrides the loaded index's
+    rescore pool at serving time (round-3 tuning knob)."""
+    from rag_dpo_tpu.providers import FakeLLMProvider
+    from rag_dpo_tpu.utils.config import load_config
+
+    paths, embedder = saved_corpus
+    cfg = load_config(env={"RAGDPO_LLM_MODE": "fake",
+                           "RAGDPO_RETRIEVAL_POSTINGS_CANDIDATES": "64"})
+    stack = build_stack(cfg, paths, llm=FakeLLMProvider(),
+                        embedder=embedder)
+    assert stack.index.config.postings_candidates == 64
+    resp = stack.pipeline.query("Quel délai de notification ?")
+    assert resp.answer
