@@ -3,3 +3,4 @@ from .batcher import (  # noqa: F401
     MicroBatcher,
     batched_dense_search,
 )
+from .continuous import ContinuousEngine  # noqa: F401

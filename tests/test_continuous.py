@@ -1,0 +1,109 @@
+"""Continuous batching engine (serving/continuous.py): step-level
+admission into a fixed slot pool must be OUTPUT-INVISIBLE — every
+request's tokens equal its solo `generate_ids` run, whatever joins the
+pool, whenever it joins, and however often its slot was reused.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_dpo_tpu.models.decoder import DecoderConfig
+from rag_dpo_tpu.models.generate import SamplingConfig, TextGenerator
+from rag_dpo_tpu.serving import ContinuousEngine
+
+CFG = DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                         dtype=jnp.float32)
+SAMPLING = SamplingConfig(temperature=0.0, eos_id=2, pad_id=1)
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return TextGenerator(CFG)
+
+
+def _prompt(rng, n):
+    return rng.integers(4, CFG.vocab_size, (n,)).astype(np.int32)
+
+
+def _solo(gen, ids, max_new):
+    out = gen.generate_ids(
+        ids[None], np.asarray([len(ids)], np.int32),
+        SamplingConfig(temperature=0.0, eos_id=2, pad_id=1,
+                       max_new_tokens=max_new))[0]
+    toks = []
+    for t in out:
+        t = int(t)
+        if t in (1, 2):
+            break
+        toks.append(t)
+    return toks
+
+
+def test_engine_matches_solo_generation(gen):
+    rng = np.random.default_rng(0)
+    eng = ContinuousEngine(gen, slots=4, sampling=SAMPLING, chunk=4)
+    reqs = [(_prompt(rng, n), m) for n, m in
+            ((6, 8), (11, 5), (3, 12), (9, 7))]
+    rids = [eng.submit(ids, len(ids), m) for ids, m in reqs]
+    results = eng.run()
+    for rid, (ids, m) in zip(rids, reqs):
+        assert results[rid] == _solo(gen, ids, m), rid
+
+
+def test_late_join_and_slot_reuse(gen):
+    """More requests than slots, one joining mid-flight: the pool
+    recycles slots and every output still matches solo."""
+    rng = np.random.default_rng(1)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2)
+    a = _prompt(rng, 8)
+    b = _prompt(rng, 5)
+    c = _prompt(rng, 12)
+    ra = eng.submit(a, len(a), 10)
+    rb = eng.submit(b, len(b), 3)   # finishes early → slot frees
+    eng.step()
+    eng.step()                       # b likely done by now
+    rc = eng.submit(c, len(c), 6)   # joins mid-flight
+    results = eng.run()
+    assert results[ra] == _solo(gen, a, 10)
+    assert results[rb] == _solo(gen, b, 3)
+    assert results[rc] == _solo(gen, c, 6)
+    assert eng.stats["admitted"] == 3
+    # with 2 slots and 3 requests, some step ran at full occupancy
+    assert eng.occupancy > 1.0
+
+
+def test_budget_frees_slot_immediately(gen):
+    rng = np.random.default_rng(2)
+    eng = ContinuousEngine(gen, slots=1, sampling=SAMPLING, chunk=4)
+    a = _prompt(rng, 6)
+    b = _prompt(rng, 6)
+    ra = eng.submit(a, len(a), 2)   # tiny budget
+    rb = eng.submit(b, len(b), 2)
+    results = eng.run()
+    assert len(results[ra]) <= 2 and len(results[rb]) <= 2
+    assert results[ra] == _solo(gen, a, 2)
+    assert results[rb] == _solo(gen, b, 2)
+
+
+def test_streaming_callback_fires_per_token(gen):
+    rng = np.random.default_rng(3)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2)
+    seen = []
+    ids = _prompt(rng, 7)
+    rid = eng.submit(ids, len(ids), 5,
+                     on_token=lambda r, t: seen.append((r, t)))
+    results = eng.run()
+    assert [t for r, t in seen if r == rid] == results[rid]
+
+
+def test_prompt_bucketing_bounds_prefill_programs():
+    fresh = TextGenerator(CFG)
+    rng = np.random.default_rng(4)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+    for n in (3, 7, 19, 30):         # all bucket to 32
+        eng.submit(_prompt(rng, n), n, 2)
+    eng.run()
+    prefill_keys = {k for k in fresh._programs if k[0] == "prefill"}
+    # one probe (1, 8) + one bucketed (1, 32) — nothing per raw length
+    assert prefill_keys == {("prefill", 1, 8), ("prefill", 1, 32)}
