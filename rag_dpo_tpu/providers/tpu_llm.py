@@ -38,6 +38,7 @@ class TPULLMProvider(BaseLLMProvider):
         max_new_tokens: int = 256,
         model_name: str = "tpu-decoder",
         batch_concurrent: bool = False,
+        continuous: bool = False,
         max_batch: int = 8,
         max_wait_ms: float = 6.0,
     ):
@@ -61,6 +62,25 @@ class TPULLMProvider(BaseLLMProvider):
             self._batcher = MicroBatcher(
                 self._generate_batched, max_batch=max_batch,
                 max_wait_ms=max_wait_ms)
+        # continuous batching: a fixed decode-slot pool with step-level
+        # admission (serving/continuous.py) — unlike the micro-batcher's
+        # lockstep groups, a short answer never waits for a long
+        # neighbor. Greedy-only (one SamplingConfig per engine); sampled
+        # calls fall through to the direct path.
+        self._driver = None
+        if continuous:
+            from ..serving.continuous import (
+                ContinuousDriver,
+                ContinuousEngine,
+            )
+
+            engine = ContinuousEngine(
+                self.generator, slots=max_batch,
+                sampling=SamplingConfig(
+                    temperature=0.0, eos_id=self.tokenizer.sep_id,
+                    pad_id=self.tokenizer.pad_id),
+                chunk=4)
+            self._driver = ContinuousDriver(engine)
 
     # ------------------------------------------------- batched decode path
     def _generate_batched(self, stacked, key):
@@ -125,6 +145,12 @@ class TPULLMProvider(BaseLLMProvider):
             enc = self.tokenizer.encode_batch(
                 [text], min(bucket_length(len(text) // 3 + 2), budget))
             max_new = max_tokens or self.max_new_tokens
+            if self._driver is not None and temperature <= 0:
+                row = np.asarray(enc.input_ids[0], np.int32)
+                toks = self._driver.generate(
+                    row, int(enc.lengths[0]), max_new)
+                return LLMResponse(self._decode_text(toks),
+                                   self.model_name, time.time() - t0)
             if self._batcher is not None:
                 rows = np.concatenate(
                     [np.asarray(enc.input_ids, np.int32),

@@ -205,3 +205,64 @@ class ContinuousEngine:
     @property
     def occupancy(self) -> float:
         return self.stats["occupancy_sum"] / max(self.stats["steps"], 1)
+
+
+class ContinuousDriver:
+    """Thread-safe front of a ContinuousEngine: concurrent callers
+    submit and block (or stream via `on_delta`); ONE driver thread steps
+    the engine while any work exists and sleeps otherwise. This is the
+    serving integration — each HTTP handler thread calls `generate()`
+    and its request joins whatever is already decoding at the next
+    chunk boundary (the engine itself is single-threaded)."""
+
+    def __init__(self, engine: ContinuousEngine):
+        import threading
+
+        self.engine = engine
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._events: dict[int, threading.Event] = {}
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop,
+                                        name="continuous-decode",
+                                        daemon=True)
+        self._thread.start()
+
+    def generate(self, prompt_ids, length: int, max_new: int,
+                 on_token=None) -> list[int]:
+        """Block until this request completes; returns its tokens."""
+        import threading
+
+        evt = threading.Event()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("driver is closed")
+            rid = self.engine.submit(prompt_ids, length, max_new,
+                                     on_token=on_token)
+            self._events[rid] = evt
+            self._work.set()
+        evt.wait()
+        with self._lock:
+            self._events.pop(rid, None)
+            return self.engine._requests[rid].tokens
+
+    def close(self):
+        with self._lock:
+            self._closed = True
+            self._work.set()
+        self._thread.join(timeout=10)
+
+    def _loop(self):
+        while True:
+            self._work.wait()
+            with self._lock:
+                if self._closed:
+                    return
+                busy = bool(self.engine._queue or self.engine._active)
+                if not busy:
+                    self._work.clear()
+                    continue
+                self.engine.step()
+                for rid, evt in list(self._events.items()):
+                    if self.engine._requests[rid].done:
+                        evt.set()

@@ -107,3 +107,62 @@ def test_prompt_bucketing_bounds_prefill_programs():
     prefill_keys = {k for k in fresh._programs if k[0] == "prefill"}
     # one probe (1, 8) + one bucketed (1, 32) — nothing per raw length
     assert prefill_keys == {("prefill", 1, 8), ("prefill", 1, 32)}
+
+
+def test_driver_concurrent_callers_match_single_stream():
+    """16 threads through the ContinuousDriver (4 slots): every answer
+    equals the single-stream greedy output."""
+    import threading
+
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=4, sampling=SAMPLING, chunk=2)
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(7)
+    jobs = [(_prompt(rng, 5 + i % 7), 4 + i % 5) for i in range(16)]
+    out = {}
+
+    def call(i):
+        ids, m = jobs[i]
+        out[i] = driver.generate(ids, len(ids), m)
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    driver.close()
+    for i, (ids, m) in enumerate(jobs):
+        assert out[i] == _solo(fresh, ids, m), i
+
+
+def test_provider_continuous_mode():
+    """TPULLMProvider(continuous=True): greedy chat answers match the
+    direct path; concurrent calls share the slot pool."""
+    import threading
+
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    direct = TPULLMProvider(CFG, max_new_tokens=6)
+    cont = TPULLMProvider(CFG, max_new_tokens=6, continuous=True,
+                          max_batch=4)
+    cont.generator._params = direct.generator.load()  # same weights
+
+    prompts = [f"question numéro {i} sur le RGPD" for i in range(6)]
+    want = [direct.generate(p).text for p in prompts]
+    got = {}
+
+    def call(i):
+        got[i] = cont.generate(prompts[i]).text
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    cont._driver.close()
+    for i in range(6):
+        assert got[i] == want[i], (i, got[i], want[i])
