@@ -208,8 +208,17 @@ class GQAttention(nn.Module):
             )  # [B, S, max]
             if write_mask is not None:
                 onehot = onehot * write_mask[:, :, None].astype(k.dtype)
-            k_cache = k_cache + jnp.einsum("bsm,bskd->bmkd", onehot, k)
-            v_cache = v_cache + jnp.einsum("bsm,bskd->bmkd", onehot, v)
+            # OVERWRITE semantics (not add): speculative decoding writes
+            # draft K/V past the accepted position and the next step
+            # re-writes those rows — an additive scatter would compound
+            # the stale values. For every other path the positions are
+            # fresh (zero rows), so this is behavior-identical there.
+            covered = jnp.sum(onehot, axis=1)  # [B, max] ∈ {0, 1}
+            keep = (1.0 - covered)[:, :, None, None].astype(k.dtype)
+            k_cache = k_cache * keep + jnp.einsum(
+                "bsm,bskd->bmkd", onehot, k)
+            v_cache = v_cache * keep + jnp.einsum(
+                "bsm,bskd->bmkd", onehot, v)
             k_all, v_all = k_cache, v_cache
             kv_len = k_cache.shape[1]
             new_cache = {"k": k_cache, "v": v_cache}
