@@ -41,6 +41,9 @@ class TPULLMProvider(BaseLLMProvider):
         continuous: bool = False,
         max_batch: int = 8,
         max_wait_ms: float = 6.0,
+        speculative: bool = False,
+        draft_len: int = 7,
+        ngram: int = 2,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -81,6 +84,18 @@ class TPULLMProvider(BaseLLMProvider):
                     pad_id=self.tokenizer.pad_id),
                 chunk=4)
             self._driver = ContinuousDriver(engine)
+        # speculative decoding (models/speculative.py): prompt-lookup
+        # drafts verified in one cached forward — lossless under greedy,
+        # so it accelerates the direct temperature-0 path (RAG answers
+        # quote their context, the ideal case). Sampled calls and calls
+        # routed to the continuous driver / micro-batcher are untouched.
+        self._spec = None
+        self.spec_stats = {"calls": 0, "steps": 0, "tokens": 0}
+        if speculative:
+            from ..models.speculative import SpeculativeGenerator
+
+            self._spec = SpeculativeGenerator(
+                self.generator, draft_len=draft_len, ngram=ngram)
 
     # ------------------------------------------------- batched decode path
     def _generate_batched(self, stacked, key):
@@ -140,16 +155,30 @@ class TPULLMProvider(BaseLLMProvider):
         t0 = time.time()
         try:
             text = f"{system}\n\n{prompt}" if system else prompt
-            budget = self.config.max_seq_len - (
-                max_tokens or self.max_new_tokens) - 1
+            max_new = max_tokens or self.max_new_tokens
+            budget = self.config.max_seq_len - max_new - 1
+            if self._spec is not None:
+                budget -= self._spec.draft_len  # verify window headroom
             enc = self.tokenizer.encode_batch(
                 [text], min(bucket_length(len(text) // 3 + 2), budget))
-            max_new = max_tokens or self.max_new_tokens
             if self._driver is not None and temperature <= 0:
                 row = np.asarray(enc.input_ids[0], np.int32)
                 toks = self._driver.generate(
                     row, int(enc.lengths[0]), max_new)
                 return LLMResponse(self._decode_text(toks),
+                                   self.model_name, time.time() - t0)
+            if self._spec is not None and temperature <= 0:
+                sampling = SamplingConfig(
+                    temperature=0.0, max_new_tokens=max_new,
+                    eos_id=self.tokenizer.sep_id,
+                    pad_id=self.tokenizer.pad_id)
+                tokens, st = self._spec.generate_ids(
+                    np.asarray(enc.input_ids, np.int32),
+                    np.asarray(enc.lengths, np.int32), sampling)
+                self.spec_stats["calls"] += 1
+                self.spec_stats["steps"] += st.steps
+                self.spec_stats["tokens"] += st.tokens
+                return LLMResponse(self._decode_text(tokens[0]),
                                    self.model_name, time.time() - t0)
             if self._batcher is not None:
                 rows = np.concatenate(

@@ -129,6 +129,28 @@ def test_lookup_draft_finds_latest_occurrence(gen):
     np.testing.assert_array_equal(drafts[1], [1, 1, 1, 1])
 
 
+def test_provider_speculative_matches_plain():
+    """TPULLMProvider(speculative=True): the served greedy answer is
+    identical to the plain provider's (same config/seeded params), and
+    SpecStats accumulate for observability."""
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    plain_p = TPULLMProvider(CFG, max_new_tokens=12)
+    spec_p = TPULLMProvider(CFG, max_new_tokens=12, speculative=True,
+                            draft_len=4)
+    prompt = "Quelles sont les obligations du responsable de traitement ?"
+    a = plain_p.generate(prompt, temperature=0.0)
+    b = spec_p.generate(prompt, temperature=0.0)
+    assert a.error is None and b.error is None, (a.error, b.error)
+    assert a.text == b.text
+    assert spec_p.spec_stats["calls"] == 1
+    assert spec_p.spec_stats["tokens"] >= 1
+    # sampled calls bypass the speculative engine (falls through to the
+    # plain sampled decode) without error
+    c = spec_p.generate(prompt, temperature=0.7)
+    assert c.error is None
+
+
 def test_sampling_falls_back_to_plain(gen):
     rng = np.random.default_rng(3)
     ids = _prompts(rng, (1, 6))
