@@ -79,9 +79,20 @@ def build_stack(
     paths = (paths or default_paths()).ensure()
 
     if llm is None:
+        tpu_kwargs = {}
+        if config.llm.mode == "tpu":
+            tpu_kwargs = dict(
+                checkpoint_path=config.llm.checkpoint_path,
+                tokenizer_path=config.llm.tokenizer_path,
+                arch=config.llm.arch,
+                quantize_int8=config.llm.quantize_int8,
+                scheduler=config.llm.scheduler,
+                speculative=config.llm.speculative,
+                max_batch=config.llm.max_batch,
+            )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,
-            model=config.llm.model,
+            model=config.llm.model, **tpu_kwargs,
         )
     if index is None:
         manifest = paths.index_dir / "manifest.json"

@@ -71,13 +71,68 @@ class HostedAPIProvider(BaseLLMProvider):
         return bool(self.api_key)
 
 
+def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
+                   arch: str = "mistral-nemo-12b", quantize_int8: bool = True,
+                   scheduler: str = "direct", speculative: bool = False,
+                   max_batch: int = 8,
+                   model: str | None = None) -> BaseLLMProvider:
+    """On-chip generation: the in-process JAX decoder as the provider.
+
+    The reference's generator is an external Ollama process
+    (`/root/reference/src/utils/llm_provider.py`); here the same model
+    class (Mistral-Nemo 12B) serves from this process on the TPU.
+    `scheduler`: "direct" (one decode per call), "batch" (micro-batched
+    concurrent calls share one weight sweep), "continuous" (slot-pool
+    engine — short answers never wait on long neighbors). `speculative`
+    accelerates greedy calls via prompt-lookup drafts. With no
+    checkpoint the decoder runs random-init (tests/load benches)."""
+    import dataclasses as _dc
+
+    from ..models.decoder import DecoderConfig
+    from .tpu_llm import TPULLMProvider
+
+    if arch == "tiny":
+        cfg = DecoderConfig.tiny()
+    elif arch in ("mistral-nemo-12b", "mistral_nemo_12b"):
+        cfg = DecoderConfig.mistral_nemo_12b()
+    else:
+        raise ValueError(f"unknown decoder arch preset: {arch!r}")
+    if quantize_int8 and not cfg.quantize_weights:
+        cfg = _dc.replace(cfg, quantize_weights=True, tie_embeddings=True)
+    params = None
+    if checkpoint_path:
+        from ..models.convert import load_params_npz
+
+        params = load_params_npz(checkpoint_path)
+    tokenizer = None
+    if tokenizer_path:
+        from ..tokenize.hf import load_hf_tokenizer
+
+        tokenizer = load_hf_tokenizer(tokenizer_path)
+        if tokenizer is None:
+            raise ValueError(
+                f"tokenizer_path {tokenizer_path!r} could not be loaded "
+                "(transformers cache missing?) — the hashed fallback "
+                "tokenizer would NOT match converted real weights")
+    return TPULLMProvider(
+        cfg, params=params, tokenizer=tokenizer,
+        model_name=model or f"tpu-decoder-{arch}",
+        batch_concurrent=(scheduler == "batch"),
+        continuous=(scheduler == "continuous"),
+        speculative=speculative, max_batch=max_batch,
+    )
+
+
 def create_llm(mode: str = "local", *, base_url: str | None = None,
                model: str | None = None,
-               api_key: str | None = None) -> BaseLLMProvider:
-    """mode: local | hybrid | hosted | fake (env default RAGDPO_LLM_MODE)."""
+               api_key: str | None = None,
+               **tpu_kwargs) -> BaseLLMProvider:
+    """mode: local | hybrid | hosted | tpu | fake (env RAGDPO_LLM_MODE)."""
     mode = mode or os.environ.get("RAGDPO_LLM_MODE", "local")
     if mode == "fake":
         return FakeLLMProvider()
+    if mode == "tpu":
+        return create_tpu_llm(model=model, **tpu_kwargs)
     local = HTTPLLMProvider(
         base_url=base_url or os.environ.get("RAGDPO_LLM_BASE_URL",
                                             "http://localhost:11434"),

@@ -150,15 +150,30 @@ class TPULLMProvider(BaseLLMProvider):
             if int(t) not in (tok.pad_id, tok.sep_id)
         )
 
+    def _fit_budget(self, max_tokens, spec: bool = False):
+        """Clamp (prompt budget, max_new) into the decoder context.
+
+        Callers size requests for a production 16k-context model (the
+        pipeline default asks for hundreds of new tokens); against a
+        smaller-context decoder that must degrade to shorter output,
+        never to a negative prompt budget (found by driving the demo
+        pipeline over a tiny-config provider: encode_batch raised
+        'negative dimensions are not allowed')."""
+        max_new = max_tokens or self.max_new_tokens
+        reserve = 1 + (self._spec.draft_len
+                       if (spec and self._spec is not None) else 0)
+        cap = self.config.max_seq_len - reserve
+        min_prompt = min(8, max(1, cap - 1))
+        max_new = max(1, min(max_new, cap - min_prompt))
+        return cap - max_new, max_new
+
     def generate(self, prompt, system=None, temperature=0.0,
                  json_mode=False, max_tokens=None) -> LLMResponse:
         t0 = time.time()
         try:
             text = f"{system}\n\n{prompt}" if system else prompt
-            max_new = max_tokens or self.max_new_tokens
-            budget = self.config.max_seq_len - max_new - 1
-            if self._spec is not None:
-                budget -= self._spec.draft_len  # verify window headroom
+            budget, max_new = self._fit_budget(
+                max_tokens, spec=temperature <= 0)
             enc = self.tokenizer.encode_batch(
                 [text], min(bucket_length(len(text) // 3 + 2), budget))
             if self._driver is not None and temperature <= 0:
@@ -212,13 +227,12 @@ class TPULLMProvider(BaseLLMProvider):
         boundaries come out right. Greedy streams concatenate to exactly
         the non-streaming output."""
         text = f"{system}\n\n{prompt}" if system else prompt
-        budget = self.config.max_seq_len - (
-            max_tokens or self.max_new_tokens) - 1
+        budget, max_new = self._fit_budget(max_tokens)
         enc = self.tokenizer.encode_batch(
             [text], min(bucket_length(len(text) // 3 + 2), budget))
         sampling = SamplingConfig(
             temperature=temperature,
-            max_new_tokens=max_tokens or self.max_new_tokens,
+            max_new_tokens=max_new,
             eos_id=self.tokenizer.sep_id,
             pad_id=self.tokenizer.pad_id,
         )

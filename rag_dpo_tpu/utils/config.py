@@ -52,12 +52,21 @@ class EmbeddingSection:
 
 @dataclasses.dataclass
 class LLMSection:
-    mode: str = "local"                # local | hybrid | fake
+    mode: str = "local"                # local | hybrid | hosted | tpu | fake
     base_url: str = "http://localhost:11434"
     model: str = "mistral-nemo:12b"
     num_ctx: int = 16_384
     temperature: float = 0.1
     vision_model: str = "llava:7b"
+    # mode "tpu": generation served by the in-process JAX decoder
+    # (providers/tpu_llm.py) instead of an HTTP sidecar
+    checkpoint_path: str = ""          # converted decoder params (.npz)
+    tokenizer_path: str = ""           # local HF tokenizer ("" → hashed)
+    arch: str = "mistral-nemo-12b"     # DecoderConfig preset | "tiny"
+    quantize_int8: bool = True         # weight-only int8 (12B fits one chip)
+    scheduler: str = "direct"          # direct | batch | continuous
+    speculative: bool = False          # prompt-lookup greedy acceleration
+    max_batch: int = 8                 # micro-batch / slot-pool width
 
 
 @dataclasses.dataclass

@@ -146,3 +146,73 @@ def test_tpu_llm_batches_concurrent_generates():
     assert stats.n_requests == 4
     assert stats.n_device_calls < 4, "requests must have batched"
     batched._batcher.close()
+
+
+def test_factory_tpu_mode_direct():
+    """create_llm("tpu") builds the on-chip decoder provider from config
+    kwargs (arch preset, scheduler, speculative) — reference parity:
+    LLMFactory.create + the external Ollama generator collapse into one
+    in-process provider."""
+    llm = create_llm("tpu", arch="tiny", quantize_int8=False)
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    assert isinstance(llm, TPULLMProvider)
+    assert llm._batcher is None and llm._driver is None
+    assert llm._spec is None
+    r = llm.generate("Question RGPD ?", temperature=0.0, max_tokens=4)
+    assert r.error is None and isinstance(r.text, str)
+
+
+def test_factory_tpu_mode_schedulers_and_spec():
+    llm = create_llm("tpu", arch="tiny", quantize_int8=False,
+                     scheduler="batch", speculative=True, max_batch=4)
+    assert llm._batcher is not None
+    assert llm._spec is not None
+    cont = create_llm("tpu", arch="tiny", quantize_int8=False,
+                      scheduler="continuous", max_batch=4)
+    assert cont._driver is not None
+    with pytest.raises(ValueError):
+        create_llm("tpu", arch="nope")
+    with pytest.raises(ValueError):
+        create_llm("tpu", arch="tiny", quantize_int8=False,
+                   tokenizer_path="/nonexistent/tokenizer")
+
+
+def test_config_tpu_llm_section_env_overlay(monkeypatch):
+    """RAGDPO_LLM_* env vars reach the tpu-mode fields through the
+    unified config (utils/config.py overlay)."""
+    from rag_dpo_tpu.utils.config import load_config
+
+    cfg = load_config(env={
+        "RAGDPO_LLM_MODE": "tpu",
+        "RAGDPO_LLM_ARCH": "tiny",
+        "RAGDPO_LLM_SCHEDULER": "continuous",
+        "RAGDPO_LLM_SPECULATIVE": "true",
+        "RAGDPO_LLM_QUANTIZE_INT8": "false",
+        "RAGDPO_LLM_MAX_BATCH": "16",
+    })
+    assert cfg.llm.mode == "tpu"
+    assert cfg.llm.arch == "tiny"
+    assert cfg.llm.scheduler == "continuous"
+    assert cfg.llm.speculative is True
+    assert cfg.llm.quantize_int8 is False
+    assert cfg.llm.max_batch == 16
+
+
+def test_tpu_llm_oversized_max_tokens_degrades():
+    """max_tokens beyond the decoder context must clamp (shorter
+    output), not crash encode_batch with a negative prompt budget —
+    found by driving the demo pipeline (max_tokens sized for a 16k
+    production model) over a tiny-context provider."""
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cfg = DecoderConfig.tiny()   # max_seq_len=128
+    for kw in ({}, {"speculative": True, "draft_len": 4}):
+        p = TPULLMProvider(cfg, max_new_tokens=16, **kw)
+        r = p.generate("Question RGPD " * 50, temperature=0.0,
+                       max_tokens=4096)
+        assert r.error is None, (kw, r.error)
+        s = "".join(p.generate_stream("Question RGPD " * 50,
+                                      max_tokens=4096))
+        assert isinstance(s, str)
