@@ -230,14 +230,27 @@ class TPULLMProvider(BaseLLMProvider):
         budget, max_new = self._fit_budget(max_tokens)
         enc = self.tokenizer.encode_batch(
             [text], min(bucket_length(len(text) // 3 + 2), budget))
+        emitted: list[int] = []
+        prev = ""
+        if self._driver is not None and temperature <= 0:
+            # continuous scheduler: the stream joins the slot pool and
+            # yields per decoded token — it never waits on long pool
+            # neighbors (greedy-only, like the blocking driver path)
+            for t in self._driver.generate_stream(
+                    np.asarray(enc.input_ids[0], np.int32),
+                    int(enc.lengths[0]), max_new):
+                emitted.append(int(t))
+                full = self._decode_text(emitted)
+                delta, prev = full[len(prev):], full
+                if delta:
+                    yield delta
+            return
         sampling = SamplingConfig(
             temperature=temperature,
             max_new_tokens=max_new,
             eos_id=self.tokenizer.sep_id,
             pad_id=self.tokenizer.pad_id,
         )
-        emitted: list[int] = []
-        prev = ""
         for block in self.generator.generate_stream(
                 np.asarray(enc.input_ids), np.asarray(enc.lengths),
                 sampling, rng_seed=self._next_seed(temperature),

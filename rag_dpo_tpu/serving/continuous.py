@@ -246,6 +246,48 @@ class ContinuousDriver:
             self._events.pop(rid, None)
             return self.engine._requests[rid].tokens
 
+    def generate_stream(self, prompt_ids, length: int, max_new: int):
+        """Yield this request's token ids as the pool decodes them.
+
+        The engine's `on_token` fires on the driver thread; a queue
+        bridges to the consumer. Once the request's done event is set no
+        further tokens can arrive (the engine emits a request's tokens
+        and marks it done inside the same `step()`), so drain-then-stop
+        is race-free. The stream joins mid-flight decoding exactly like
+        the blocking path — short streams finish without waiting on
+        long pool neighbors."""
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue()
+        evt = threading.Event()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("driver is closed")
+            rid = self.engine.submit(
+                prompt_ids, length, max_new,
+                on_token=lambda _rid, t: q.put(t))
+            self._events[rid] = evt
+            self._work.set()
+
+        def _iter():
+            try:
+                while not evt.is_set():
+                    try:
+                        yield q.get(timeout=0.05)
+                    except _queue.Empty:
+                        continue
+                while True:
+                    try:
+                        yield q.get_nowait()
+                    except _queue.Empty:
+                        break
+            finally:
+                with self._lock:
+                    self._events.pop(rid, None)
+
+        return _iter()
+
     def close(self):
         with self._lock:
             self._closed = True

@@ -166,3 +166,49 @@ def test_provider_continuous_mode():
     cont._driver.close()
     for i in range(6):
         assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_driver_stream_matches_blocking(gen):
+    """generate_stream through the driver yields the SAME token ids as
+    the blocking path, with concurrent streams sharing the pool."""
+    import threading
+
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(11)
+    jobs = [(_prompt(rng, 4 + i), 5 + i) for i in range(4)]
+    out = {}
+
+    def call(i):
+        ids, m = jobs[i]
+        out[i] = list(driver.generate_stream(ids, len(ids), m))
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    driver.close()
+    for i, (ids, m) in enumerate(jobs):
+        assert out[i] == _solo(fresh, ids, m), i
+
+
+def test_provider_stream_rides_continuous_pool():
+    """TPULLMProvider(continuous=True).generate_stream concatenates to
+    the blocking continuous answer (greedy), and sampled streams fall
+    through to the plain path without error."""
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cont = TPULLMProvider(CFG, max_new_tokens=6, continuous=True,
+                          max_batch=2)
+    p = "question sur le transfert de données hors UE"
+    want = cont.generate(p, temperature=0.0).text
+    got = "".join(cont.generate_stream(p, temperature=0.0))
+    assert got == want
+    sampled = "".join(cont.generate_stream(p, temperature=0.9))
+    assert isinstance(sampled, str)
+    cont._driver.close()
