@@ -71,6 +71,9 @@ class TPULLMProvider(BaseLLMProvider):
         # neighbor. Greedy-only (one SamplingConfig per engine); sampled
         # calls fall through to the direct path.
         self._driver = None
+        # speculative greedy accel reserves a verify window in the
+        # prompt budget whichever engine carries it (_fit_budget)
+        self._spec_reserve = draft_len if speculative else 0
         if continuous:
             from ..serving.continuous import (
                 ContinuousDriver,
@@ -82,16 +85,19 @@ class TPULLMProvider(BaseLLMProvider):
                 sampling=SamplingConfig(
                     temperature=0.0, eos_id=self.tokenizer.sep_id,
                     pad_id=self.tokenizer.pad_id),
-                chunk=4)
+                chunk=4, speculative=speculative,
+                draft_len=draft_len, ngram=ngram)
             self._driver = ContinuousDriver(engine)
         # speculative decoding (models/speculative.py): prompt-lookup
         # drafts verified in one cached forward — lossless under greedy,
         # so it accelerates the direct temperature-0 path (RAG answers
-        # quote their context, the ideal case). Sampled calls and calls
-        # routed to the continuous driver / micro-batcher are untouched.
+        # quote their context, the ideal case). With continuous=True the
+        # slot-pool engine carries the speculation instead (per-slot
+        # drafts, one pool-wide verify). Sampled calls and calls routed
+        # to the micro-batcher stay on plain decode.
         self._spec = None
         self.spec_stats = {"calls": 0, "steps": 0, "tokens": 0}
-        if speculative:
+        if speculative and not continuous:
             from ..models.speculative import SpeculativeGenerator
 
             self._spec = SpeculativeGenerator(
@@ -160,8 +166,7 @@ class TPULLMProvider(BaseLLMProvider):
         pipeline over a tiny-config provider: encode_batch raised
         'negative dimensions are not allowed')."""
         max_new = max_tokens or self.max_new_tokens
-        reserve = 1 + (self._spec.draft_len
-                       if (spec and self._spec is not None) else 0)
+        reserve = 1 + (self._spec_reserve if spec else 0)
         cap = self.config.max_seq_len - reserve
         min_prompt = min(8, max(1, cap - 1))
         max_new = max(1, min(max_new, cap - min_prompt))
@@ -227,7 +232,11 @@ class TPULLMProvider(BaseLLMProvider):
         boundaries come out right. Greedy streams concatenate to exactly
         the non-streaming output."""
         text = f"{system}\n\n{prompt}" if system else prompt
-        budget, max_new = self._fit_budget(max_tokens)
+        # the continuous driver carries the speculation (if any), so a
+        # greedy stream routed there reserves the verify window too
+        budget, max_new = self._fit_budget(
+            max_tokens,
+            spec=temperature <= 0 and self._driver is not None)
         enc = self.tokenizer.encode_batch(
             [text], min(bucket_length(len(text) // 3 + 2), budget))
         emitted: list[int] = []

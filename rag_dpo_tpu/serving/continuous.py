@@ -59,17 +59,52 @@ class _Request:
     on_token: Callable | None = None
 
 
+def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
+                     pad: int) -> np.ndarray:
+    """Host-side prompt lookup (models/speculative.py semantics): the k
+    tokens that followed the LATEST strictly-earlier occurrence of the
+    tail n-gram of `hist`, padded when absent or truncated."""
+    out = np.full((k,), pad, np.int32)
+    L = len(hist)
+    nw = L - n  # windows strictly before the tail n-gram itself
+    if nw <= 0:
+        return out
+    windows = np.lib.stride_tricks.sliding_window_view(hist, n)[:nw]
+    match = np.all(windows == hist[-n:], axis=1)
+    if not match.any():
+        return out
+    j = int(np.nonzero(match)[0].max())
+    src = hist[j + n:j + n + k]
+    out[:len(src)] = src
+    return out
+
+
 class ContinuousEngine:
-    """Step-level continuous batching over a fixed slot pool."""
+    """Step-level continuous batching over a fixed slot pool.
+
+    `speculative=True` composes prompt-lookup speculative decoding with
+    the pool (the vLLM-style pairing, TPU-native): each step drafts
+    per-slot on the host from the slot's own prompt+emission history,
+    runs ONE jitted (1+draft_len)-position cached verify forward over
+    ALL slots, and harvests each slot's accepted greedy run — so a slot
+    quoting its context emits several tokens per weight sweep while its
+    neighbors still emit their one. Greedy-lossless per slot for the
+    same reason the batch path is (models/speculative.py): emitted
+    tokens are always the verify forward's own argmax chain."""
 
     def __init__(self, generator: TextGenerator, *, slots: int = 8,
                  sampling: SamplingConfig | None = None,
-                 chunk: int = 4, rng_seed: int = 0):
+                 chunk: int = 4, rng_seed: int = 0,
+                 speculative: bool = False, draft_len: int = 7,
+                 ngram: int = 2):
         self.gen = generator
         self.cfg = generator.config
         self.slots = int(slots)
         self.sampling = sampling or SamplingConfig()
         self.chunk = int(chunk)
+        self.speculative = bool(speculative)
+        self.draft_len = int(draft_len)
+        self.ngram = int(ngram)
         self._params = generator.load()
         self._rid = itertools.count()
         self._queue: list[_Request] = []
@@ -77,6 +112,12 @@ class ContinuousEngine:
         self._requests: dict[int, _Request] = {}  # rid → request (all)
         self.stats = {"steps": 0, "tokens": 0, "admitted": 0,
                       "occupancy_sum": 0}
+        if self.speculative:
+            assert self.sampling.temperature <= 0, (
+                "speculative continuous decoding is greedy-only")
+            self._argmax_jit = jax.jit(
+                lambda lg: jnp.argmax(lg, -1).astype(jnp.int32))
+            self._verify_jit = self._build_verify()
 
         # probe dtypes with a 1-row prefill, then build the pool carry
         probe_ids = jnp.full((1, 8), self.sampling.pad_id, jnp.int32)
@@ -110,6 +151,40 @@ class ContinuousEngine:
         logits, caches, pos, done, rng = carry
         return (logits, caches, pos, done.at[slot].set(True), rng)
 
+    def _build_verify(self):
+        """One cached forward over (1 + draft_len) positions for every
+        slot; returns per-slot accepted-run length n_acc ∈ [1, 1+K]
+        (0 for free slots). Rejected positions leave stale K/V behind
+        the pointer; the next step's write window starts at the new
+        pointer and spans 1+K positions, which always covers the stale
+        region before attention reads it (decoder.py scatter-then-
+        attend), so no cleanup pass is needed."""
+        cfg, k = self.cfg, self.draft_len
+        model = self.gen.model
+
+        @jax.jit
+        def verify(params, carry, drafts):
+            logits, caches, pos, done, rng = carry
+            live = ~done
+            t1 = jnp.argmax(logits, -1).astype(jnp.int32)
+            inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
+            positions = pos[:, None] + jnp.arange(1 + k)[None, :]
+            wmask = live[:, None] & (positions < cfg.max_seq_len)
+            pos_c = jnp.clip(positions, 0, cfg.max_seq_len - 1)
+            la, caches = model.apply(params, inputs, pos_c, caches,
+                                     attn_mask=None, write_mask=wmask)
+            g = jnp.argmax(la, -1).astype(jnp.int32)
+            ok = inputs[:, 1:] == g[:, :-1]
+            n_acc = 1 + jnp.sum(
+                jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+            n_acc = jnp.where(live, n_acc, 0)
+            new_logits = jnp.take_along_axis(
+                la, jnp.clip(n_acc - 1, 0)[:, None, None], axis=1)[:, 0]
+            logits = jnp.where(live[:, None], new_logits, logits)
+            return (logits, caches, pos + n_acc, done, rng), n_acc
+
+        return verify
+
     # ------------------------------------------------------------ public
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None) -> int:
@@ -120,9 +195,11 @@ class ContinuousEngine:
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         length = min(int(length), len(ids))
-        # bucket the prompt so the prefill program count stays bounded
-        s = min(bucket_length(max(len(ids), 1)),
-                self.cfg.max_seq_len - max_new)
+        # bucket the prompt so the prefill program count stays bounded;
+        # speculative mode reserves the verify window past the budget
+        room = self.cfg.max_seq_len - max_new \
+            - (self.draft_len if self.speculative else 0)
+        s = min(bucket_length(max(len(ids), 1)), room)
         assert length <= s, (
             f"prompt length {length} + max_new {max_new} exceeds "
             f"max_seq_len {self.cfg.max_seq_len}")
@@ -152,16 +229,19 @@ class ContinuousEngine:
             self.stats["admitted"] += 1
 
     def step(self) -> int:
-        """Admit what fits, advance every active slot by `chunk`
-        tokens, harvest, free finished slots. Returns the number of
-        live tokens emitted."""
+        """Admit what fits, advance every active slot (by `chunk`
+        tokens, or by one speculative verify), harvest, free finished
+        slots. Returns the number of live tokens emitted."""
         self._admit()
         if not self._active:
             return 0
-        decode = self.gen._decode_chunk(self.slots, self.chunk,
-                                        self.sampling)
-        self._carry, tokens = decode(self._params, self._carry)
-        tokens = np.asarray(tokens)               # [slots, chunk]
+        if self.speculative:
+            tokens = self._spec_advance()         # [slots, ≤1+K] lists
+        else:
+            decode = self.gen._decode_chunk(self.slots, self.chunk,
+                                            self.sampling)
+            self._carry, toks = decode(self._params, self._carry)
+            tokens = np.asarray(toks)             # [slots, chunk]
         self.stats["steps"] += 1
         self.stats["occupancy_sum"] += len(self._active)
 
@@ -191,6 +271,29 @@ class ContinuousEngine:
                 del self._active[slot]
         self.stats["tokens"] += emitted
         return emitted
+
+    def _spec_advance(self) -> dict[int, list[int]]:
+        """One speculative pool step: host drafts per slot, one verify
+        forward for all slots, returns slot → accepted greedy run.
+
+        The host computes t1 (each slot's next greedy token) from the
+        carried logits with the same argmax the verify program applies
+        to the same array, so both sides agree on the drafts' anchor."""
+        pad = self.sampling.pad_id
+        k, n = self.draft_len, self.ngram
+        t1 = np.asarray(self._argmax_jit(self._carry[0]))   # [slots]
+        drafts = np.full((self.slots, k), pad, np.int32)
+        for slot, req in self._active.items():
+            hist = np.concatenate([
+                req.ids[:req.length],
+                np.asarray(req.tokens + [int(t1[slot])], np.int32)])
+            drafts[slot] = _lookup_draft_np(hist, k, n, pad)
+        self._carry, n_acc = self._verify_jit(
+            self._params, self._carry, jnp.asarray(drafts))
+        n_acc = np.asarray(n_acc)
+        return {slot: [int(t1[slot])]
+                + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]
+                for slot in self._active}
 
     def run(self) -> dict[int, list[int]]:
         """Drive until queue and pool are empty; returns rid → tokens

@@ -197,6 +197,129 @@ def test_driver_stream_matches_blocking(gen):
         assert out[i] == _solo(fresh, ids, m), i
 
 
+def test_speculative_engine_matches_solo(gen):
+    """speculative=True composes prompt-lookup drafts with the slot
+    pool: every request's tokens must STILL equal its solo greedy run
+    (lossless), whatever its neighbors decode."""
+    rng = np.random.default_rng(21)
+    eng = ContinuousEngine(gen, slots=4, sampling=SAMPLING,
+                           speculative=True, draft_len=5, ngram=2)
+    reqs = [(_prompt(rng, n), m) for n, m in
+            ((6, 10), (11, 7), (3, 14), (9, 5))]
+    rids = [eng.submit(ids, len(ids), m) for ids, m in reqs]
+    results = eng.run()
+    for rid, (ids, m) in zip(rids, reqs):
+        assert results[rid] == _solo(gen, ids, m), rid
+
+
+def test_speculative_slot_reuse_matches_solo(gen):
+    """Slot recycling under speculation: a late joiner inherits a slot
+    whose K/V holds the previous occupant's stale rows PLUS rejected
+    verify writes past the old pointer — the overwrite-on-insert and
+    causal mask must still isolate it."""
+    rng = np.random.default_rng(22)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
+                           speculative=True, draft_len=4, ngram=2)
+    a, b, c = _prompt(rng, 8), _prompt(rng, 5), _prompt(rng, 12)
+    ra = eng.submit(a, len(a), 10)
+    rb = eng.submit(b, len(b), 3)
+    eng.step()
+    eng.step()
+    rc = eng.submit(c, len(c), 6)    # reuses b's slot mid-flight
+    results = eng.run()
+    assert results[ra] == _solo(gen, a, 10)
+    assert results[rb] == _solo(gen, b, 3)
+    assert results[rc] == _solo(gen, c, 6)
+
+
+def test_speculative_pool_acceleration_with_oracle_drafts(
+        gen, monkeypatch):
+    """Feed each slot its own solo continuation as the draft (the
+    acceptance upper bound real RAG answers approach when quoting
+    context): the pool finishes BOTH requests in ~max_new/(1+K) steps
+    and outputs stay bit-identical."""
+    import rag_dpo_tpu.serving.continuous as cont
+
+    rng = np.random.default_rng(23)
+    prompts = [_prompt(rng, 6), _prompt(rng, 9)]
+    max_new, k = 24, 5
+    raw = [np.asarray(gen.generate_ids(
+        p[None], np.asarray([len(p)], np.int32),
+        SamplingConfig(temperature=0.0, eos_id=2, pad_id=1,
+                       max_new_tokens=max_new))[0], np.int32)
+        for p in prompts]
+    real = cont._lookup_draft_np
+
+    def oracle(hist, kk, n, pad):
+        for p, s in zip(prompts, raw):
+            if len(hist) > len(p) and np.array_equal(hist[:len(p)], p):
+                m = len(hist) - len(p)   # emitted incl. the t1 anchor
+                out = np.full((kk,), pad, np.int32)
+                src = s[m:m + kk]
+                out[:len(src)] = src
+                return out
+        return real(hist, kk, n, pad)
+
+    monkeypatch.setattr(cont, "_lookup_draft_np", oracle)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
+                           speculative=True, draft_len=k, ngram=2)
+    rids = [eng.submit(p, len(p), max_new) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, max_new), rid
+    # both slots decode concurrently; full acceptance compresses the
+    # whole run into ~max_new/(1+K) pool steps
+    assert eng.stats["steps"] <= -(-max_new // (1 + k)) + 2, eng.stats
+
+
+def test_speculative_eos_cut_matches_solo(gen):
+    """Pick an eos the model actually emits mid-stream: the speculative
+    pool must cut at the same position as the solo run even when the
+    eos arrives inside an accepted draft run."""
+    rng = np.random.default_rng(24)
+    ids = _prompt(rng, 10)
+    probe = gen.generate_ids(
+        ids[None], np.asarray([len(ids)], np.int32),
+        SamplingConfig(temperature=0.0, eos_id=2, pad_id=1,
+                       max_new_tokens=20))[0]
+    eos = int(probe[4])              # fires at step 5 of the solo run
+    sampling = SamplingConfig(temperature=0.0, eos_id=eos, pad_id=1)
+    eng = ContinuousEngine(gen, slots=2, sampling=sampling,
+                           speculative=True, draft_len=6, ngram=2)
+    rid = eng.submit(ids, len(ids), 20)
+    results = eng.run()
+    want = []
+    for t in probe:
+        t = int(t)
+        if t in (1, eos):
+            break
+        want.append(t)
+    assert results[rid] == want
+
+
+def test_provider_continuous_speculative_matches_direct():
+    """TPULLMProvider(continuous=True, speculative=True): the slot-pool
+    engine carries the speculation; greedy answers and streams match
+    the direct provider bit-for-bit."""
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    direct = TPULLMProvider(CFG, max_new_tokens=8)
+    spec = TPULLMProvider(CFG, max_new_tokens=8, continuous=True,
+                          speculative=True, draft_len=4, max_batch=2)
+    spec.generator._params = direct.generator.load()  # same weights
+    assert spec._driver.engine.speculative
+    for p in ("durée de conservation des données",
+              "durée de conservation des données",  # lookup-friendly
+              "base légale du traitement RH"):
+        want = direct.generate(p, temperature=0.0)
+        got = spec.generate(p, temperature=0.0)
+        assert got.error is None and want.error is None
+        assert got.text == want.text, p
+        assert "".join(spec.generate_stream(p, temperature=0.0)) \
+            == want.text, p
+    spec._driver.close()
+
+
 def test_provider_stream_rides_continuous_pool():
     """TPULLMProvider(continuous=True).generate_stream concatenates to
     the blocking continuous answer (greedy), and sampled streams fall
