@@ -83,6 +83,33 @@ class TextGenerator:
             self._programs[key] = prefill
         return self._programs[key]
 
+    def _extend(self, b: int, s: int):
+        """Continue a prefill from a cached prefix: write K/V for `s`
+        suffix positions starting at `start` into an existing cache and
+        return the logits at each row's last valid suffix token. One
+        program per suffix bucket — `start` is a traced scalar, so any
+        prefix length reuses it (serving/continuous.py prefix cache)."""
+        key = ("extend", b, s)
+        if key not in self._programs:
+            cfg = self.config
+
+            @jax.jit
+            def extend(params, ids, start, suffix_len, caches):
+                offs = jnp.arange(ids.shape[1])[None, :]
+                positions = start[:, None] + offs
+                valid = (offs < suffix_len[:, None]) & \
+                    (positions < cfg.max_seq_len)
+                pos_c = jnp.clip(positions, 0, cfg.max_seq_len - 1)
+                logits, caches = self.model.apply(
+                    params, ids, pos_c, caches,
+                    attn_mask=None, write_mask=valid,
+                    last_index=jnp.clip(suffix_len - 1, 0),
+                )
+                return logits[:, 0], caches
+
+            self._programs[key] = extend
+        return self._programs[key]
+
     def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
         key = ("decode", b, n_steps, sampling.temperature,
                sampling.top_k, sampling.eos_id, sampling.pad_id)

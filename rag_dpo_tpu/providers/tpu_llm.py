@@ -44,6 +44,8 @@ class TPULLMProvider(BaseLLMProvider):
         speculative: bool = False,
         draft_len: int = 7,
         ngram: int = 2,
+        prefix_cache: int = 0,
+        prefix_block: int = 64,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -86,7 +88,8 @@ class TPULLMProvider(BaseLLMProvider):
                     temperature=0.0, eos_id=self.tokenizer.sep_id,
                     pad_id=self.tokenizer.pad_id),
                 chunk=4, speculative=speculative,
-                draft_len=draft_len, ngram=ngram)
+                draft_len=draft_len, ngram=ngram,
+                prefix_cache=prefix_cache, prefix_block=prefix_block)
             self._driver = ContinuousDriver(engine)
         # speculative decoding (models/speculative.py): prompt-lookup
         # drafts verified in one cached forward — lossless under greedy,

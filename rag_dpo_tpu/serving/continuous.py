@@ -27,6 +27,14 @@ isolation comes from the overwrite-on-insert plus the causal mask
 (`key_pos <= q_pos` hides any stale rows beyond the new occupant's
 length).
 
+`prefix_cache=N` adds automatic prefix caching (the vLLM APC idea,
+static-shape TPU form): admissions store their prompt's block-aligned
+K/V prefix in an N-entry LRU keyed by token bytes; a later request
+sharing that prefix skips straight to a suffix-only `_extend` prefill.
+Causal K/V at position i depends only on tokens ≤ i, so shared-prefix
+rows are exactly reusable; RAG serving shares the per-intent system
+prompt across every request, multi-turn chat shares the whole history.
+
 Limitations (documented, not hidden): one SamplingConfig per engine
 (per-slot temperatures would need a per-row temperature vector in the
 decode program), and prompts bucket to `prompt_buckets` lengths so the
@@ -96,7 +104,8 @@ class ContinuousEngine:
                  sampling: SamplingConfig | None = None,
                  chunk: int = 4, rng_seed: int = 0,
                  speculative: bool = False, draft_len: int = 7,
-                 ngram: int = 2):
+                 ngram: int = 2, draft_fn: Callable | None = None,
+                 prefix_cache: int = 0, prefix_block: int = 64):
         self.gen = generator
         self.cfg = generator.config
         self.slots = int(slots)
@@ -105,13 +114,25 @@ class ContinuousEngine:
         self.speculative = bool(speculative)
         self.draft_len = int(draft_len)
         self.ngram = int(ngram)
+        # draft_fn(hist [L] int32, k, ngram, pad) -> [k] int32 overrides
+        # the prompt lookup (mirrors SpeculativeGenerator.draft_fn) —
+        # benches use it to measure the acceptance ceiling
+        self._draft_fn = draft_fn
         self._params = generator.load()
         self._rid = itertools.count()
         self._queue: list[_Request] = []
         self._active: dict[int, _Request] = {}   # slot → request
         self._requests: dict[int, _Request] = {}  # rid → request (all)
         self.stats = {"steps": 0, "tokens": 0, "admitted": 0,
-                      "occupancy_sum": 0}
+                      "occupancy_sum": 0, "prefix_hits": 0,
+                      "prefix_saved_tokens": 0}
+        # automatic prefix cache (vLLM-style APC, static shapes): LRU of
+        # single-row K/V trees keyed by block-aligned token prefixes
+        self.prefix_cache = int(prefix_cache)
+        self.prefix_block = int(prefix_block)
+        self._pentries: dict[int, dict] = {}     # eid → entry (LRU)
+        self._phash: dict[bytes, int] = {}       # prefix bytes → eid
+        self._peid = itertools.count()
         if self.speculative:
             assert self.sampling.temperature <= 0, (
                 "speculative continuous decoding is greedy-only")
@@ -217,16 +238,88 @@ class ContinuousEngine:
         while free and self._queue:
             slot = free.pop(0)
             req = self._queue.pop(0)
-            s = len(req.ids)
-            logits1, caches1 = self.gen._prefill(1, s)(
-                self._params, jnp.asarray(req.ids[None]),
-                jnp.asarray([req.length], jnp.int32))
+            logits1, caches1 = self._prefill_row(req)
             self._carry = self._insert_jit(
                 self._carry, jnp.int32(slot), logits1, caches1,
                 jnp.int32(req.length))
             req.slot = slot
             self._active[slot] = req
             self.stats["admitted"] += 1
+
+    # ------------------------------------------------- prefix caching
+    def _prefill_row(self, req: _Request):
+        """Prefill one request into a single cache row, reusing the
+        longest cached block-aligned token prefix when the prefix cache
+        is enabled.
+
+        Correctness: causal K/V at position i depends only on tokens
+        ≤ i, so two prompts sharing their first p tokens share their
+        first p cache rows exactly; an entry row therefore serves ANY
+        request matching a block-aligned prefix of the entry's prompt —
+        the `_extend` program overwrites positions p..p+suffix and
+        everything past the write pointer stays causally invisible
+        (same scatter-then-attend argument as slot reuse)."""
+        from ..tokenize.base import bucket_length
+
+        p, entry = self._prefix_lookup(req)
+        if entry is None:
+            s = len(req.ids)
+            logits1, caches1 = self.gen._prefill(1, s)(
+                self._params, jnp.asarray(req.ids[None]),
+                jnp.asarray([req.length], jnp.int32))
+        else:
+            suf_len = req.length - p
+            s2 = min(bucket_length(suf_len),
+                     self.cfg.max_seq_len - p)
+            suffix = np.full((s2,), self.sampling.pad_id, np.int32)
+            suffix[:suf_len] = req.ids[p:req.length]
+            logits1, caches1 = self.gen._extend(1, s2)(
+                self._params, jnp.asarray(suffix[None]),
+                jnp.asarray([p], jnp.int32),
+                jnp.asarray([suf_len], jnp.int32), entry["caches"])
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_saved_tokens"] += p
+        if self.prefix_cache:
+            self._prefix_store(req, caches1)
+        return logits1, caches1
+
+    def _prefix_lookup(self, req: _Request):
+        """Longest cached block-aligned prefix of this prompt, leaving
+        at least one suffix token to produce the first logits."""
+        if not self.prefix_cache:
+            return 0, None
+        blk = self.prefix_block
+        ids = req.ids[:req.length]
+        m_max = (req.length - 1) // blk
+        for m in range(m_max, 0, -1):
+            eid = self._phash.get(ids[:m * blk].tobytes())
+            if eid is not None:
+                entry = self._pentries.pop(eid)    # LRU: move to end
+                self._pentries[eid] = entry
+                return m * blk, entry
+        return 0, None
+
+    def _prefix_store(self, req: _Request, caches1):
+        """Register this prompt's full block-aligned prefix (the row
+        covers positions < req.length, both on miss and on hit)."""
+        blk = self.prefix_block
+        m = req.length // blk
+        if m < 1:
+            return
+        key = req.ids[:m * blk].tobytes()
+        if key in self._phash:
+            return                                 # already cached
+        eid = next(self._peid)
+        keys = [req.ids[:j * blk].tobytes() for j in range(1, m + 1)]
+        for k in keys:
+            self._phash.setdefault(k, eid)
+        self._pentries[eid] = {"caches": caches1, "keys": keys}
+        while len(self._pentries) > self.prefix_cache:
+            old_eid = next(iter(self._pentries))
+            old = self._pentries.pop(old_eid)
+            for k in old["keys"]:
+                if self._phash.get(k) == old_eid:
+                    del self._phash[k]
 
     def step(self) -> int:
         """Admit what fits, advance every active slot (by `chunk`
@@ -281,13 +374,14 @@ class ContinuousEngine:
         to the same array, so both sides agree on the drafts' anchor."""
         pad = self.sampling.pad_id
         k, n = self.draft_len, self.ngram
+        draft = self._draft_fn or _lookup_draft_np
         t1 = np.asarray(self._argmax_jit(self._carry[0]))   # [slots]
         drafts = np.full((self.slots, k), pad, np.int32)
         for slot, req in self._active.items():
             hist = np.concatenate([
                 req.ids[:req.length],
                 np.asarray(req.tokens + [int(t1[slot])], np.int32)])
-            drafts[slot] = _lookup_draft_np(hist, k, n, pad)
+            drafts[slot] = draft(hist, k, n, pad)
         self._carry, n_acc = self._verify_jit(
             self._params, self._carry, jnp.asarray(drafts))
         n_acc = np.asarray(n_acc)

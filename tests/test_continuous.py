@@ -232,13 +232,12 @@ def test_speculative_slot_reuse_matches_solo(gen):
     assert results[rc] == _solo(gen, c, 6)
 
 
-def test_speculative_pool_acceleration_with_oracle_drafts(
-        gen, monkeypatch):
-    """Feed each slot its own solo continuation as the draft (the
-    acceptance upper bound real RAG answers approach when quoting
-    context): the pool finishes BOTH requests in ~max_new/(1+K) steps
-    and outputs stay bit-identical."""
-    import rag_dpo_tpu.serving.continuous as cont
+def test_speculative_pool_acceleration_with_oracle_drafts(gen):
+    """Feed each slot its own solo continuation as the draft via the
+    public draft_fn hook (the acceptance upper bound real RAG answers
+    approach when quoting context): the pool finishes BOTH requests in
+    ~max_new/(1+K) steps and outputs stay bit-identical."""
+    from rag_dpo_tpu.serving.continuous import _lookup_draft_np
 
     rng = np.random.default_rng(23)
     prompts = [_prompt(rng, 6), _prompt(rng, 9)]
@@ -248,7 +247,6 @@ def test_speculative_pool_acceleration_with_oracle_drafts(
         SamplingConfig(temperature=0.0, eos_id=2, pad_id=1,
                        max_new_tokens=max_new))[0], np.int32)
         for p in prompts]
-    real = cont._lookup_draft_np
 
     def oracle(hist, kk, n, pad):
         for p, s in zip(prompts, raw):
@@ -258,11 +256,11 @@ def test_speculative_pool_acceleration_with_oracle_drafts(
                 src = s[m:m + kk]
                 out[:len(src)] = src
                 return out
-        return real(hist, kk, n, pad)
+        return _lookup_draft_np(hist, kk, n, pad)
 
-    monkeypatch.setattr(cont, "_lookup_draft_np", oracle)
     eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
-                           speculative=True, draft_len=k, ngram=2)
+                           speculative=True, draft_len=k, ngram=2,
+                           draft_fn=oracle)
     rids = [eng.submit(p, len(p), max_new) for p in prompts]
     results = eng.run()
     for rid, p in zip(rids, prompts):
