@@ -89,6 +89,8 @@ def build_stack(
                 scheduler=config.llm.scheduler,
                 speculative=config.llm.speculative,
                 max_batch=config.llm.max_batch,
+                prefix_cache=config.llm.prefix_cache,
+                prefix_block=config.llm.prefix_block,
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

@@ -194,6 +194,51 @@ class TextGenerator:
             self._programs[key] = decode
         return self._programs[key]
 
+    def _decode_chunk_mixed(self, b: int, n_steps: int,
+                            sampling: SamplingConfig):
+        """_decode_chunk with PER-ROW temperatures: `temps[b] <= 0`
+        rows decode greedily, others sample from the top-k at their own
+        temperature — one program serves a pool mixing both
+        (serving/continuous.py). top_k/eos/pad stay static per program."""
+        key = ("decode_chunk_mixed", b, n_steps, sampling.top_k,
+               sampling.eos_id, sampling.pad_id)
+        if key not in self._programs:
+            top_k = sampling.top_k
+            eos, pad = sampling.eos_id, sampling.pad_id
+
+            def sample(logits, temps, rng):
+                kk = min(top_k, logits.shape[-1])
+                vals, idxs = jax.lax.top_k(logits, kk)
+                safe = jnp.where(temps > 0, temps, 1.0)[:, None]
+                choice = jax.random.categorical(rng, vals / safe,
+                                                axis=-1)
+                drawn = jnp.take_along_axis(
+                    idxs, choice[:, None], axis=1)[:, 0]
+                greedy = idxs[:, 0]
+                return jnp.where(temps > 0, drawn,
+                                 greedy).astype(jnp.int32)
+
+            @jax.jit
+            def decode(params, carry, temps):
+                def step(c, _):
+                    logits, caches, pos, done, rng = c
+                    rng, sub = jax.random.split(rng)
+                    token = sample(logits, temps, sub)
+                    token = jnp.where(done, pad, token)
+                    done = done | (token == eos)
+                    new_logits, caches = self.model.apply(
+                        params, token[:, None], pos[:, None], caches,
+                    )
+                    return (new_logits[:, 0], caches, pos + 1, done,
+                            rng), token
+
+                carry, tokens = jax.lax.scan(step, carry, None,
+                                             length=n_steps)
+                return carry, tokens.T
+
+            self._programs[key] = decode
+        return self._programs[key]
+
     # ------------------------------------------------------------ public
     def generate_stream(self, input_ids: np.ndarray,
                         lengths: np.ndarray,

@@ -59,6 +59,29 @@ class SpecStats:
         return self.tokens / max(self.steps, 1)
 
 
+def prompt_lookup_draft(ids_buf, cur, k: int, n: int, pad: int = 1):
+    """Vectorized prompt-lookup (jax-traceable): ids_buf [B, L] (valid
+    < cur, including the just-written greedy token); returns [B, k] —
+    the tokens that followed the latest strictly-earlier occurrence of
+    the tail n-gram, or pad when the n-gram never occurred before."""
+    L = ids_buf.shape[1]
+    pat_idx = cur[:, None] - n + jnp.arange(n)[None, :]
+    pattern = jnp.take_along_axis(
+        ids_buf, jnp.clip(pat_idx, 0, L - 1), axis=1)       # [B, n]
+    nw = L - n + 1
+    windows = jnp.stack(
+        [ids_buf[:, i:i + nw] for i in range(n)], axis=-1)
+    match = jnp.all(windows == pattern[:, None, :], axis=-1)
+    j_pos = jnp.arange(nw)[None, :]
+    match = match & (j_pos < cur[:, None] - n)  # strictly earlier
+    has = jnp.any(match, axis=1)
+    j_star = jnp.argmax(jnp.where(match, j_pos, -1), axis=1)
+    src = j_star[:, None] + n + jnp.arange(k)[None, :]
+    looked = jnp.take_along_axis(
+        ids_buf, jnp.clip(src, 0, L - 1), axis=1)           # [B, k]
+    return jnp.where(has[:, None], looked, pad)
+
+
 class SpeculativeGenerator:
     """Greedy prompt-lookup speculative decoding over a TextGenerator.
 
@@ -85,28 +108,11 @@ class SpeculativeGenerator:
         self._programs: dict = {}
 
     def lookup_draft(self, ids_buf, cur):
-        """Prompt-lookup: ids_buf [B, L] (valid < cur, including the
-        just-written greedy token); returns [B, draft_len] — the tokens
-        that followed the latest strictly-earlier occurrence of the
-        tail n-gram, or pad when the n-gram never occurred before."""
-        k, n = self.draft_len, self.ngram
-        L = ids_buf.shape[1]
-        pad = 1  # only used for no-match drafts; any value is lossless
-        pat_idx = cur[:, None] - n + jnp.arange(n)[None, :]
-        pattern = jnp.take_along_axis(
-            ids_buf, jnp.clip(pat_idx, 0, L - 1), axis=1)   # [B, n]
-        nw = L - n + 1
-        windows = jnp.stack(
-            [ids_buf[:, i:i + nw] for i in range(n)], axis=-1)
-        match = jnp.all(windows == pattern[:, None, :], axis=-1)
-        j_pos = jnp.arange(nw)[None, :]
-        match = match & (j_pos < cur[:, None] - n)  # strictly earlier
-        has = jnp.any(match, axis=1)
-        j_star = jnp.argmax(jnp.where(match, j_pos, -1), axis=1)
-        src = j_star[:, None] + n + jnp.arange(k)[None, :]
-        looked = jnp.take_along_axis(
-            ids_buf, jnp.clip(src, 0, L - 1), axis=1)       # [B, k]
-        return jnp.where(has[:, None], looked, pad)
+        """Prompt-lookup at this generator's draft_len/ngram (see
+        module-level prompt_lookup_draft — the pad value only fills
+        no-match drafts; any value is lossless under greedy verify)."""
+        return prompt_lookup_draft(ids_buf, cur, self.draft_len,
+                                   self.ngram)
 
     # ------------------------------------------------------------ program
     def _spec_loop(self, b: int, s: int, max_new: int,

@@ -74,7 +74,8 @@ class HostedAPIProvider(BaseLLMProvider):
 def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    arch: str = "mistral-nemo-12b", quantize_int8: bool = True,
                    scheduler: str = "direct", speculative: bool = False,
-                   max_batch: int = 8,
+                   max_batch: int = 8, prefix_cache: int = 0,
+                   prefix_block: int = 64,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -120,6 +121,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         batch_concurrent=(scheduler == "batch"),
         continuous=(scheduler == "continuous"),
         speculative=speculative, max_batch=max_batch,
+        prefix_cache=prefix_cache, prefix_block=prefix_block,
     )
 
 

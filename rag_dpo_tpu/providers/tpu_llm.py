@@ -70,8 +70,8 @@ class TPULLMProvider(BaseLLMProvider):
         # continuous batching: a fixed decode-slot pool with step-level
         # admission (serving/continuous.py) — unlike the micro-batcher's
         # lockstep groups, a short answer never waits for a long
-        # neighbor. Greedy-only (one SamplingConfig per engine); sampled
-        # calls fall through to the direct path.
+        # neighbor. Per-request temperature rides the pool (greedy and
+        # sampled requests share the decode program).
         self._driver = None
         # speculative greedy accel reserves a verify window in the
         # prompt budget whichever engine carries it (_fit_budget)
@@ -180,14 +180,20 @@ class TPULLMProvider(BaseLLMProvider):
         t0 = time.time()
         try:
             text = f"{system}\n\n{prompt}" if system else prompt
+            # the verify window applies to anything the speculative
+            # engines will carry: all driver calls, greedy direct ones
             budget, max_new = self._fit_budget(
-                max_tokens, spec=temperature <= 0)
+                max_tokens,
+                spec=self._driver is not None or temperature <= 0)
             enc = self.tokenizer.encode_batch(
                 [text], min(bucket_length(len(text) // 3 + 2), budget))
-            if self._driver is not None and temperature <= 0:
+            if self._driver is not None:
+                # the slot pool carries sampled requests too (per-row
+                # temperature in the decode/verify programs)
                 row = np.asarray(enc.input_ids[0], np.int32)
                 toks = self._driver.generate(
-                    row, int(enc.lengths[0]), max_new)
+                    row, int(enc.lengths[0]), max_new,
+                    temperature=temperature)
                 return LLMResponse(self._decode_text(toks),
                                    self.model_name, time.time() - t0)
             if self._spec is not None and temperature <= 0:
@@ -236,21 +242,21 @@ class TPULLMProvider(BaseLLMProvider):
         the non-streaming output."""
         text = f"{system}\n\n{prompt}" if system else prompt
         # the continuous driver carries the speculation (if any), so a
-        # greedy stream routed there reserves the verify window too
+        # stream routed there reserves the verify window too
         budget, max_new = self._fit_budget(
-            max_tokens,
-            spec=temperature <= 0 and self._driver is not None)
+            max_tokens, spec=self._driver is not None)
         enc = self.tokenizer.encode_batch(
             [text], min(bucket_length(len(text) // 3 + 2), budget))
         emitted: list[int] = []
         prev = ""
-        if self._driver is not None and temperature <= 0:
+        if self._driver is not None:
             # continuous scheduler: the stream joins the slot pool and
             # yields per decoded token — it never waits on long pool
-            # neighbors (greedy-only, like the blocking driver path)
+            # neighbors (per-request temperature rides the pool too)
             for t in self._driver.generate_stream(
                     np.asarray(enc.input_ids[0], np.int32),
-                    int(enc.lengths[0]), max_new):
+                    int(enc.lengths[0]), max_new,
+                    temperature=temperature):
                 emitted.append(int(t))
                 full = self._decode_text(emitted)
                 delta, prev = full[len(prev):], full

@@ -35,10 +35,11 @@ Causal K/V at position i depends only on tokens ≤ i, so shared-prefix
 rows are exactly reusable; RAG serving shares the per-intent system
 prompt across every request, multi-turn chat shares the whole history.
 
-Limitations (documented, not hidden): one SamplingConfig per engine
-(per-slot temperatures would need a per-row temperature vector in the
-decode program), and prompts bucket to `prompt_buckets` lengths so the
-prefill program count stays bounded.
+Sampling is per request: each submit may carry its own temperature
+(≤0 = greedy) — the decode program takes a per-row temperature vector,
+so greedy and sampled requests share the pool. top_k / eos / pad stay
+static per engine, and prompts bucket to `prompt_buckets` lengths so
+the program count stays bounded.
 """
 
 from __future__ import annotations
@@ -61,6 +62,7 @@ class _Request:
     ids: np.ndarray          # [S] bucketed prompt
     length: int
     max_new: int
+    temperature: float = 0.0  # per-request; ≤0 decodes greedily
     tokens: list[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     done: bool = False
@@ -90,6 +92,12 @@ def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
 class ContinuousEngine:
     """Step-level continuous batching over a fixed slot pool.
 
+    Sampling is PER REQUEST: `submit(..., temperature=t)` decodes that
+    slot greedily (t ≤ 0) or top-k-sampled at its own temperature — the
+    pool mixes both in one program (`_decode_chunk_mixed`; top_k/eos/
+    pad stay engine-static). The engine's SamplingConfig temperature is
+    only the default for requests that don't pass one.
+
     `speculative=True` composes prompt-lookup speculative decoding with
     the pool (the vLLM-style pairing, TPU-native): each step drafts
     per-slot on the host from the slot's own prompt+emission history,
@@ -98,13 +106,16 @@ class ContinuousEngine:
     quoting its context emits several tokens per weight sweep while its
     neighbors still emit their one. Greedy-lossless per slot for the
     same reason the batch path is (models/speculative.py): emitted
-    tokens are always the verify forward's own argmax chain."""
+    tokens are always the verify forward's own argmax chain. Sampled
+    slots ride the same verify program (their next token is drawn
+    in-program from the carried logits, drafts ignored, advance 1)."""
 
     def __init__(self, generator: TextGenerator, *, slots: int = 8,
                  sampling: SamplingConfig | None = None,
                  chunk: int = 4, rng_seed: int = 0,
                  speculative: bool = False, draft_len: int = 7,
                  ngram: int = 2, draft_fn: Callable | None = None,
+                 device_draft_fn: Callable | None = None,
                  prefix_cache: int = 0, prefix_block: int = 64):
         self.gen = generator
         self.cfg = generator.config
@@ -115,9 +126,15 @@ class ContinuousEngine:
         self.draft_len = int(draft_len)
         self.ngram = int(ngram)
         # draft_fn(hist [L] int32, k, ngram, pad) -> [k] int32 overrides
-        # the prompt lookup (mirrors SpeculativeGenerator.draft_fn) —
-        # benches use it to measure the acceptance ceiling
+        # the prompt lookup HOST-side (forces the step-per-dispatch
+        # path); device_draft_fn(ids_buf [slots, L], cur [slots]) ->
+        # [slots, k] must be jax-traceable and swaps the in-program
+        # draft source of the scanned path (mirrors
+        # SpeculativeGenerator.draft_fn) — benches use these to measure
+        # acceptance ceilings; any draft source is lossless under the
+        # greedy verify
         self._draft_fn = draft_fn
+        self._device_draft_fn = device_draft_fn
         self._params = generator.load()
         self._rid = itertools.count()
         self._queue: list[_Request] = []
@@ -133,12 +150,21 @@ class ContinuousEngine:
         self._pentries: dict[int, dict] = {}     # eid → entry (LRU)
         self._phash: dict[bytes, int] = {}       # prefix bytes → eid
         self._peid = itertools.count()
+        self._temps = np.zeros((self.slots,), np.float32)
         if self.speculative:
-            assert self.sampling.temperature <= 0, (
-                "speculative continuous decoding is greedy-only")
             self._argmax_jit = jax.jit(
                 lambda lg: jnp.argmax(lg, -1).astype(jnp.int32))
             self._verify_jit = self._build_verify()
+            if self._draft_fn is None:
+                # device path: drafting runs IN-PROGRAM and `chunk`
+                # verify steps scan per dispatch — zero host syncs
+                # (a host draft_fn forces the step-per-dispatch path)
+                self._spec_chunk_jit = self._build_spec_chunk()
+                self._ids_buf = jnp.full(
+                    (self.slots, self.cfg.max_seq_len),
+                    self.sampling.pad_id, jnp.int32)
+                self._limits = jnp.zeros((self.slots,), jnp.int32)
+                self._insert_hist_jit = jax.jit(self._insert_hist_fn)
 
         # probe dtypes with a 1-row prefill, then build the pool carry
         probe_ids = jnp.full((1, 8), self.sampling.pad_id, jnp.int32)
@@ -172,22 +198,40 @@ class ContinuousEngine:
         logits, caches, pos, done, rng = carry
         return (logits, caches, pos, done.at[slot].set(True), rng)
 
+    @staticmethod
+    def _insert_hist_fn(ids_buf, limits, slot, ids_row, limit):
+        ids_buf = jax.lax.dynamic_update_slice(
+            ids_buf, ids_row[None], (slot, 0))
+        return ids_buf, limits.at[slot].set(limit)
+
     def _build_verify(self):
         """One cached forward over (1 + draft_len) positions for every
         slot; returns per-slot accepted-run length n_acc ∈ [1, 1+K]
-        (0 for free slots). Rejected positions leave stale K/V behind
-        the pointer; the next step's write window starts at the new
-        pointer and spans 1+K positions, which always covers the stale
-        region before attention reads it (decoder.py scatter-then-
-        attend), so no cleanup pass is needed."""
+        (0 for free slots) and the chosen first token t1 (argmax for
+        greedy slots, drawn in-program for sampled ones — sampled slots
+        never accept drafts, so they advance exactly 1). Rejected
+        positions leave stale K/V behind the pointer; the next step's
+        write window starts at the new pointer and spans 1+K positions,
+        which always covers the stale region before attention reads it
+        (decoder.py scatter-then-attend), so no cleanup pass is
+        needed."""
         cfg, k = self.cfg, self.draft_len
+        top_k = self.sampling.top_k
         model = self.gen.model
 
         @jax.jit
-        def verify(params, carry, drafts):
+        def verify(params, carry, drafts, temps):
             logits, caches, pos, done, rng = carry
             live = ~done
-            t1 = jnp.argmax(logits, -1).astype(jnp.int32)
+            rng, sub = jax.random.split(rng)
+            greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+            kk = min(top_k, logits.shape[-1])
+            vals, idxs = jax.lax.top_k(logits, kk)
+            safe = jnp.where(temps > 0, temps, 1.0)[:, None]
+            choice = jax.random.categorical(sub, vals / safe, axis=-1)
+            drawn = jnp.take_along_axis(
+                idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+            t1 = jnp.where(temps > 0, drawn, greedy)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
             positions = pos[:, None] + jnp.arange(1 + k)[None, :]
             wmask = live[:, None] & (positions < cfg.max_seq_len)
@@ -196,22 +240,121 @@ class ContinuousEngine:
                                      attn_mask=None, write_mask=wmask)
             g = jnp.argmax(la, -1).astype(jnp.int32)
             ok = inputs[:, 1:] == g[:, :-1]
-            n_acc = 1 + jnp.sum(
-                jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+            n_acc = 1 + jnp.where(
+                temps > 0, 0,
+                jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
+                        axis=1))
             n_acc = jnp.where(live, n_acc, 0)
             new_logits = jnp.take_along_axis(
                 la, jnp.clip(n_acc - 1, 0)[:, None, None], axis=1)[:, 0]
             logits = jnp.where(live[:, None], new_logits, logits)
-            return (logits, caches, pos + n_acc, done, rng), n_acc
+            return (logits, caches, pos + n_acc, done, rng), n_acc, t1
 
         return verify
 
+    def _build_spec_chunk(self):
+        """`chunk` draft→verify→accept steps scanned in ONE program:
+        drafting runs on device over each slot's own token buffer
+        (models/speculative.py prompt_lookup_draft), EOS and per-slot
+        budgets resolve in-program, and the host only harvests the
+        (tokens, valid) matrices once per dispatch. This is what makes
+        pool speculation pay off behind a high-RTT dispatch link: the
+        host-drafted path syncs every verify step (~28 ms on the axon
+        tunnel — measured in benchmarks/bench_continuous_spec.py),
+        the scanned path amortizes one dispatch over
+        chunk × accepted-run tokens."""
+        from ..models.speculative import prompt_lookup_draft
+
+        cfg, k, n = self.cfg, self.draft_len, self.ngram
+        eos, pad = self.sampling.eos_id, self.sampling.pad_id
+        top_k = self.sampling.top_k
+        b, S = self.slots, self.chunk
+        model = self.gen.model
+        draft_src = self._device_draft_fn or (
+            lambda buf, cur: prompt_lookup_draft(buf, cur, k, n, pad))
+
+        @jax.jit
+        def spec_chunk(params, carry, ids_buf, limits, temps):
+            L = ids_buf.shape[1]
+            idx = jnp.arange(1 + k)[None, :]
+            rowi = jnp.arange(b)
+
+            def step(c, _):
+                logits, caches, pos, done, rng, ids_buf = c
+                live = ~done
+                rng, sub = jax.random.split(rng)
+                greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+                kk = min(top_k, logits.shape[-1])
+                vals, idxs = jax.lax.top_k(logits, kk)
+                safe = jnp.where(temps > 0, temps, 1.0)[:, None]
+                choice = jax.random.categorical(sub, vals / safe,
+                                                axis=-1)
+                drawn = jnp.take_along_axis(
+                    idxs, choice[:, None],
+                    axis=1)[:, 0].astype(jnp.int32)
+                t1 = jnp.where(temps > 0, drawn, greedy)
+                # write t1 at pos so the tail n-gram includes it
+                cur_c = jnp.clip(pos, 0, L - 1)
+                old = ids_buf[rowi, cur_c]
+                ids_buf = ids_buf.at[rowi, cur_c].set(
+                    jnp.where(live, t1, old))
+                drafts = draft_src(ids_buf, pos + 1)
+                inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
+                positions = pos[:, None] + idx
+                wmask = live[:, None] & (positions < cfg.max_seq_len)
+                pos_c = jnp.clip(positions, 0, cfg.max_seq_len - 1)
+                la, caches = model.apply(params, inputs, pos_c, caches,
+                                         attn_mask=None,
+                                         write_mask=wmask)
+                g = jnp.argmax(la, -1).astype(jnp.int32)
+                ok = inputs[:, 1:] == g[:, :-1]
+                n_acc = 1 + jnp.where(
+                    temps > 0, 0,
+                    jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
+                            axis=1))
+                base = (idx < n_acc[:, None]) & live[:, None] \
+                    & (positions < limits[:, None])
+                is_eos = (inputs == eos) & base
+                after = (jnp.cumsum(is_eos.astype(jnp.int32), axis=1)
+                         - is_eos) > 0
+                valid = base & ~after            # EOS emitted too
+                nv = jnp.sum(valid.astype(jnp.int32), axis=1)
+                # accepted drafts extend ids_buf (t1 already written;
+                # invalid targets one-hot to L → write nowhere)
+                tgt = jnp.where(valid & (idx > 0), positions, L)
+                oh = jax.nn.one_hot(tgt, L, dtype=jnp.int32)
+                cov = jnp.sum(oh, axis=1)
+                ids_buf = ids_buf * (1 - cov) + jnp.einsum(
+                    "bim,bi->bm", oh, inputs)
+                new_logits = jnp.take_along_axis(
+                    la, jnp.clip(nv - 1, 0)[:, None, None],
+                    axis=1)[:, 0]
+                keep = live[:, None] & (nv > 0)[:, None]
+                logits = jnp.where(keep, new_logits, logits)
+                pos = pos + nv
+                done = done | jnp.any(is_eos & valid, axis=1) \
+                    | (pos >= limits)
+                return (logits, caches, pos, done, rng, ids_buf), \
+                    (inputs, valid)
+
+            logits, caches, pos, done, rng = carry
+            (logits, caches, pos, done, rng, ids_buf), (toks, valid) = \
+                jax.lax.scan(
+                    step, (logits, caches, pos, done, rng, ids_buf),
+                    None, length=S)
+            return (logits, caches, pos, done, rng), ids_buf, \
+                toks, valid
+
+        return spec_chunk
+
     # ------------------------------------------------------------ public
     def submit(self, prompt_ids, length: int, max_new: int,
-               on_token: Callable | None = None) -> int:
+               on_token: Callable | None = None,
+               temperature: float | None = None) -> int:
         """Queue a request; returns its id. `on_token(rid, token_id)`
-        fires per decoded token (streaming). Admission happens at the
-        next `step()` if a slot is free."""
+        fires per decoded token (streaming). `temperature` overrides
+        the engine default for THIS request (≤0 = greedy). Admission
+        happens at the next `step()` if a slot is free."""
         from ..tokenize.base import bucket_length
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
@@ -227,8 +370,11 @@ class ContinuousEngine:
         padded = np.full((s,), self.sampling.pad_id, np.int32)
         padded[:min(len(ids), s)] = ids[:s]
         ids = padded
+        temp = self.sampling.temperature if temperature is None \
+            else float(temperature)
         req = _Request(rid=next(self._rid), ids=ids, length=int(length),
-                       max_new=int(max_new), on_token=on_token)
+                       max_new=int(max_new), temperature=temp,
+                       on_token=on_token)
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
@@ -244,6 +390,12 @@ class ContinuousEngine:
                 jnp.int32(req.length))
             req.slot = slot
             self._active[slot] = req
+            self._temps[slot] = req.temperature
+            if self.speculative and self._draft_fn is None:
+                self._ids_buf, self._limits = self._insert_hist_jit(
+                    self._ids_buf, self._limits, jnp.int32(slot),
+                    jnp.asarray(req.ids),
+                    jnp.int32(req.length + req.max_new))
             self.stats["admitted"] += 1
 
     # ------------------------------------------------- prefix caching
@@ -328,12 +480,15 @@ class ContinuousEngine:
         self._admit()
         if not self._active:
             return 0
-        if self.speculative:
+        if self.speculative and self._draft_fn is None:
+            tokens = self._spec_chunk_advance()   # slot → token list
+        elif self.speculative:
             tokens = self._spec_advance()         # [slots, ≤1+K] lists
         else:
-            decode = self.gen._decode_chunk(self.slots, self.chunk,
-                                            self.sampling)
-            self._carry, toks = decode(self._params, self._carry)
+            decode = self.gen._decode_chunk_mixed(
+                self.slots, self.chunk, self.sampling)
+            self._carry, toks = decode(self._params, self._carry,
+                                       jnp.asarray(self._temps))
             tokens = np.asarray(toks)             # [slots, chunk]
         self.stats["steps"] += 1
         self.stats["occupancy_sum"] += len(self._active)
@@ -365,26 +520,46 @@ class ContinuousEngine:
         self.stats["tokens"] += emitted
         return emitted
 
+    def _spec_chunk_advance(self) -> dict[int, list[int]]:
+        """One scanned device dispatch: `chunk` speculative steps for
+        every slot, harvested from the (tokens, valid) matrices. The
+        in-program EOS/budget cut guarantees the valid stream for a
+        slot is exactly its next emitted tokens (EOS included), so the
+        ordinary harvest loop applies unchanged."""
+        self._carry, self._ids_buf, toks, valid = self._spec_chunk_jit(
+            self._params, self._carry, self._ids_buf, self._limits,
+            jnp.asarray(self._temps))
+        toks, valid = np.asarray(toks), np.asarray(valid)
+        return {slot: [int(t) for s in range(toks.shape[0])
+                       for t, v in zip(toks[s, slot], valid[s, slot])
+                       if v]
+                for slot in self._active}
+
     def _spec_advance(self) -> dict[int, list[int]]:
         """One speculative pool step: host drafts per slot, one verify
-        forward for all slots, returns slot → accepted greedy run.
+        forward for all slots, returns slot → accepted run.
 
-        The host computes t1 (each slot's next greedy token) from the
-        carried logits with the same argmax the verify program applies
-        to the same array, so both sides agree on the drafts' anchor."""
+        For greedy slots the host anchors the draft on the same argmax
+        the verify program applies to the same carried logits, so both
+        sides agree; sampled slots draw their token IN-PROGRAM (the
+        host can't replicate the rng draw), so their emitted token is
+        the returned t1 and their drafts are ignored (n_acc = 1)."""
         pad = self.sampling.pad_id
         k, n = self.draft_len, self.ngram
         draft = self._draft_fn or _lookup_draft_np
-        t1 = np.asarray(self._argmax_jit(self._carry[0]))   # [slots]
+        t1g = np.asarray(self._argmax_jit(self._carry[0]))  # [slots]
         drafts = np.full((self.slots, k), pad, np.int32)
         for slot, req in self._active.items():
+            if req.temperature > 0:
+                continue                  # drafts unused for sampled
             hist = np.concatenate([
                 req.ids[:req.length],
-                np.asarray(req.tokens + [int(t1[slot])], np.int32)])
+                np.asarray(req.tokens + [int(t1g[slot])], np.int32)])
             drafts[slot] = draft(hist, k, n, pad)
-        self._carry, n_acc = self._verify_jit(
-            self._params, self._carry, jnp.asarray(drafts))
-        n_acc = np.asarray(n_acc)
+        self._carry, n_acc, t1 = self._verify_jit(
+            self._params, self._carry, jnp.asarray(drafts),
+            jnp.asarray(self._temps))
+        n_acc, t1 = np.asarray(n_acc), np.asarray(t1)
         return {slot: [int(t1[slot])]
                 + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]
                 for slot in self._active}
@@ -426,7 +601,8 @@ class ContinuousDriver:
         self._thread.start()
 
     def generate(self, prompt_ids, length: int, max_new: int,
-                 on_token=None) -> list[int]:
+                 on_token=None, temperature: float | None = None
+                 ) -> list[int]:
         """Block until this request completes; returns its tokens."""
         import threading
 
@@ -435,7 +611,8 @@ class ContinuousDriver:
             if self._closed:
                 raise RuntimeError("driver is closed")
             rid = self.engine.submit(prompt_ids, length, max_new,
-                                     on_token=on_token)
+                                     on_token=on_token,
+                                     temperature=temperature)
             self._events[rid] = evt
             self._work.set()
         evt.wait()
@@ -443,7 +620,8 @@ class ContinuousDriver:
             self._events.pop(rid, None)
             return self.engine._requests[rid].tokens
 
-    def generate_stream(self, prompt_ids, length: int, max_new: int):
+    def generate_stream(self, prompt_ids, length: int, max_new: int,
+                        temperature: float | None = None):
         """Yield this request's token ids as the pool decodes them.
 
         The engine's `on_token` fires on the driver thread; a queue
@@ -463,7 +641,8 @@ class ContinuousDriver:
                 raise RuntimeError("driver is closed")
             rid = self.engine.submit(
                 prompt_ids, length, max_new,
-                on_token=lambda _rid, t: q.put(t))
+                on_token=lambda _rid, t: q.put(t),
+                temperature=temperature)
             self._events[rid] = evt
             self._work.set()
 

@@ -67,6 +67,8 @@ class LLMSection:
     scheduler: str = "direct"          # direct | batch | continuous
     speculative: bool = False          # prompt-lookup greedy acceleration
     max_batch: int = 8                 # micro-batch / slot-pool width
+    prefix_cache: int = 0              # APC entries (continuous only)
+    prefix_block: int = 64             # APC block size (tokens)
 
 
 @dataclasses.dataclass

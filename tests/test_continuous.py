@@ -197,6 +197,74 @@ def test_driver_stream_matches_blocking(gen):
         assert out[i] == _solo(fresh, ids, m), i
 
 
+def test_mixed_pool_greedy_rows_unaffected_by_sampled_neighbors(gen):
+    """Per-request temperature: a greedy request sharing the pool with
+    sampled neighbors still matches its solo greedy run exactly."""
+    rng = np.random.default_rng(31)
+    eng = ContinuousEngine(gen, slots=4, sampling=SAMPLING, chunk=3)
+    g1, g2 = _prompt(rng, 7), _prompt(rng, 11)
+    s1, s2 = _prompt(rng, 5), _prompt(rng, 9)
+    rg1 = eng.submit(g1, len(g1), 8)                 # engine default 0
+    rs1 = eng.submit(s1, len(s1), 8, temperature=0.9)
+    rg2 = eng.submit(g2, len(g2), 6, temperature=0.0)
+    rs2 = eng.submit(s2, len(s2), 6, temperature=1.3)
+    results = eng.run()
+    assert results[rg1] == _solo(gen, g1, 8)
+    assert results[rg2] == _solo(gen, g2, 6)
+    assert len(results[rs1]) <= 8 and len(results[rs2]) <= 6
+    for t in results[rs1] + results[rs2]:
+        assert 0 <= t < CFG.vocab_size
+
+
+def test_sampled_requests_are_independent_across_submissions(gen):
+    """The same prompt sampled twice draws from an advancing rng —
+    outputs must not replay (advisor round-2 independence, now at the
+    pool level)."""
+    rng = np.random.default_rng(32)
+    ids = _prompt(rng, 8)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=4)
+    outs = []
+    for _ in range(4):
+        rid = eng.submit(ids, len(ids), 12, temperature=1.5)
+        eng.run()
+        outs.append(tuple(eng._requests[rid].tokens))
+    assert len(set(outs)) > 1, outs
+
+
+def test_sampled_rows_ride_the_speculative_pool(gen):
+    """speculative=True with a sampled request: the sampled slot draws
+    in-program and advances one token per verify; greedy neighbors keep
+    their lossless guarantee."""
+    rng = np.random.default_rng(33)
+    g = _prompt(rng, 10)
+    s = _prompt(rng, 6)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
+                           speculative=True, draft_len=4, ngram=2)
+    rg = eng.submit(g, len(g), 9)
+    rs = eng.submit(s, len(s), 7, temperature=0.8)
+    results = eng.run()
+    assert results[rg] == _solo(gen, g, 9)
+    assert len(results[rs]) <= 7
+    for t in results[rs]:
+        assert 0 <= t < CFG.vocab_size
+
+
+def test_provider_sampled_calls_ride_the_pool():
+    """TPULLMProvider(continuous=True): sampled calls now join the slot
+    pool instead of falling through to the direct path."""
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cont = TPULLMProvider(CFG, max_new_tokens=6, continuous=True,
+                          max_batch=2)
+    before = cont._driver.engine.stats["admitted"]
+    r = cont.generate("durée de conservation ?", temperature=0.9)
+    assert r.error is None
+    s = "".join(cont.generate_stream("base légale ?", temperature=0.7))
+    assert isinstance(s, str)
+    assert cont._driver.engine.stats["admitted"] == before + 2
+    cont._driver.close()
+
+
 def test_speculative_engine_matches_solo(gen):
     """speculative=True composes prompt-lookup drafts with the slot
     pool: every request's tokens must STILL equal its solo greedy run
@@ -268,6 +336,47 @@ def test_speculative_pool_acceleration_with_oracle_drafts(gen):
     # both slots decode concurrently; full acceptance compresses the
     # whole run into ~max_new/(1+K) pool steps
     assert eng.stats["steps"] <= -(-max_new // (1 + k)) + 2, eng.stats
+
+
+def test_device_oracle_drafts_compress_dispatches(gen):
+    """device_draft_fn (traceable, in-program): feeding each slot its
+    own solo continuation through a position-aligned table drives full
+    acceptance — the whole run completes in ~max_new/(chunk·(1+K))
+    dispatches and outputs stay bit-identical."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(25)
+    prompts = [_prompt(rng, 6), _prompt(rng, 9)]
+    max_new, k, chunk = 24, 5, 2
+    L = CFG.max_seq_len
+    tab = np.ones((2, L), np.int32)
+    for r, p in enumerate(prompts):
+        raw = np.asarray(gen.generate_ids(
+            p[None], np.asarray([len(p)], np.int32),
+            SamplingConfig(temperature=0.0, eos_id=2, pad_id=1,
+                           max_new_tokens=max_new))[0], np.int32)
+        tab[r, :len(p)] = p
+        tab[r, len(p):len(p) + max_new] = raw
+    keys = jnp.asarray(np.stack([p[:4] for p in prompts]))
+    table = jnp.asarray(tab)
+
+    def oracle(ids_buf, cur):
+        m = jnp.all(ids_buf[:, None, :4] == keys[None], -1)
+        r = jnp.argmax(m, axis=1)
+        src = cur[:, None] + jnp.arange(k)[None, :]
+        return jnp.take_along_axis(
+            table[r], jnp.clip(src, 0, L - 1), axis=1)
+
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
+                           chunk=chunk, speculative=True, draft_len=k,
+                           device_draft_fn=oracle)
+    rids = [eng.submit(p, len(p), max_new) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, max_new), rid
+    # full acceptance: chunk·(1+K)=12 tokens per dispatch → 24 tokens
+    # need 2 dispatches (plus one admission dispatch tolerance)
+    assert eng.stats["steps"] <= 3, eng.stats
 
 
 def test_speculative_eos_cut_matches_solo(gen):
