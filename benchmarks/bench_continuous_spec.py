@@ -10,7 +10,8 @@ mixed budgets 16–128) so the arms line up:
    on-device (the axon tunnel RTT ≈ 28 ms per sync);
 3. pool + DEVICE speculation, prompt-lookup drafts on random weights —
    the production path's honest floor (random argmax chains don't
-   follow the prompt, acceptance ≈ 1);
+   follow the prompt, acceptance ≈ 1); adaptive=False pins the raw
+   always-verify cost;
 4. pool + DEVICE speculation, oracle drafts (device_draft_fn): each
    slot is fed the pool's own previously-recorded emission via a
    content-keyed position-aligned table, iterated once to a fixed
@@ -20,7 +21,12 @@ mixed budgets 16–128) so the arms line up:
    near-ties under random init make the (1+K)-position verify argmax
    diverge from the 1-token program's chain (bench_speculative.py),
    which would cap measured acceptance for reasons that vanish with
-   real weights' decisive margins.
+   real weights' decisive margins;
+5. ADAPTIVE arms (the production default): the engine measures
+   acceptance online and falls back to the plain program under the
+   breakeven — adaptive+lookup must land near pool_plain (speculation
+   auto-disabled after the probe window), adaptive+oracle near the
+   non-adaptive oracle (speculation kept live).
 
 Run on the real chip:  python benchmarks/bench_continuous_spec.py
 """
@@ -65,6 +71,9 @@ def run_pool(gen, prompts, budgets, sampling, **kw):
              "tokens": got, "dispatches": eng.stats["steps"],
              "tok_per_dispatch": round(
                  got / max(eng.stats["steps"], 1), 2)}
+    if eng.speculative:
+        stats["spec_dispatches"] = eng.stats["spec_dispatches"]
+        stats["plain_dispatches"] = eng.stats["plain_dispatches"]
     return stats, [results[r] for r in rids]
 
 
@@ -148,7 +157,8 @@ def main():
     print("host lookup:", out["pool_spec_host_lookup"], flush=True)
 
     out["pool_spec_device_lookup"], emissions = run_pool(
-        gen, prompts, budgets, sampling, speculative=True, draft_len=K)
+        gen, prompts, budgets, sampling, speculative=True, draft_len=K,
+        adaptive=False)
     print("device lookup:", out["pool_spec_device_lookup"], flush=True)
 
     # device oracle, iterated once to a fixed point of the verify chain
@@ -156,10 +166,22 @@ def main():
     for i in range(2):
         stats, emissions = run_pool(
             gen, prompts, budgets, sampling, speculative=True,
-            draft_len=K,
+            draft_len=K, adaptive=False,
             device_draft_fn=make_device_oracle(prompts, emissions, L))
         print(f"device oracle pass {i}:", stats, flush=True)
     out["pool_spec_device_oracle"] = stats
+
+    # adaptive arms: the production default self-tunes per workload
+    s, _ = run_pool(gen, prompts, budgets, sampling, speculative=True,
+                    draft_len=K, adaptive=True)
+    out["pool_adaptive_lookup"] = s
+    print("adaptive lookup:", s, flush=True)
+    s, _ = run_pool(gen, prompts, budgets, sampling, speculative=True,
+                    draft_len=K, adaptive=True,
+                    device_draft_fn=make_device_oracle(
+                        prompts, emissions, L))
+    out["pool_adaptive_oracle"] = s
+    print("adaptive oracle:", s, flush=True)
 
     out["speedup_device_oracle"] = round(
         out["pool_plain"]["wall_s"]
@@ -167,6 +189,12 @@ def main():
     out["speedup_device_lookup"] = round(
         out["pool_plain"]["wall_s"]
         / out["pool_spec_device_lookup"]["wall_s"], 2)
+    out["speedup_adaptive_lookup"] = round(
+        out["pool_plain"]["wall_s"]
+        / out["pool_adaptive_lookup"]["wall_s"], 2)
+    out["speedup_adaptive_oracle"] = round(
+        out["pool_plain"]["wall_s"]
+        / out["pool_adaptive_oracle"]["wall_s"], 2)
     out["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     print(json.dumps(out), flush=True)
     with open(pathlib.Path(__file__).parent / "RESULTS.jsonl", "a") as f:

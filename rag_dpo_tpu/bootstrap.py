@@ -91,6 +91,7 @@ def build_stack(
                 max_batch=config.llm.max_batch,
                 prefix_cache=config.llm.prefix_cache,
                 prefix_block=config.llm.prefix_block,
+                prefill_chunk=config.llm.prefill_chunk,
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

@@ -46,6 +46,9 @@ class TPULLMProvider(BaseLLMProvider):
         ngram: int = 2,
         prefix_cache: int = 0,
         prefix_block: int = 64,
+        spec_adaptive: bool = True,
+        spec_breakeven: float = 1.7,
+        prefill_chunk: int = 0,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -89,7 +92,9 @@ class TPULLMProvider(BaseLLMProvider):
                     pad_id=self.tokenizer.pad_id),
                 chunk=4, speculative=speculative,
                 draft_len=draft_len, ngram=ngram,
-                prefix_cache=prefix_cache, prefix_block=prefix_block)
+                prefix_cache=prefix_cache, prefix_block=prefix_block,
+                adaptive=spec_adaptive, spec_breakeven=spec_breakeven,
+                prefill_chunk=prefill_chunk)
             self._driver = ContinuousDriver(engine)
         # speculative decoding (models/speculative.py): prompt-lookup
         # drafts verified in one cached forward — lossless under greedy,

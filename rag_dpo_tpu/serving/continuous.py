@@ -12,7 +12,10 @@ engine, built TPU-natively on static shapes:
 * prefill runs per request at batch 1 (its own jit program) and the
   resulting single-row cache/logits are scattered into the pool with a
   jitted `dynamic_update_index_in_dim` over the carry tree — no
-  recompilation, slot index is a traced scalar;
+  recompilation, slot index is a traced scalar; with `prefill_chunk=N`
+  a longer prompt prefills in bounded N-token segments, one per engine
+  step, so the pool keeps decoding between segments (chunked prefill —
+  a long RAG context can't stall neighbors beyond one segment);
 * decode advances ALL slots together through the same chunked scan
   program the streaming path uses (`TextGenerator._decode_chunk`);
   free slots ride along masked `done` (they emit pad into nowhere);
@@ -108,7 +111,14 @@ class ContinuousEngine:
     same reason the batch path is (models/speculative.py): emitted
     tokens are always the verify forward's own argmax chain. Sampled
     slots ride the same verify program (their next token is drawn
-    in-program from the carried logits, drafts ignored, advance 1)."""
+    in-program from the carried logits, drafts ignored, advance 1).
+
+    `adaptive=True` (default) makes speculation self-tuning: the engine
+    tracks accepted tokens per slot-step and drops back to the plain
+    chunked program whenever the EMA sits under `spec_breakeven` (the
+    measured verify-vs-decode step-cost ratio), re-probing with
+    exponential backoff — so a workload that never quotes its context
+    pays only the occasional probe instead of a steady verify tax."""
 
     def __init__(self, generator: TextGenerator, *, slots: int = 8,
                  sampling: SamplingConfig | None = None,
@@ -116,7 +126,10 @@ class ContinuousEngine:
                  speculative: bool = False, draft_len: int = 7,
                  ngram: int = 2, draft_fn: Callable | None = None,
                  device_draft_fn: Callable | None = None,
-                 prefix_cache: int = 0, prefix_block: int = 64):
+                 prefix_cache: int = 0, prefix_block: int = 64,
+                 adaptive: bool = True, spec_breakeven: float = 1.7,
+                 spec_hold: int = 16, spec_probe: int = 2,
+                 spec_hold_max: int = 256, prefill_chunk: int = 0):
         self.gen = generator
         self.cfg = generator.config
         self.slots = int(slots)
@@ -142,7 +155,18 @@ class ContinuousEngine:
         self._requests: dict[int, _Request] = {}  # rid → request (all)
         self.stats = {"steps": 0, "tokens": 0, "admitted": 0,
                       "occupancy_sum": 0, "prefix_hits": 0,
-                      "prefix_saved_tokens": 0}
+                      "prefix_saved_tokens": 0,
+                      "spec_dispatches": 0, "plain_dispatches": 0,
+                      "prefill_segments": 0}
+        # chunked prefill (vLLM-style, static-shape TPU form): a prompt
+        # longer than `prefill_chunk` tokens prefills in bounded
+        # segments — one `_extend` dispatch per engine step — while the
+        # rest of the pool keeps decoding between segments, so a long
+        # RAG context (8k tokens) can't stall its neighbors' token
+        # streams for more than one segment's latency. 0 = whole-prompt
+        # prefill at admission (the round-3 behavior).
+        self.prefill_chunk = int(prefill_chunk)
+        self._prefilling: dict[int, dict] = {}   # slot → prefill state
         # automatic prefix cache (vLLM-style APC, static shapes): LRU of
         # single-row K/V trees keyed by block-aligned token prefixes
         self.prefix_cache = int(prefix_cache)
@@ -151,6 +175,27 @@ class ContinuousEngine:
         self._phash: dict[bytes, int] = {}       # prefix bytes → eid
         self._peid = itertools.count()
         self._temps = np.zeros((self.slots,), np.float32)
+        # adaptive speculation (device path only): speculation pays iff
+        # the accepted-run length beats the verify step's cost premium
+        # over a plain decode step (`spec_breakeven`, measured at ~1.6×
+        # for a 1+7-position verify on the 12B int8 —
+        # benchmarks/bench_continuous_spec.py). The engine measures
+        # tokens-per-slot-step online (EMA over dispatches); when the
+        # pool isn't quoting (acceptance ≈ 1) it falls back to the
+        # plain chunked program for `spec_hold` dispatches, then
+        # re-probes, doubling the hold (≤ spec_hold_max) while probes
+        # keep failing. Every mode is greedy-lossless, so switching is
+        # output-invisible (tests/test_continuous.py adaptive tests).
+        self.adaptive = bool(adaptive)
+        self.spec_breakeven = float(spec_breakeven)
+        self.spec_hold = int(spec_hold)
+        self.spec_probe = int(spec_probe)
+        self.spec_hold_max = int(spec_hold_max)
+        self._spec_mode = True
+        self._spec_seen = 0
+        self._accept_ema: float | None = None
+        self._hold_len = self.spec_hold
+        self._plain_left = 0
         if self.speculative:
             self._argmax_jit = jax.jit(
                 lambda lg: jnp.argmax(lg, -1).astype(jnp.int32))
@@ -380,23 +425,77 @@ class ContinuousEngine:
         return req.rid
 
     def _admit(self):
-        free = [s for s in range(self.slots) if s not in self._active]
+        free = [s for s in range(self.slots)
+                if s not in self._active and s not in self._prefilling]
         while free and self._queue:
             slot = free.pop(0)
             req = self._queue.pop(0)
+            if self.prefill_chunk and req.length > self.prefill_chunk:
+                # long prompt: prefill in segments across steps so the
+                # pool keeps decoding in between (_prefill_step)
+                self._prefilling[slot] = self._prefill_begin(req)
+                req.slot = slot
+                continue
             logits1, caches1 = self._prefill_row(req)
-            self._carry = self._insert_jit(
-                self._carry, jnp.int32(slot), logits1, caches1,
-                jnp.int32(req.length))
-            req.slot = slot
-            self._active[slot] = req
-            self._temps[slot] = req.temperature
-            if self.speculative and self._draft_fn is None:
-                self._ids_buf, self._limits = self._insert_hist_jit(
-                    self._ids_buf, self._limits, jnp.int32(slot),
-                    jnp.asarray(req.ids),
-                    jnp.int32(req.length + req.max_new))
-            self.stats["admitted"] += 1
+            self._activate(slot, req, logits1, caches1)
+
+    def _activate(self, slot: int, req: _Request, logits1, caches1):
+        """Insert a fully-prefilled single-row cache into the pool and
+        mark the slot live for the next decode dispatch."""
+        self._carry = self._insert_jit(
+            self._carry, jnp.int32(slot), logits1, caches1,
+            jnp.int32(req.length))
+        req.slot = slot
+        self._active[slot] = req
+        self._temps[slot] = req.temperature
+        if self.speculative and self._draft_fn is None:
+            self._ids_buf, self._limits = self._insert_hist_jit(
+                self._ids_buf, self._limits, jnp.int32(slot),
+                jnp.asarray(req.ids),
+                jnp.int32(req.length + req.max_new))
+        if self.prefix_cache:
+            self._prefix_store(req, caches1)
+        self.stats["admitted"] += 1
+
+    def _prefill_begin(self, req: _Request) -> dict:
+        """Start an incremental prefill, reusing any cached block-
+        aligned prefix (the chunked path composes with the prefix
+        cache: a hit skips its blocks entirely)."""
+        p, entry = self._prefix_lookup(req)
+        if entry is not None:
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_saved_tokens"] += p
+        return {"req": req, "done_to": p,
+                "caches": entry["caches"] if entry else None,
+                "logits": None}
+
+    def _prefill_step(self, st: dict) -> bool:
+        """Advance one bounded prefill segment; True when the prompt is
+        fully prefilled (st then holds the row's logits + caches).
+
+        Segments bucket like prompts do, so the program count stays
+        bounded: interior segments are all (extend, 1, prefill_chunk);
+        the final partial segment buckets down."""
+        from ..tokenize.base import bucket_length
+
+        req, p = st["req"], st["done_to"]
+        seg = min(self.prefill_chunk, req.length - p)
+        s2 = min(bucket_length(seg), self.cfg.max_seq_len - p)
+        suffix = np.full((s2,), self.sampling.pad_id, np.int32)
+        suffix[:seg] = req.ids[p:p + seg]
+        if p == 0:
+            logits1, caches1 = self.gen._prefill(1, s2)(
+                self._params, jnp.asarray(suffix[None]),
+                jnp.asarray([seg], jnp.int32))
+        else:
+            logits1, caches1 = self.gen._extend(1, s2)(
+                self._params, jnp.asarray(suffix[None]),
+                jnp.asarray([p], jnp.int32),
+                jnp.asarray([seg], jnp.int32), st["caches"])
+        st["caches"], st["logits"] = caches1, logits1
+        st["done_to"] = p + seg
+        self.stats["prefill_segments"] += 1
+        return st["done_to"] >= req.length
 
     # ------------------------------------------------- prefix caching
     def _prefill_row(self, req: _Request):
@@ -431,8 +530,6 @@ class ContinuousEngine:
                 jnp.asarray([suf_len], jnp.int32), entry["caches"])
             self.stats["prefix_hits"] += 1
             self.stats["prefix_saved_tokens"] += p
-        if self.prefix_cache:
-            self._prefix_store(req, caches1)
         return logits1, caches1
 
     def _prefix_lookup(self, req: _Request):
@@ -478,18 +575,35 @@ class ContinuousEngine:
         tokens, or by one speculative verify), harvest, free finished
         slots. Returns the number of live tokens emitted."""
         self._admit()
+        # advance every in-flight chunked prefill by one segment; a
+        # prompt finishing here joins this same step's decode dispatch
+        for slot in list(self._prefilling):
+            st = self._prefilling[slot]
+            if self._prefill_step(st):
+                del self._prefilling[slot]
+                self._activate(slot, st["req"], st["logits"],
+                               st["caches"])
         if not self._active:
             return 0
         if self.speculative and self._draft_fn is None:
-            tokens = self._spec_chunk_advance()   # slot → token list
+            if self._spec_mode or not self.adaptive:
+                tokens = self._spec_chunk_advance()  # slot → token list
+                self.stats["spec_dispatches"] += 1
+                if self.adaptive:
+                    self._judge_speculation()
+            else:
+                tokens = self._plain_advance()
+                self.stats["plain_dispatches"] += 1
+                self._plain_left -= 1
+                if self._plain_left <= 0:         # probe speculation
+                    self._sync_ids_buf()
+                    self._spec_mode = True
+                    self._spec_seen = 0
+                    self._accept_ema = None
         elif self.speculative:
             tokens = self._spec_advance()         # [slots, ≤1+K] lists
         else:
-            decode = self.gen._decode_chunk_mixed(
-                self.slots, self.chunk, self.sampling)
-            self._carry, toks = decode(self._params, self._carry,
-                                       jnp.asarray(self._temps))
-            tokens = np.asarray(toks)             # [slots, chunk]
+            tokens = self._plain_advance()        # [slots, chunk]
         self.stats["steps"] += 1
         self.stats["occupancy_sum"] += len(self._active)
 
@@ -520,16 +634,62 @@ class ContinuousEngine:
         self.stats["tokens"] += emitted
         return emitted
 
+    def _plain_advance(self):
+        """One plain chunked-decode dispatch over the pool."""
+        decode = self.gen._decode_chunk_mixed(
+            self.slots, self.chunk, self.sampling)
+        self._carry, toks = decode(self._params, self._carry,
+                                   jnp.asarray(self._temps))
+        return np.asarray(toks)                   # [slots, chunk]
+
+    def _judge_speculation(self):
+        """After a probe window, keep speculating only while the EMA
+        acceptance clears the verify step's cost premium; otherwise
+        hold on the plain program with exponential backoff."""
+        self._spec_seen += 1
+        if self._spec_seen < self.spec_probe or self._accept_ema is None:
+            return
+        if self._accept_ema >= self.spec_breakeven:
+            self._hold_len = self.spec_hold       # probe succeeded
+        else:
+            self._spec_mode = False
+            self._plain_left = self._hold_len
+            self._hold_len = min(self._hold_len * 2, self.spec_hold_max)
+
+    def _sync_ids_buf(self):
+        """Rebuild the device token-history buffer from host request
+        state before re-entering speculation: plain dispatches emit
+        through the ordinary decode program, which doesn't maintain
+        `_ids_buf`, but every emitted token lives in `req.tokens` —
+        prompt + emissions at positions [0, pos) is exactly what the
+        in-program drafting needs."""
+        buf = np.full((self.slots, self.cfg.max_seq_len),
+                      self.sampling.pad_id, np.int32)
+        for slot, req in self._active.items():
+            hist = np.concatenate([
+                req.ids[:req.length],
+                np.asarray(req.tokens, np.int32)])
+            hist = hist[:self.cfg.max_seq_len]
+            buf[slot, :len(hist)] = hist
+        self._ids_buf = jnp.asarray(buf)
+
     def _spec_chunk_advance(self) -> dict[int, list[int]]:
         """One scanned device dispatch: `chunk` speculative steps for
         every slot, harvested from the (tokens, valid) matrices. The
         in-program EOS/budget cut guarantees the valid stream for a
         slot is exactly its next emitted tokens (EOS included), so the
         ordinary harvest loop applies unchanged."""
+        n_live = len(self._active)
         self._carry, self._ids_buf, toks, valid = self._spec_chunk_jit(
             self._params, self._carry, self._ids_buf, self._limits,
             jnp.asarray(self._temps))
         toks, valid = np.asarray(toks), np.asarray(valid)
+        if self.adaptive and n_live:
+            # emitted tokens per slot-step vs the 1/step a plain chunk
+            # would emit — the quantity the breakeven compares against
+            a = float(valid.sum()) / (self.chunk * n_live)
+            self._accept_ema = a if self._accept_ema is None \
+                else 0.5 * self._accept_ema + 0.5 * a
         return {slot: [int(t) for s in range(toks.shape[0])
                        for t, v in zip(toks[s, slot], valid[s, slot])
                        if v]
@@ -564,10 +724,14 @@ class ContinuousEngine:
                 + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]
                 for slot in self._active}
 
+    @property
+    def busy(self) -> bool:
+        return bool(self._queue or self._active or self._prefilling)
+
     def run(self) -> dict[int, list[int]]:
         """Drive until queue and pool are empty; returns rid → tokens
         for every request ever submitted."""
-        while self._queue or self._active:
+        while self.busy:
             self.step()
         return {rid: req.tokens for rid, req in self._requests.items()}
 
@@ -676,8 +840,7 @@ class ContinuousDriver:
             with self._lock:
                 if self._closed:
                     return
-                busy = bool(self.engine._queue or self.engine._active)
-                if not busy:
+                if not self.engine.busy:
                     self._work.clear()
                     continue
                 self.engine.step()

@@ -377,6 +377,151 @@ def test_device_oracle_drafts_compress_dispatches(gen):
     # full acceptance: chunk·(1+K)=12 tokens per dispatch → 24 tokens
     # need 2 dispatches (plus one admission dispatch tolerance)
     assert eng.stats["steps"] <= 3, eng.stats
+    # adaptive is on by default: high acceptance keeps speculation live
+    assert eng.stats["plain_dispatches"] == 0, eng.stats
+
+
+def test_adaptive_fallback_on_low_acceptance(gen):
+    """Never-accepting device drafts (constant pad, acceptance ≈ 1):
+    the adaptive engine abandons speculation after the probe window and
+    decodes the rest on the plain chunked program — outputs stay
+    bit-identical through the switch."""
+    rng = np.random.default_rng(31)
+    prompts = [_prompt(rng, 7), _prompt(rng, 5)]
+    max_new, k = 24, 4
+    bad = lambda buf, cur: jnp.ones((buf.shape[0], k), jnp.int32)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2,
+                           speculative=True, draft_len=k,
+                           device_draft_fn=bad,
+                           adaptive=True, spec_probe=2, spec_hold=4)
+    rids = [eng.submit(p, len(p), max_new) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, max_new), rid
+    assert eng.stats["plain_dispatches"] > 0, eng.stats
+    assert eng.stats["spec_dispatches"] >= 2, eng.stats
+
+
+def test_adaptive_oscillation_is_lossless(gen):
+    """Force mode churn (breakeven no acceptance can clear, hold 1,
+    probe 1): the engine alternates speculative and plain dispatches,
+    resyncing the device token-history buffer at every re-entry — the
+    output must stay bit-identical through every switch, including a
+    late-joining request admitted mid-churn."""
+    rng = np.random.default_rng(32)
+    a, b, c = _prompt(rng, 8), _prompt(rng, 5), _prompt(rng, 6)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2,
+                           speculative=True, draft_len=3, ngram=2,
+                           adaptive=True, spec_breakeven=1e9,
+                           spec_probe=1, spec_hold=1, spec_hold_max=1)
+    ra = eng.submit(a, len(a), 20)
+    rb = eng.submit(b, len(b), 6)
+    while eng.stats["steps"] < 3:
+        eng.step()
+    rc = eng.submit(c, len(c), 12)   # joins mid-churn
+    results = eng.run()
+    assert results[ra] == _solo(gen, a, 20)
+    assert results[rb] == _solo(gen, b, 6)
+    assert results[rc] == _solo(gen, c, 12)
+    assert eng.stats["plain_dispatches"] > 1, eng.stats
+    assert eng.stats["spec_dispatches"] > 1, eng.stats
+
+
+def test_chunked_prefill_matches_solo(gen):
+    """prefill_chunk: long prompts prefill in bounded segments across
+    steps; outputs stay bit-identical to the solo run."""
+    rng = np.random.default_rng(40)
+    prompts = [_prompt(rng, 13), _prompt(rng, 6), _prompt(rng, 9)]
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2,
+                           prefill_chunk=4)
+    rids = [eng.submit(p, len(p), 10) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, 10), rid
+    # 13 → 4 segments, 6 → 2, 9 → 3
+    assert eng.stats["prefill_segments"] == 9, eng.stats
+
+
+def test_chunked_prefill_interleaves_decode(gen):
+    """A neighbor keeps emitting tokens WHILE a long prompt prefills:
+    the long admission costs it at most one segment per step, never a
+    whole-prompt stall."""
+    rng = np.random.default_rng(41)
+    short, long_ = _prompt(rng, 4), _prompt(rng, 16)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=1,
+                           prefill_chunk=4)
+    ra = eng.submit(short, len(short), 12)
+    eng.step()                        # short active, decoding
+    rb = eng.submit(long_, len(long_), 6)
+    interleaved = 0
+    while rb not in [r.rid for r in eng._active.values()] \
+            and eng.busy:
+        if eng.step() > 0 and eng._prefilling:
+            interleaved += 1
+    results = eng.run()
+    assert results[ra] == _solo(gen, short, 12)
+    assert results[rb] == _solo(gen, long_, 6)
+    assert interleaved >= 2, interleaved
+
+
+def test_chunked_prefill_composes_with_prefix_cache(gen):
+    """A second long prompt sharing a cached block-aligned prefix skips
+    those blocks entirely — fewer prefill segments, same tokens."""
+    rng = np.random.default_rng(42)
+    base = _prompt(rng, 12)
+    other = np.concatenate([base[:8], _prompt(rng, 4)])
+    eng = ContinuousEngine(gen, slots=1, sampling=SAMPLING, chunk=2,
+                           prefill_chunk=4, prefix_cache=4,
+                           prefix_block=4)
+    ra = eng.submit(base, len(base), 6)
+    eng.run()
+    segs_first = eng.stats["prefill_segments"]
+    rb = eng.submit(other, len(other), 6)
+    results = eng.run()
+    assert results[ra] == _solo(gen, base, 6)
+    assert results[rb] == _solo(gen, other, 6)
+    assert eng.stats["prefix_hits"] == 1, eng.stats
+    # 8 of 12 tokens came from the cache → one 4-token segment left
+    assert eng.stats["prefill_segments"] == segs_first + 1, eng.stats
+
+
+def test_engine_with_tp_sharded_params_matches_solo(gen):
+    """The serving engine is TP-transparent: hand it a TextGenerator
+    whose params are sharded over a model axis (models/sharding.py
+    Megatron rules) and every jitted program — prefill, insert, chunked
+    decode, release — runs sharded under propagation, with outputs
+    bit-identical to the single-device pool. This is the multichip
+    serving claim: the same engine drives a TP=2 mesh unchanged."""
+    import jax
+
+    from rag_dpo_tpu.models.generate import TextGenerator
+    from rag_dpo_tpu.models.sharding import shard_params
+    from rag_dpo_tpu.parallel.mesh import MeshSpec, create_mesh
+
+    mesh = create_mesh(MeshSpec(data=1, model=2, shard=1),
+                       devices=jax.devices()[:2])
+    gen_tp = TextGenerator(CFG, params=shard_params(gen.load(), mesh))
+    rng = np.random.default_rng(50)
+    prompts = [_prompt(rng, 9), _prompt(rng, 5), _prompt(rng, 12)]
+    eng = ContinuousEngine(gen_tp, slots=2, sampling=SAMPLING, chunk=3)
+    rids = [eng.submit(p, len(p), 8) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, 8), rid
+
+
+def test_chunked_prefill_rides_the_speculative_pool(gen):
+    """prefill_chunk composes with speculation: activation inserts the
+    token history buffer, drafts see the full prompt."""
+    rng = np.random.default_rng(43)
+    prompts = [_prompt(rng, 11), _prompt(rng, 7)]
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2,
+                           prefill_chunk=4, speculative=True,
+                           draft_len=3, ngram=2)
+    rids = [eng.submit(p, len(p), 10) for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, 10), rid
 
 
 def test_speculative_eos_cut_matches_solo(gen):
