@@ -131,6 +131,7 @@ def main():
     # RESOURCE_EXHAUSTED can't hurt anything that still needs to run)
     cfg_big = dataclasses.replace(cfg, max_seq_len=LONG_BIG + 256)
     gen = TextGenerator(cfg_big, params=gen._params)
+    run_case(gen, sampling, short_p, long_p, LONG_BIG, 256)  # warm
     big_chunked, _, rb = run_case(gen, sampling, short_p, long_p,
                                   LONG_BIG, 256)
     big_chunked["long_tokens_out"] = len(rb)
@@ -142,8 +143,12 @@ def main():
                                    LONG_BIG, 0)
         out["big_4096_whole"] = big_whole
     except Exception as e:  # noqa: BLE001 — recording the OOM is the point
-        out["big_4096_whole"] = {"error": type(e).__name__,
-                                 "oom": "RESOURCE_EXHAUSTED" in str(e)}
+        msg = str(e)
+        out["big_4096_whole"] = {
+            "error": type(e).__name__,
+            "oom": ("RESOURCE_EXHAUSTED" in msg
+                    or "memory" in msg.lower()),
+            "message": msg[:160]}
     print("whole prefill (4096):", out["big_4096_whole"], flush=True)
     print(json.dumps(out), flush=True)
     with open(pathlib.Path(__file__).parent / "RESULTS.jsonl", "a") as f:

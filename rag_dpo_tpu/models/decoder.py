@@ -138,12 +138,18 @@ class QuantDense(nn.Module):
             lambda key, shape: jnp.full(shape, 0.01, jnp.float32),
             (self.features,),
         )
+        # MXU accumulation is f32 regardless; materialize the result in
+        # the activation dtype. At bf16 this halves every [seq, feat]
+        # projection temp — the f32 materialization (plus the f32
+        # promotion the old `y * scale_f32` re-introduced) is what
+        # RESOURCE_EXHAUSTed whole-prompt 2048-token prefill next to
+        # the 12 GB weights (benchmarks/bench_chunked_prefill.py).
         y = jax.lax.dot_general(
             x.astype(self.dtype), kernel.astype(self.dtype),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=self.dtype,
         )
-        return (y * scale).astype(self.dtype)
+        return y * scale.astype(self.dtype)
 
 
 def _linear(cfg: DecoderConfig, features: int, name: str):
