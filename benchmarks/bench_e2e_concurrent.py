@@ -50,8 +50,12 @@ from rag_dpo_tpu.app.demo import build_demo_stack
 from rag_dpo_tpu.models.decoder import DecoderConfig
 from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
 
-SLOTS = 6
-MAX_SEQ = 2048          # demo contexts are short; KV = slots×seq×160KB
+SLOTS = 4
+MAX_SEQ = 1536          # demo contexts are short; KV = slots×seq×160KB
+PREFIX_ENTRIES = 8      # HOST-resident (prefix_cache_host): entries
+                        # live in host RAM, so the count is free — a
+                        # device-resident cache of useful size OOMed
+                        # next to the 12.4 GB weights + pool KV
 MAX_NEW = 96
 QUESTIONS = [
     "Quel est le délai de notification d'une violation de données à la CNIL ?",
@@ -73,8 +77,8 @@ def main():
     t0 = time.time()
     llm = TPULLMProvider(cfg, max_new_tokens=MAX_NEW,
                          continuous=True, max_batch=SLOTS,
-                         speculative=True, prefix_cache=8,
-                         prefill_chunk=256)
+                         speculative=True, prefix_cache=PREFIX_ENTRIES,
+                         prefix_cache_host=True, prefill_chunk=256)
     llm.generator.load()
     print(f"12B int8 loaded in {time.time() - t0:.1f}s", flush=True)
     pipe, ctx = build_demo_stack(llm=llm)

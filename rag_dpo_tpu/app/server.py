@@ -99,6 +99,18 @@ def make_handler(system: dict):
                         "max_batch_seen": bs.max_batch_seen,
                         "mean_batch": round(bs.mean_batch, 2),
                     }
+                llm = system.get("llm")
+                driver = getattr(llm, "_driver", None)
+                if driver is not None:
+                    eng = driver.engine
+                    stats["decode_pool"] = dict(
+                        eng.stats,
+                        slots=eng.slots,
+                        mean_occupancy=round(eng.occupancy, 2),
+                        speculative=eng.speculative,
+                        prefill_chunk=eng.prefill_chunk,
+                        prefix_cache=eng.prefix_cache,
+                    )
                 self._send(200, stats)
             else:
                 self._send(404, {"error": "not found"})

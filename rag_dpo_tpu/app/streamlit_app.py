@@ -222,6 +222,19 @@ def render_dashboard(st, system):
             f"(max batch {bs.max_batch_seen})")
     else:
         sys_cols[2].metric("Batch moyen (recherche)", "—")
+    driver = getattr(system.get("llm"), "_driver", None)
+    if driver is not None:
+        eng = driver.engine
+        st.caption(
+            f"pool de décodage : {eng.stats['admitted']} requêtes / "
+            f"{eng.slots} slots (occupation moyenne {eng.occupancy:.1f})"
+            f" · {eng.stats['tokens']} tokens"
+            + (f" · préfixe : {eng.stats['prefix_hits']} hits, "
+               f"{eng.stats['prefix_saved_tokens']} tokens évités"
+               if eng.prefix_cache else "")
+            + (f" · spéculation : {eng.stats['spec_dispatches']} spec / "
+               f"{eng.stats['plain_dispatches']} plain"
+               if eng.speculative else ""))
     st.caption("devices : " + ", ".join(str(d) for d in devices))
     return stats
 

@@ -91,6 +91,7 @@ def build_stack(
                 max_batch=config.llm.max_batch,
                 prefix_cache=config.llm.prefix_cache,
                 prefix_block=config.llm.prefix_block,
+                prefix_cache_host=config.llm.prefix_cache_host,
                 prefill_chunk=config.llm.prefill_chunk,
             )
         llm = create_llm(

@@ -75,7 +75,9 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    arch: str = "mistral-nemo-12b", quantize_int8: bool = True,
                    scheduler: str = "direct", speculative: bool = False,
                    max_batch: int = 8, prefix_cache: int = 0,
-                   prefix_block: int = 64, prefill_chunk: int = 0,
+                   prefix_block: int = 64,
+                   prefix_cache_host: bool = False,
+                   prefill_chunk: int = 0,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -122,6 +124,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         continuous=(scheduler == "continuous"),
         speculative=speculative, max_batch=max_batch,
         prefix_cache=prefix_cache, prefix_block=prefix_block,
+        prefix_cache_host=prefix_cache_host,
         prefill_chunk=prefill_chunk,
     )
 

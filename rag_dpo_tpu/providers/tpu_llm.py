@@ -46,6 +46,7 @@ class TPULLMProvider(BaseLLMProvider):
         ngram: int = 2,
         prefix_cache: int = 0,
         prefix_block: int = 64,
+        prefix_cache_host: bool = False,
         spec_adaptive: bool = True,
         spec_breakeven: float = 1.7,
         prefill_chunk: int = 0,
@@ -93,6 +94,7 @@ class TPULLMProvider(BaseLLMProvider):
                 chunk=4, speculative=speculative,
                 draft_len=draft_len, ngram=ngram,
                 prefix_cache=prefix_cache, prefix_block=prefix_block,
+                prefix_cache_host=prefix_cache_host,
                 adaptive=spec_adaptive, spec_breakeven=spec_breakeven,
                 prefill_chunk=prefill_chunk)
             self._driver = ContinuousDriver(engine)

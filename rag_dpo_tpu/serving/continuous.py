@@ -127,6 +127,7 @@ class ContinuousEngine:
                  ngram: int = 2, draft_fn: Callable | None = None,
                  device_draft_fn: Callable | None = None,
                  prefix_cache: int = 0, prefix_block: int = 64,
+                 prefix_cache_host: bool = False,
                  adaptive: bool = True, spec_breakeven: float = 1.7,
                  spec_hold: int = 16, spec_probe: int = 2,
                  spec_hold_max: int = 256, prefill_chunk: int = 0):
@@ -168,9 +169,19 @@ class ContinuousEngine:
         self.prefill_chunk = int(prefill_chunk)
         self._prefilling: dict[int, dict] = {}   # slot → prefill state
         # automatic prefix cache (vLLM-style APC, static shapes): LRU of
-        # single-row K/V trees keyed by block-aligned token prefixes
+        # single-row K/V trees keyed by block-aligned token prefixes.
+        # `prefix_cache_host=True` keeps entries in HOST RAM sliced to
+        # their block-aligned length instead of pinning a full
+        # [1, max_seq, ...] device row per entry — a device entry costs
+        # ~335 MB at 12B/2048-token shapes (HBM is the scarce resource
+        # next to 12 GB of weights), a host entry costs ~160 KB/token of
+        # plain RAM plus an admission-time upload through a bucketed
+        # placer program. Same hits, same outputs; trade HBM for a few
+        # ms of PCIe per hit.
         self.prefix_cache = int(prefix_cache)
         self.prefix_block = int(prefix_block)
+        self.prefix_cache_host = bool(prefix_cache_host)
+        self._placer_progs: dict[int, Callable] = {}
         self._pentries: dict[int, dict] = {}     # eid → entry (LRU)
         self._phash: dict[bytes, int] = {}       # prefix bytes → eid
         self._peid = itertools.count()
@@ -466,7 +477,7 @@ class ContinuousEngine:
             self.stats["prefix_hits"] += 1
             self.stats["prefix_saved_tokens"] += p
         return {"req": req, "done_to": p,
-                "caches": entry["caches"] if entry else None,
+                "caches": self._entry_caches(entry) if entry else None,
                 "logits": None}
 
     def _prefill_step(self, st: dict) -> bool:
@@ -527,10 +538,46 @@ class ContinuousEngine:
             logits1, caches1 = self.gen._extend(1, s2)(
                 self._params, jnp.asarray(suffix[None]),
                 jnp.asarray([p], jnp.int32),
-                jnp.asarray([suf_len], jnp.int32), entry["caches"])
+                jnp.asarray([suf_len], jnp.int32),
+                self._entry_caches(entry))
             self.stats["prefix_hits"] += 1
             self.stats["prefix_saved_tokens"] += p
         return logits1, caches1
+
+    def _entry_caches(self, entry):
+        """Materialize a cache entry as a full-shape device row. Device
+        entries ARE that row; host entries upload their block-aligned
+        K/V slice (padded to a length bucket so the placer program
+        count stays bounded) into a zero-initialized row — positions
+        past the prefix are causally invisible until overwritten."""
+        if "caches" in entry:
+            return entry["caches"]
+        from ..tokenize.base import bucket_length
+
+        plen = entry["len"]
+        sb = min(bucket_length(plen), self.cfg.max_seq_len)
+        kv = jax.tree.map(
+            lambda a: jnp.asarray(np.pad(
+                a, [(0, 0), (0, sb - plen)]
+                + [(0, 0)] * (a.ndim - 2))) if sb > plen
+            else jnp.asarray(a),
+            entry["kv_host"])
+        return self._placer(sb)(kv)
+
+    def _placer(self, sb: int):
+        if sb not in self._placer_progs:
+            cfg = self.cfg
+
+            @jax.jit
+            def place(kv):
+                full = DecoderModel.init_cache(cfg, 1)
+                return jax.tree.map(
+                    lambda f, p: jax.lax.dynamic_update_slice(
+                        f, p.astype(f.dtype), (0,) * f.ndim),
+                    full, kv)
+
+            self._placer_progs[sb] = place
+        return self._placer_progs[sb]
 
     def _prefix_lookup(self, req: _Request):
         """Longest cached block-aligned prefix of this prompt, leaving
@@ -562,7 +609,14 @@ class ContinuousEngine:
         keys = [req.ids[:j * blk].tobytes() for j in range(1, m + 1)]
         for k in keys:
             self._phash.setdefault(k, eid)
-        self._pentries[eid] = {"caches": caches1, "keys": keys}
+        if self.prefix_cache_host:
+            plen = m * blk
+            kv_host = jax.tree.map(
+                lambda a: np.asarray(a[:, :plen]), caches1)
+            self._pentries[eid] = {"kv_host": kv_host, "len": plen,
+                                   "keys": keys}
+        else:
+            self._pentries[eid] = {"caches": caches1, "keys": keys}
         while len(self._pentries) > self.prefix_cache:
             old_eid = next(iter(self._pentries))
             old = self._pentries.pop(old_eid)

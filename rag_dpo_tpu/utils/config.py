@@ -69,6 +69,7 @@ class LLMSection:
     max_batch: int = 8                 # micro-batch / slot-pool width
     prefix_cache: int = 0              # APC entries (continuous only)
     prefix_block: int = 64             # APC block size (tokens)
+    prefix_cache_host: bool = False    # APC entries in host RAM, not HBM
     prefill_chunk: int = 0             # chunked prefill segment (0 = whole)
 
 

@@ -5,6 +5,7 @@ tokens equal its solo greedy run — while actually skipping the shared
 prefix's prefill work (stats prove the reuse happened).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -184,6 +185,53 @@ def test_store_on_hit_extends_the_cached_chain(gen):
     # r3 must reuse the 2-block chain stored by r2's admission
     assert eng.stats["prefix_saved_tokens"] >= BLK + 2 * BLK
     assert eng._requests[r3].tokens == _solo(gen, longer, 4)
+
+
+def test_host_mode_entries_live_in_host_ram_and_match_device_mode(gen):
+    """prefix_cache_host=True: entries are numpy trees sliced to their
+    block-aligned length (host RAM, not a pinned [1, max_seq] device
+    row); hits, saved tokens, and OUTPUTS are identical to device-mode
+    and to solo."""
+    rng = np.random.default_rng(8)
+    shared = _prompt(rng, 2 * BLK)
+    reqs = [(np.concatenate([shared, _prompt(rng, n)]), m)
+            for n, m in ((5, 6), (9, 6), (3, 8))]
+
+    stats = {}
+    for host in (False, True):
+        eng = _engine(gen, prefix_cache_host=host)
+        rids = [eng.submit(ids, len(ids), m) for ids, m in reqs]
+        results = eng.run()
+        for rid, (ids, m) in zip(rids, reqs):
+            assert results[rid] == _solo(gen, ids, m), (host, rid)
+        stats[host] = (eng.stats["prefix_hits"],
+                       eng.stats["prefix_saved_tokens"])
+        if host:
+            for entry in eng._pentries.values():
+                assert "kv_host" in entry
+                leaves = jax.tree.leaves(entry["kv_host"])
+                assert all(isinstance(x, np.ndarray) for x in leaves)
+                assert all(x.shape[1] == entry["len"] for x in leaves)
+    assert stats[True] == stats[False] and stats[True][0] >= 2, stats
+
+
+def test_host_mode_composes_with_chunked_prefill_and_speculation(gen):
+    """Host-resident entries ride the segmented-prefill admission path
+    (placer upload → suffix extends) under speculation, losslessly."""
+    rng = np.random.default_rng(9)
+    shared = _prompt(rng, 2 * BLK)
+    a = np.concatenate([shared, _prompt(rng, 7)])
+    b = np.concatenate([shared, _prompt(rng, 12)])
+    eng = _engine(gen, prefix_cache_host=True, prefill_chunk=BLK,
+                  speculative=True, draft_len=3, ngram=2)
+    ra = eng.submit(a, len(a), 8)
+    eng.run()
+    rb = eng.submit(b, len(b), 8)
+    eng.run()
+    assert eng._requests[ra].tokens == _solo(gen, a, 8)
+    assert eng._requests[rb].tokens == _solo(gen, b, 8)
+    assert eng.stats["prefix_hits"] == 1
+    assert eng.stats["prefix_saved_tokens"] == 2 * BLK
 
 
 def test_provider_prefix_cache_serves_shared_system_prompt():

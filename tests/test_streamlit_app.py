@@ -350,3 +350,27 @@ def test_dashboard_renders_system_section(system):
                     [c for c in st.calls if c[0] == "caption"])
     assert "micro-batcher" in caps and "devices" in caps
     system2["search"].batcher.close()
+
+
+def test_dashboard_renders_decode_pool_stats(system):
+    """When the LLM serves through the continuous slot pool, the
+    dashboard Système section surfaces its occupancy / prefix-cache /
+    speculation counters (the same data /stats exposes)."""
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False,
+                         scheduler="continuous", speculative=True,
+                         max_batch=2, prefix_cache=2, prefill_chunk=32)
+    try:
+        llm.generate("Qu'impose l'article 32 du RGPD " + "contexte " * 20,
+                     max_tokens=6)
+        system2 = dict(system)
+        system2["llm"] = llm
+        st = FakeSt()
+        render_dashboard(st, system2)
+        caps = " ".join(str(a) for _, a in
+                        [c for c in st.calls if c[0] == "caption"])
+        assert "pool de décodage" in caps and "spéculation" in caps \
+            and "préfixe" in caps, caps
+    finally:
+        llm._driver.close()
