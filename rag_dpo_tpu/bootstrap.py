@@ -86,6 +86,7 @@ def build_stack(
                 tokenizer_path=config.llm.tokenizer_path,
                 arch=config.llm.arch,
                 quantize_int8=config.llm.quantize_int8,
+                quantize_kv=config.llm.quantize_kv,
                 scheduler=config.llm.scheduler,
                 speculative=config.llm.speculative,
                 max_batch=config.llm.max_batch,

@@ -73,6 +73,7 @@ class HostedAPIProvider(BaseLLMProvider):
 
 def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    arch: str = "mistral-nemo-12b", quantize_int8: bool = True,
+                   quantize_kv: bool = False,
                    scheduler: str = "direct", speculative: bool = False,
                    max_batch: int = 8, prefix_cache: int = 0,
                    prefix_block: int = 64,
@@ -102,6 +103,11 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         raise ValueError(f"unknown decoder arch preset: {arch!r}")
     if quantize_int8 and not cfg.quantize_weights:
         cfg = _dc.replace(cfg, quantize_weights=True, tie_embeddings=True)
+    if quantize_kv:
+        # int8 K/V rows: halves the slot pool's per-request HBM, so
+        # `max_batch` can double at the same footprint (decode is
+        # weight-sweep-bound — aggregate tok/s scales with slots)
+        cfg = _dc.replace(cfg, quantize_kv=True)
     params = None
     if checkpoint_path:
         from ..models.convert import load_params_npz

@@ -64,6 +64,7 @@ class LLMSection:
     tokenizer_path: str = ""           # local HF tokenizer ("" → hashed)
     arch: str = "mistral-nemo-12b"     # DecoderConfig preset | "tiny"
     quantize_int8: bool = True         # weight-only int8 (12B fits one chip)
+    quantize_kv: bool = False          # int8 KV cache (2x slots per HBM)
     scheduler: str = "direct"          # direct | batch | continuous
     speculative: bool = False          # prompt-lookup greedy acceleration
     max_batch: int = 8                 # micro-batch / slot-pool width
