@@ -94,6 +94,7 @@ def build_stack(
                 prefix_block=config.llm.prefix_block,
                 prefix_cache_host=config.llm.prefix_cache_host,
                 prefill_chunk=config.llm.prefill_chunk,
+                decode_chunk=config.llm.decode_chunk,
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

@@ -79,6 +79,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    prefix_block: int = 64,
                    prefix_cache_host: bool = False,
                    prefill_chunk: int = 0,
+                   decode_chunk: int = 4,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -132,6 +133,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         prefix_cache=prefix_cache, prefix_block=prefix_block,
         prefix_cache_host=prefix_cache_host,
         prefill_chunk=prefill_chunk,
+        decode_chunk=decode_chunk,
     )
 
 

@@ -50,6 +50,7 @@ class TPULLMProvider(BaseLLMProvider):
         spec_adaptive: bool = True,
         spec_breakeven: float = 1.7,
         prefill_chunk: int = 0,
+        decode_chunk: int = 4,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -91,7 +92,12 @@ class TPULLMProvider(BaseLLMProvider):
                 sampling=SamplingConfig(
                     temperature=0.0, eos_id=self.tokenizer.sep_id,
                     pad_id=self.tokenizer.pad_id),
-                chunk=4, speculative=speculative,
+                # decode_chunk tokens per device dispatch: the host↔
+                # device round trip (~28 ms through the axon tunnel)
+                # amortizes over the chunk; raise it for throughput
+                # serving, keep it small for fine streaming/admission
+                # granularity
+                chunk=decode_chunk, speculative=speculative,
                 draft_len=draft_len, ngram=ngram,
                 prefix_cache=prefix_cache, prefix_block=prefix_block,
                 prefix_cache_host=prefix_cache_host,

@@ -109,6 +109,7 @@ class RAGPipeline:
         enable_dual_generation: bool = False,
         max_quality_retries: int = 1,
         retry_extra_docs: int = 4,
+        overlap_intent: bool = True,
     ):
         self.retriever = retriever
         self.generator = generator
@@ -122,6 +123,48 @@ class RAGPipeline:
         self.enable_dual_generation = enable_dual_generation
         self.max_quality_retries = max_quality_retries
         self.retry_extra_docs = retry_extra_docs
+        self.overlap_intent = overlap_intent
+
+    def _classify_concurrent(self, question: str):
+        """Start intent classification NOW, return a join() →
+        QuestionIntent.
+
+        The reference runs classify → expand → search strictly
+        sequentially (`src/rag/pipeline.py:215,224`); but the intent
+        result is first consumed at the RERANK stage (topic boost), and
+        the expansion LLM call inside `retriever._queries` doesn't
+        depend on it — so both LLM calls can be in flight together.
+        Behind the continuous slot pool (providers/tpu_llm.py) they
+        co-reside and share weight sweeps, collapsing the aux-call
+        latency from intent+expansion to ~max(intent, expansion); over
+        HTTP providers they simply overlap network round-trips."""
+        if self.intent_classifier is None:
+            intent = QuestionIntent()
+            return lambda: intent
+        if not self.overlap_intent:
+            intent = self.intent_classifier.classify(question)
+            return lambda: intent
+        import threading
+
+        box: dict = {}
+
+        def run():
+            # classify() already degrades to 'factuel' internally on
+            # provider errors; this guard keeps join() total anyway
+            try:
+                box["intent"] = self.intent_classifier.classify(question)
+            except Exception:
+                box["intent"] = QuestionIntent()
+
+        th = threading.Thread(target=run, name="intent-classify",
+                              daemon=True)
+        th.start()
+
+        def join() -> QuestionIntent:
+            th.join()
+            return box.get("intent") or QuestionIntent()
+
+        return join
 
     # ------------------------------------------------------------- public
     def query(
@@ -137,15 +180,13 @@ class RAGPipeline:
         t_start = time.time()
         where = build_enterprise_where_filter(enterprise_tags, where_filter)
 
-        # --- intent
-        intent = QuestionIntent()
-        if self.intent_classifier is not None:
-            intent = self.intent_classifier.classify(question)
+        # --- intent (classification overlaps expansion+search)
+        intent_join = self._classify_concurrent(question)
 
         # --- retrieval
         t0 = time.time()
-        documents, candidates, rerank_time = self._retrieve(
-            question, where, intent, n_documents, n_chunks_per_doc
+        documents, candidates, rerank_time, intent = self._retrieve(
+            question, where, intent_join, n_documents, n_chunks_per_doc
         )
         retrieval_time = time.time() - t0 - rerank_time
 
@@ -200,13 +241,11 @@ class RAGPipeline:
         t_start = time.time()
         where = build_enterprise_where_filter(enterprise_tags,
                                               where_filter)
-        intent = QuestionIntent()
-        if self.intent_classifier is not None:
-            intent = self.intent_classifier.classify(question)
+        intent_join = self._classify_concurrent(question)
 
         t0 = time.time()
-        documents, candidates, rerank_time = self._retrieve(
-            question, where, intent, n_documents, n_chunks_per_doc
+        documents, candidates, rerank_time, intent = self._retrieve(
+            question, where, intent_join, n_documents, n_chunks_per_doc
         )
         retrieval_time = time.time() - t0 - rerank_time
 
@@ -289,11 +328,18 @@ class RAGPipeline:
         )
     def _retrieve(self, question, where, intent, n_documents,
                   n_chunks_per_doc):
+        """→ (documents, candidates, rerank_time, intent). `intent` may
+        be a QuestionIntent or a join() callable from
+        `_classify_concurrent` — it is resolved as late as possible
+        (rerank is its first consumer), which is what lets the intent
+        LLM call overlap the expansion+search phase."""
         rerank_time = 0.0
         if self.reranker is not None:
             candidates = self.retriever.retrieve_candidates(
                 question, n_candidates=self.n_candidates, where=where
             )
+            if callable(intent):
+                intent = intent()
             t0 = time.time()
             ranked = self.reranker.rerank(
                 question, candidates, top_k=self.rerank_top_k,
@@ -303,11 +349,13 @@ class RAGPipeline:
             documents = rebuild_documents_from_ranked_chunks(
                 ranked, n_documents, n_chunks_per_doc
             )
-            return documents, candidates, rerank_time
+            return documents, candidates, rerank_time, intent
         documents = self.retriever.retrieve(
             question, n_documents=n_documents,
             n_chunks_per_doc=n_chunks_per_doc, where=where,
         )
+        if callable(intent):
+            intent = intent()
         if self.relevance_validator is not None:
             documents = [
                 RetrievedDocument(
@@ -317,7 +365,8 @@ class RAGPipeline:
                 for d in documents
             ]
             documents = [d for d in documents if d.chunks]
-        return documents, [c for d in documents for c in d.chunks], 0.0
+        return (documents, [c for d in documents for c in d.chunks], 0.0,
+                intent)
 
     def _generate_once(self, question, documents, intent, history,
                        temperature):

@@ -72,6 +72,7 @@ class LLMSection:
     prefix_block: int = 64             # APC block size (tokens)
     prefix_cache_host: bool = False    # APC entries in host RAM, not HBM
     prefill_chunk: int = 0             # chunked prefill segment (0 = whole)
+    decode_chunk: int = 4              # decode tokens per device dispatch
 
 
 @dataclasses.dataclass

@@ -170,3 +170,81 @@ def test_extract_citations_variants():
     assert extract_citations("a [Source 1] b [Sources 2, 3] c "
                              "[source 4] [Sources 5 et 6]") == \
         [1, 2, 3, 4, 5, 6]
+
+
+class _SlowTrackingLLM(FakeLLMProvider):
+    """FakeLLM that sleeps per call and records the max number of
+    concurrently in-flight generate() calls."""
+
+    def __init__(self, delay=0.15):
+        super().__init__()
+        import threading
+
+        self._delay = delay
+        self._lock = threading.Lock()
+        self._inflight = 0
+        self.max_inflight = 0
+
+    def generate(self, *a, **k):
+        import time as _t
+
+        with self._lock:
+            self._inflight += 1
+            self.max_inflight = max(self.max_inflight, self._inflight)
+        try:
+            _t.sleep(self._delay)
+            return super().generate(*a, **k)
+        finally:
+            with self._lock:
+                self._inflight -= 1
+
+
+def _tiny_stack(llm):
+    embedder = Embedder(EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            use_flash_attention=False), colbert_dim=32),
+        batch_size=8,
+    ))
+    texts = [t for _, t, _ in CORPUS]
+    metas = []
+    for cid, text, meta in CORPUS:
+        m = dict(meta)
+        m["text"] = text
+        metas.append(m)
+    out = embedder.embed(texts)
+    tokens = tokenize_corpus(texts)
+    stats = build_bm25_stats(tokens)
+    terms, impacts = build_ell_corpus(tokens, stats, ell_width=16)
+    index = DeviceIndex(IndexConfig(dim=embedder.dim, ell_width=16,
+                                    row_block=8))
+    index.add([c for c, _, _ in CORPUS], out["dense"], metas, terms,
+              impacts)
+    from rag_dpo_tpu.retrieval.reranker import CrossEncoderReranker
+
+    return create_pipeline(
+        index, embedder, llm, bm25_stats=stats,
+        reranker=CrossEncoderReranker(
+            model_config=ECfg.tiny(use_flash_attention=False)),
+    )
+
+
+def test_intent_classification_overlaps_expansion():
+    """The intent LLM call runs concurrently with the expansion LLM
+    call inside retrieval (the reference serializes them,
+    `src/rag/pipeline.py:215,224`); outputs are unchanged."""
+    llm = _SlowTrackingLLM()
+    pipe = _tiny_stack(llm)
+    resp = pipe.query("Quel est le délai de notification d'une "
+                      "violation de données à la CNIL ?")
+    assert resp.answer and resp.intent == "factuel"
+    assert llm.max_inflight >= 2, "intent did not overlap expansion"
+
+
+def test_overlap_intent_can_be_disabled():
+    llm = _SlowTrackingLLM()
+    pipe = _tiny_stack(llm)
+    pipe.overlap_intent = False
+    resp = pipe.query("Quel est le délai de notification d'une "
+                      "violation de données à la CNIL ?")
+    assert resp.answer and resp.intent == "factuel"
+    assert llm.max_inflight == 1
