@@ -285,3 +285,44 @@ def test_generate_sse_streaming(tmp_path_factory):
             deltas.append(_json.loads(body)["delta"])
     assert deltas and "".join(deltas) == data["text"]
     srv.shutdown()
+
+
+def test_stats_exposes_decode_pool_for_continuous_llm(tmp_path):
+    """When generation serves through the continuous slot pool, /stats
+    carries its occupancy / prefix-cache / speculation counters (same
+    data the dashboard Système section renders)."""
+    from rag_dpo_tpu.app.demo import build_demo_stack
+    from rag_dpo_tpu.app.server import serve
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+    from rag_dpo_tpu.utils.query_logger import QueryLogger
+
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False,
+                         quantize_kv=True, scheduler="continuous",
+                         speculative=True, max_batch=2, prefix_cache=2,
+                         prefill_chunk=32)
+    try:
+        llm.generate("Quel est le délai de notification d'une violation ?",
+                     max_tokens=6)
+        pipe, ctx = build_demo_stack(llm=llm)
+        system = dict(ctx)
+        system["llm"] = llm
+        system["pipe"] = pipe
+        system["agent_pipe"] = pipe
+        system["qlog"] = QueryLogger(tmp_path / "q.jsonl",
+                                     tmp_path / "f.jsonl")
+        srv = serve(port=0, system=system)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+                stats = json.loads(r.read())
+            dp = stats.get("decode_pool")
+            assert dp is not None
+            assert dp["slots"] == 2 and dp["speculative"]
+            assert dp["prefix_cache"] == 2 and dp["admitted"] >= 1
+            assert "mean_occupancy" in dp and "tokens" in dp
+        finally:
+            srv.shutdown()
+    finally:
+        llm._driver.close()
