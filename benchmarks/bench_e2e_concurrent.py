@@ -87,6 +87,11 @@ def main():
     llm.generator.load()
     print(f"12B int8 loaded in {time.time() - t0:.1f}s", flush=True)
     pipe, ctx = build_demo_stack(llm=llm)
+    # random-init weights never ground their answers, so the quality
+    # retry ladder (re-retrieve + regenerate) would fire on EVERY query
+    # — that measures the ladder, not serving. Real-weight deployments
+    # trip it rarely; disable it so the arms measure the serving path.
+    pipe.max_quality_retries = 0
     eng = llm._driver.engine
 
     def ask(q):
@@ -105,6 +110,7 @@ def main():
     print(f"warm pass (compiles): {time.time() - t0:.1f}s", flush=True)
 
     # --- sequential
+    tk0 = eng.stats["tokens"]
     t0 = time.time()
     seq_lat = [ask(q)[0] for q in QUESTIONS]
     seq_wall = time.time() - t0
@@ -112,11 +118,14 @@ def main():
            "queries": len(QUESTIONS),
            "qpm": round(60 * len(QUESTIONS) / seq_wall, 1),
            "mean_latency_s": round(float(np.mean(seq_lat)), 2),
-           "p95_latency_s": round(float(np.quantile(seq_lat, 0.95)), 2)}
+           "p95_latency_s": round(float(np.quantile(seq_lat, 0.95)), 2),
+           "tok_per_s": round((eng.stats["tokens"] - tk0) / seq_wall, 1)}
     print("sequential:", seq, flush=True)
 
     # --- concurrent: SLOTS workers × 2 passes over the question list
     h0 = eng.stats["prefix_hits"]
+    tk0 = eng.stats["tokens"]
+    oc0, st0 = eng.stats["occupancy_sum"], eng.stats["steps"]
     lats, lock = [], threading.Lock()
     work = [q for _ in range(2) for q in QUESTIONS]
 
@@ -139,7 +148,10 @@ def main():
             "mean_latency_s": round(float(np.mean(lats)), 2),
             "p95_latency_s": round(float(np.quantile(lats, 0.95)), 2),
             "prefix_hits": eng.stats["prefix_hits"] - h0,
-            "mean_occupancy": round(eng.occupancy, 2)}
+            "tok_per_s": round((eng.stats["tokens"] - tk0) / conc_wall, 1),
+            "mean_occupancy": round(
+                (eng.stats["occupancy_sum"] - oc0)
+                / max(eng.stats["steps"] - st0, 1), 2)}
     print("concurrent:", conc, flush=True)
 
     out = {"bench": "e2e_rag_concurrent_12B_int8",

@@ -803,40 +803,59 @@ class ContinuousDriver:
     the engine while any work exists and sleeps otherwise. This is the
     serving integration — each HTTP handler thread calls `generate()`
     and its request joins whatever is already decoding at the next
-    chunk boundary (the engine itself is single-threaded)."""
+    chunk boundary (the engine itself is single-threaded).
+
+    Submission is a QUEUE, not a critical section around the engine: an
+    earlier design took one lock for both submitting and stepping, and
+    the driver loop — release, re-acquire — almost always won the
+    unfair race against blocked submitters (a textbook lock convoy: at
+    8 concurrent RAG workers the pool averaged ~2 resident requests
+    because submissions sat behind ~200 ms device steps). Now callers
+    only touch `_sub_lock` for a list append; the driver drains the
+    queue between steps, so admission latency is bounded by ONE step,
+    never by the convoy."""
 
     def __init__(self, engine: ContinuousEngine):
         import threading
 
         self.engine = engine
-        self._lock = threading.Lock()
+        self._sub_lock = threading.Lock()   # guards _pending + _closed
+        self._pending: list[tuple] = []
+        self._events: dict[int, tuple] = {}  # rid → (evt, box); driver-owned
         self._work = threading.Event()
-        self._events: dict[int, threading.Event] = {}
         self._closed = False
         self._thread = threading.Thread(target=self._loop,
                                         name="continuous-decode",
                                         daemon=True)
         self._thread.start()
 
+    def _submit(self, prompt_ids, length, max_new, on_token, temperature):
+        import threading
+
+        evt = threading.Event()
+        box: dict = {}
+        with self._sub_lock:
+            if self._closed:
+                raise RuntimeError("driver is closed")
+            self._pending.append((prompt_ids, length, max_new,
+                                  on_token, temperature, evt, box))
+        self._work.set()
+        return evt, box
+
+    @staticmethod
+    def _result(box: dict) -> list[int]:
+        if "error" in box:
+            raise box["error"]
+        return box["tokens"]
+
     def generate(self, prompt_ids, length: int, max_new: int,
                  on_token=None, temperature: float | None = None
                  ) -> list[int]:
         """Block until this request completes; returns its tokens."""
-        import threading
-
-        evt = threading.Event()
-        with self._lock:
-            if self._closed:
-                raise RuntimeError("driver is closed")
-            rid = self.engine.submit(prompt_ids, length, max_new,
-                                     on_token=on_token,
-                                     temperature=temperature)
-            self._events[rid] = evt
-            self._work.set()
+        evt, box = self._submit(prompt_ids, length, max_new,
+                                on_token, temperature)
         evt.wait()
-        with self._lock:
-            self._events.pop(rid, None)
-            return self.engine._requests[rid].tokens
+        return self._result(box)
 
     def generate_stream(self, prompt_ids, length: int, max_new: int,
                         temperature: float | None = None):
@@ -850,54 +869,71 @@ class ContinuousDriver:
         the blocking path — short streams finish without waiting on
         long pool neighbors."""
         import queue as _queue
-        import threading
 
         q: _queue.Queue = _queue.Queue()
-        evt = threading.Event()
-        with self._lock:
-            if self._closed:
-                raise RuntimeError("driver is closed")
-            rid = self.engine.submit(
-                prompt_ids, length, max_new,
-                on_token=lambda _rid, t: q.put(t),
-                temperature=temperature)
-            self._events[rid] = evt
-            self._work.set()
+        evt, box = self._submit(prompt_ids, length, max_new,
+                                lambda _rid, t: q.put(t), temperature)
 
         def _iter():
-            try:
-                while not evt.is_set():
-                    try:
-                        yield q.get(timeout=0.05)
-                    except _queue.Empty:
-                        continue
-                while True:
-                    try:
-                        yield q.get_nowait()
-                    except _queue.Empty:
-                        break
-            finally:
-                with self._lock:
-                    self._events.pop(rid, None)
+            while not evt.is_set():
+                try:
+                    yield q.get(timeout=0.05)
+                except _queue.Empty:
+                    continue
+            while True:
+                try:
+                    yield q.get_nowait()
+                except _queue.Empty:
+                    break
+            self._result(box)       # surface engine errors to consumers
 
         return _iter()
 
     def close(self):
-        with self._lock:
+        with self._sub_lock:
             self._closed = True
-            self._work.set()
+        self._work.set()
         self._thread.join(timeout=10)
 
     def _loop(self):
         while True:
             self._work.wait()
-            with self._lock:
+            with self._sub_lock:
                 if self._closed:
                     return
-                if not self.engine.busy:
-                    self._work.clear()
-                    continue
+                pending, self._pending = self._pending, []
+            for (ids, length, max_new, on_token, temp,
+                 evt, box) in pending:
+                try:
+                    rid = self.engine.submit(ids, length, max_new,
+                                             on_token=on_token,
+                                             temperature=temp)
+                    self._events[rid] = (evt, box)
+                except Exception as e:           # bad request: fail caller
+                    box["error"] = e
+                    evt.set()
+            if not self.engine.busy:
+                # re-check under the lock so a submit racing this
+                # branch can't have its work-flag clear swallowed
+                with self._sub_lock:
+                    if not self._pending and not self.engine.busy:
+                        self._work.clear()
+                continue
+            try:
                 self.engine.step()
-                for rid, evt in list(self._events.items()):
-                    if self.engine._requests[rid].done:
-                        evt.set()
+            except Exception as e:
+                # a dying device program must not strand callers on
+                # evt.wait() forever — fail every in-flight request
+                for rid, (evt, box) in self._events.items():
+                    box["error"] = e
+                    evt.set()
+                self._events.clear()
+                with self._sub_lock:
+                    self._work.clear()
+                continue
+            for rid, (evt, box) in list(self._events.items()):
+                req = self.engine._requests[rid]
+                if req.done:
+                    box["tokens"] = req.tokens
+                    evt.set()
+                    del self._events[rid]
