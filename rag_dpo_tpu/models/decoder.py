@@ -220,59 +220,64 @@ class GQAttention(nn.Module):
 
         if cache is not None:
             quant = cfg.quantize_kv
-            if quant:
-                # int8 entries dequantize straight to f32 (attention
-                # math is f32 anyway) — f32 round-trip keeps the
-                # requantize below EXACT for untouched positions
-                k_cache = cache["k"].astype(jnp.float32) \
-                    * cache["k_scale"][..., None]
-                v_cache = cache["v"].astype(jnp.float32) \
-                    * cache["v_scale"][..., None]
-            else:
-                k_cache, v_cache = cache["k"], cache["v"]
-            wdt = k_cache.dtype
-            # scatter new kv at their positions (static shapes)
-            onehot = jax.nn.one_hot(
-                positions, k_cache.shape[1], dtype=wdt
-            )  # [B, S, max]
+            # Write the fresh K/V rows via per-row dynamic_update_slice:
+            # every writer supplies CONTIGUOUS positions (prefill from
+            # 0, extend/verify from a row start, decode a single slot),
+            # so the update is a [S]-span at positions[:, 0] — XLA
+            # updates the carried cache IN PLACE inside the decode scan.
+            # (An earlier one-hot einsum formulation rebuilt the whole
+            # [B, max] cache every step: O(S·max) scatter FLOPs plus
+            # whole-cache read+write HBM traffic, ×layers ×scan steps —
+            # it capped the 12B slot pool at ~18 tok/s aggregate.)
+            #
+            # Invalid tail positions (write_mask=0) write ZERO rows.
+            # That is safe: the valid region grows contiguously and the
+            # causal mask (key_pos ≤ q_pos) never admits a position
+            # that hasn't been overwritten by a later valid write
+            # before it is first attended — the same scatter-then-
+            # attend argument as slot reuse. Overwrite semantics are
+            # what speculative decoding needs (draft rows past the
+            # accepted position are re-written next step).
             if write_mask is not None:
-                onehot = onehot * write_mask[:, :, None].astype(wdt)
-            # OVERWRITE semantics (not add): speculative decoding writes
-            # draft K/V past the accepted position and the next step
-            # re-writes those rows — an additive scatter would compound
-            # the stale values. For every other path the positions are
-            # fresh (zero rows), so this is behavior-identical there.
-            covered = jnp.sum(onehot, axis=1)  # [B, max] ∈ {0, 1}
-            keep = (1.0 - covered)[:, :, None, None].astype(wdt)
-            k_cache = k_cache * keep + jnp.einsum(
-                "bsm,bskd->bmkd", onehot, k.astype(wdt))
-            v_cache = v_cache * keep + jnp.einsum(
-                "bsm,bskd->bmkd", onehot, v.astype(wdt))
-            kv_len = k_cache.shape[1]
+                k = k * write_mask[:, :, None, None].astype(k.dtype)
+                v = v * write_mask[:, :, None, None].astype(v.dtype)
+            start = positions[:, 0].astype(jnp.int32)
+
+            def row_update(c, u, st):
+                return jax.lax.dynamic_update_slice(
+                    c, u.astype(c.dtype), (st,) + (0,) * (c.ndim - 1))
+
+            upd = jax.vmap(row_update)
             if quant:
-                # quantize FIRST, attend the dequantized values: the
-                # int8 cache is the single source of truth, so outputs
-                # are invariant to how the prompt was written — whole
-                # prefill, segmented prefill, prefix-cache hit, and the
-                # decode steps all attend the same K/V (the engine's
-                # pool-vs-solo parity stays bit-exact under
-                # quantization)
+                # quantize ONLY the fresh rows (per-position, per-head
+                # scale = rowmax/127) and attend the DEQUANTIZED cache:
+                # the int8 cache is the single source of truth, so
+                # outputs are invariant to how the prompt was written —
+                # whole prefill, segmented prefill, prefix-cache hit
+                # and decode all attend the same K/V (pool-vs-solo
+                # parity stays bit-exact), and untouched entries are
+                # never rewritten at all.
                 new_cache = {}
-                for name, t in (("k", k_cache), ("v", v_cache)):
-                    amax = jnp.max(jnp.abs(t), axis=-1)  # [B, max, KV]
+                for name, t in (("k", k), ("v", v)):
+                    tf = t.astype(jnp.float32)
+                    amax = jnp.max(jnp.abs(tf), axis=-1)  # [B, S, KV]
                     scale = amax / 127.0
                     safe = jnp.where(scale > 0, scale, 1.0)
-                    qt = jnp.clip(jnp.round(t / safe[..., None]),
+                    qt = jnp.clip(jnp.round(tf / safe[..., None]),
                                   -127, 127).astype(jnp.int8)
-                    new_cache[name] = qt
-                    new_cache[name + "_scale"] = scale
+                    new_cache[name] = upd(cache[name], qt, start)
+                    new_cache[name + "_scale"] = upd(
+                        cache[name + "_scale"], scale, start)
                 k_all = new_cache["k"].astype(jnp.float32) \
                     * new_cache["k_scale"][..., None]
                 v_all = new_cache["v"].astype(jnp.float32) \
                     * new_cache["v_scale"][..., None]
             else:
+                k_cache = upd(cache["k"], k, start)
+                v_cache = upd(cache["v"], v, start)
                 k_all, v_all = k_cache, v_cache
                 new_cache = {"k": k_cache, "v": v_cache}
+            kv_len = k_all.shape[1]
         else:
             k_all, v_all = k, v
             kv_len = s
