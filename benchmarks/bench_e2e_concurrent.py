@@ -54,10 +54,10 @@ SLOTS = 8               # int8 KV (quantize_kv) halves the per-slot row
                         # (~123 MB at 1536 tokens) — 8 slots fit where
                         # 4 bf16 ones did
 MAX_SEQ = 1536          # demo contexts are short; KV = slots×seq×80KB
-PREFIX_ENTRIES = 8      # HOST-resident (prefix_cache_host): entries
-                        # live in host RAM, so the count is free — a
-                        # device-resident cache of useful size OOMed
-                        # next to the 12.4 GB weights + pool KV
+PREFIX_ENTRIES = 8      # device-resident, bucket-SLICED entries: with
+                        # int8 KV a ~640-token entry is ~25 MB (a full
+                        # row would pin 123 MB; host-resident entries
+                        # paid a 0.4-1 s tunnel upload per hit)
 MAX_NEW = 96
 DECODE_CHUNK = 8        # tokens per device dispatch: amortizes the
                         # ~28 ms tunnel RTT over twice the tokens
@@ -82,7 +82,7 @@ def main():
     llm = TPULLMProvider(cfg, max_new_tokens=MAX_NEW,
                          continuous=True, max_batch=SLOTS,
                          speculative=True, prefix_cache=PREFIX_ENTRIES,
-                         prefix_cache_host=True, prefill_chunk=256,
+                         prefill_chunk=256,
                          decode_chunk=DECODE_CHUNK)
     llm.generator.load()
     print(f"12B int8 loaded in {time.time() - t0:.1f}s", flush=True)

@@ -186,6 +186,10 @@ class ContinuousEngine:
         self._phash: dict[bytes, int] = {}       # prefix bytes → eid
         self._peid = itertools.count()
         self._temps = np.zeros((self.slots,), np.float32)
+        # device mirror of _temps, refreshed only on admission: an
+        # upload per DISPATCH costs a full tunnel round trip (~30 ms,
+        # measured as ~40% overhead on a 190 ms batch-8 dispatch)
+        self._temps_dev = None
         # adaptive speculation (device path only): speculation pays iff
         # the accepted-run length beats the verify step's cost premium
         # over a plain decode step (`spec_breakeven`, measured at ~1.6×
@@ -459,6 +463,7 @@ class ContinuousEngine:
         req.slot = slot
         self._active[slot] = req
         self._temps[slot] = req.temperature
+        self._temps_dev = jnp.asarray(self._temps)
         if self.speculative and self._draft_fn is None:
             self._ids_buf, self._limits = self._insert_hist_jit(
                 self._ids_buf, self._limits, jnp.int32(slot),
@@ -545,13 +550,14 @@ class ContinuousEngine:
         return logits1, caches1
 
     def _entry_caches(self, entry):
-        """Materialize a cache entry as a full-shape device row. Device
-        entries ARE that row; host entries upload their block-aligned
-        K/V slice (padded to a length bucket so the placer program
-        count stays bounded) into a zero-initialized row — positions
+        """Materialize a cache entry as a full-shape device row.
+        Device entries hold a bucket-sliced [1, sb, ...] tree and
+        replay through a device-side placer; host entries pay one
+        upload of their block-aligned slice (padded to the same
+        bucket so the placer program count stays bounded). Positions
         past the prefix are causally invisible until overwritten."""
-        if "caches" in entry:
-            return entry["caches"]
+        if "kv_dev" in entry:
+            return self._placer(entry["sb"])(entry["kv_dev"])
         from ..tokenize.base import bucket_length
 
         plen = entry["len"]
@@ -563,6 +569,18 @@ class ContinuousEngine:
             else jnp.asarray(a),
             entry["kv_host"])
         return self._placer(sb)(kv)
+
+    def _slicer(self, sb: int):
+        """jit: full [1, max_seq, ...] row tree → [1, sb, ...] slice."""
+        key = ("slice", sb)
+        if key not in self._placer_progs:
+
+            @jax.jit
+            def slice_(caches):
+                return jax.tree.map(lambda a: a[:, :sb], caches)
+
+            self._placer_progs[key] = slice_
+        return self._placer_progs[key]
 
     def _placer(self, sb: int):
         if sb not in self._placer_progs:
@@ -609,14 +627,29 @@ class ContinuousEngine:
         keys = [req.ids[:j * blk].tobytes() for j in range(1, m + 1)]
         for k in keys:
             self._phash.setdefault(k, eid)
+        plen = m * blk
         if self.prefix_cache_host:
-            plen = m * blk
             kv_host = jax.tree.map(
                 lambda a: np.asarray(a[:, :plen]), caches1)
             self._pentries[eid] = {"kv_host": kv_host, "len": plen,
                                    "keys": keys}
         else:
-            self._pentries[eid] = {"caches": caches1, "keys": keys}
+            # device entries are SLICED to the prefix's length bucket,
+            # not pinned as full [1, max_seq] rows: at 12B a full row
+            # is ~246 MB (123 int8-KV) while a 640-token entry is
+            # ~50 MB — and a hit replays through the same placer
+            # program the host path uses, entirely on device (no
+            # tunnel upload per hit, which measured ~0.4-1 s each).
+            # Positions [plen, sb) carry the DONOR row's suffix K/V;
+            # that is safe for any borrower by the usual scatter-then-
+            # attend argument (every position is overwritten before the
+            # causal mask first admits it).
+            from ..tokenize.base import bucket_length
+
+            sb = min(bucket_length(plen), self.cfg.max_seq_len)
+            kv_dev = self._slicer(sb)(caches1)
+            self._pentries[eid] = {"kv_dev": kv_dev, "len": plen,
+                                   "sb": sb, "keys": keys}
         while len(self._pentries) > self.prefix_cache:
             old_eid = next(iter(self._pentries))
             old = self._pentries.pop(old_eid)
@@ -693,7 +726,7 @@ class ContinuousEngine:
         decode = self.gen._decode_chunk_mixed(
             self.slots, self.chunk, self.sampling)
         self._carry, toks = decode(self._params, self._carry,
-                                   jnp.asarray(self._temps))
+                                   self._temps_dev)
         return np.asarray(toks)                   # [slots, chunk]
 
     def _judge_speculation(self):
@@ -736,7 +769,7 @@ class ContinuousEngine:
         n_live = len(self._active)
         self._carry, self._ids_buf, toks, valid = self._spec_chunk_jit(
             self._params, self._carry, self._ids_buf, self._limits,
-            jnp.asarray(self._temps))
+            self._temps_dev)
         toks, valid = np.asarray(toks), np.asarray(valid)
         if self.adaptive and n_live:
             # emitted tokens per slot-step vs the 1/step a plain chunk
@@ -772,7 +805,7 @@ class ContinuousEngine:
             drafts[slot] = draft(hist, k, n, pad)
         self._carry, n_acc, t1 = self._verify_jit(
             self._params, self._carry, jnp.asarray(drafts),
-            jnp.asarray(self._temps))
+            self._temps_dev)
         n_acc, t1 = np.asarray(n_acc), np.asarray(t1)
         return {slot: [int(t1[slot])]
                 + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]

@@ -256,3 +256,25 @@ def test_provider_prefix_cache_serves_shared_system_prompt():
     assert apc._driver.engine.stats["prefix_hits"] >= 2
     assert apc._driver.engine.stats["prefix_saved_tokens"] > 0
     apc._driver.close()
+
+
+def test_device_entries_are_bucket_sliced_not_full_rows(gen):
+    """Device-mode entries hold [1, bucket, ...] slices (a full
+    [1, max_seq] row pins ~2x-30x the HBM an entry needs; at 12B a row
+    is ~246 MB) and hits replay through the device placer with outputs
+    equal to solo."""
+    rng = np.random.default_rng(11)
+    shared = _prompt(rng, 2 * BLK)
+    a = np.concatenate([shared, _prompt(rng, 5)])
+    b = np.concatenate([shared, _prompt(rng, 9)])
+    eng = _engine(gen)
+    ra = eng.submit(a, len(a), 6)
+    rb = eng.submit(b, len(b), 6)
+    results = eng.run()
+    assert results[ra] == _solo(gen, a, 6)
+    assert results[rb] == _solo(gen, b, 6)
+    assert eng.stats["prefix_hits"] == 1
+    for entry in eng._pentries.values():
+        assert "kv_dev" in entry and entry["sb"] < CFG.max_seq_len
+        for leaf in jax.tree.leaves(entry["kv_dev"]):
+            assert leaf.shape[1] == entry["sb"]
