@@ -587,3 +587,66 @@ def test_provider_stream_rides_continuous_pool():
     sampled = "".join(cont.generate_stream(p, temperature=0.9))
     assert isinstance(sampled, str)
     cont._driver.close()
+
+
+def test_driver_step_failure_fails_callers_instead_of_hanging():
+    """A device program dying mid-step must fail every in-flight
+    caller's wait (with the original exception) — not strand them on
+    evt.wait() forever."""
+    import threading
+
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+
+    calls = {"n": 0}
+    orig_step = eng.step
+
+    def dying_step():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("device wedged")
+        return orig_step()
+
+    eng.step = dying_step
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(9)
+    errors = []
+
+    def call():
+        try:
+            driver.generate(_prompt(rng, 9), 9, 8)
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threads = [threading.Thread(target=call) for _ in range(3)]
+    [t.start() for t in threads]
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), \
+        "callers hung after step failure"
+    assert errors and all("device wedged" in e for e in errors)
+    driver.close()
+
+
+def test_driver_bad_request_fails_only_its_caller():
+    """engine.submit raising (oversized prompt) fails that caller; the
+    pool keeps serving others."""
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(10)
+    ids = _prompt(rng, 9)
+    good = driver.generate(ids, 9, 4)
+    try:
+        driver.generate(_prompt(rng, CFG.max_seq_len + 50),
+                        CFG.max_seq_len + 50, 4)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "oversized prompt should fail its caller"
+    assert driver.generate(ids, 9, 4) == good
+    driver.close()
