@@ -277,3 +277,94 @@ def test_create_multihost_mesh_guards_and_idempotent_init():
     # was never set up / already set up by another component
     initialize_multihost()
     initialize_multihost()
+
+
+WORKER_DECODER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from rag_dpo_tpu.parallel import MeshSpec, create_multihost_mesh, \\
+        initialize_multihost
+
+    initialize_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.models.generate import SamplingConfig, TextGenerator
+    from rag_dpo_tpu.models.sharding import shard_params
+
+    cfg = DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                             dtype=jnp.float32)
+    gen = TextGenerator(cfg)
+    params = gen.load()              # key(0) init — identical per process
+    rng = np.random.default_rng(0)   # identical prompts per process
+    ids = np.asarray(rng.integers(3, 512, (2, 10)), np.int32)
+    lengths = np.asarray([10, 7], np.int32)
+    sampling = SamplingConfig(temperature=0.0, max_new_tokens=4,
+                              eos_id=-1)
+    ref = gen.generate_ids(ids, lengths, sampling)   # local, unsharded
+
+    # TP spanning the PROCESS boundary: model axis = the host axis
+    # (allow_split_collectives — the attention/MLP psums cross DCN;
+    # on a real pod you'd keep TP on ICI, this PROVES it still works)
+    mesh = create_multihost_mesh(MeshSpec(data=1, model=2, shard=4),
+                                 allow_split_collectives=True)
+    hosts_per_model = [
+        {{d.process_index for d in mesh.devices[0][m].flat}}
+        for m in range(2)
+    ]
+    assert hosts_per_model == [{{0}}, {{1}}], hosts_per_model
+
+    gen_tp = TextGenerator(cfg, params=shard_params(params, mesh))
+    tp = gen_tp.generate_ids(ids, lengths, sampling)
+    assert np.array_equal(np.asarray(ref), np.asarray(tp)), (ref, tp)
+
+    # int8 KV cache under cross-host TP too (serving memory recipe)
+    import dataclasses as _dc
+    qcfg = _dc.replace(cfg, quantize_kv=True)
+    gq = TextGenerator(qcfg, params=params)
+    ref_q = gq.generate_ids(ids, lengths, sampling)
+    gq_tp = TextGenerator(qcfg, params=shard_params(params, mesh))
+    tp_q = gq_tp.generate_ids(ids, lengths, sampling)
+    assert np.array_equal(np.asarray(ref_q), np.asarray(tp_q))
+
+    print(f"MULTIHOST_DECODER_OK p{{pid}}", flush=True)
+""").format(repo=REPO)
+
+
+def test_two_process_decoder_tp(tmp_path):
+    """Decoder TP with the model axis SPANNING the two-process DCN
+    mesh: sharded greedy generation (bf16 and int8-KV caches) equals
+    the unsharded single-process run token-for-token — the attention/
+    MLP psums crossed the process boundary."""
+    script = tmp_path / "worker_decoder.py"
+    script.write_text(WORKER_DECODER)
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(tmp_path),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=400)
+        except subprocess.TimeoutExpired:
+            for pp in procs:
+                pp.kill()
+            pytest.fail("multihost decoder worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST_DECODER_OK p{pid}" in out, out[-3000:]
