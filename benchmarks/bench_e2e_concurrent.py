@@ -154,12 +154,59 @@ def main():
                 / max(eng.stats["steps"] - st0, 1), 2)}
     print("concurrent:", conc, flush=True)
 
+    # --- agent pipeline (the reference's 90.4% headline path: rewrite→
+    # classify→enrich→decompose→retrieve→generate→validate→completeness,
+    # worst case ~7 LLM calls/query vs the sequential pipeline's 3).
+    # Generation retries off for the same reason as the quality ladder.
+    from rag_dpo_tpu.agent import create_agent_pipeline
+
+    agent_pipe = create_agent_pipeline(
+        ctx["index"], ctx["embedder"], llm,
+        bm25_stats=ctx["bm25_stats"], summary_index=ctx["summary_index"])
+    agent_pipe.components.max_generation_retries = 0
+
+    def ask_agent(q):
+        t = time.time()
+        agent_pipe.query(q)
+        return time.time() - t
+
+    for q in QUESTIONS:                      # agent-shape warm pass
+        ask_agent(q)
+    t0 = time.time()
+    ag_lat = [ask_agent(q) for q in QUESTIONS]
+    ag_wall = time.time() - t0
+    agent_seq = {"wall_s": round(ag_wall, 2), "queries": len(QUESTIONS),
+                 "qpm": round(60 * len(QUESTIONS) / ag_wall, 1),
+                 "mean_latency_s": round(float(np.mean(ag_lat)), 2)}
+    print("agent sequential:", agent_seq, flush=True)
+
+    ag_lats, t0 = [], time.time()
+
+    def agent_worker(wid):
+        for j, q in enumerate(work):
+            if j % SLOTS == wid:
+                dt = ask_agent(q)
+                with lock:
+                    ag_lats.append(dt)
+
+    threads = [threading.Thread(target=agent_worker, args=(w,))
+               for w in range(SLOTS)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    ag_conc_wall = time.time() - t0
+    agent_conc = {"wall_s": round(ag_conc_wall, 2), "queries": len(work),
+                  "workers": SLOTS,
+                  "qpm": round(60 * len(work) / ag_conc_wall, 1),
+                  "mean_latency_s": round(float(np.mean(ag_lats)), 2)}
+    print("agent concurrent:", agent_conc, flush=True)
+
     out = {"bench": "e2e_rag_concurrent_12B_int8",
            "device": str(jax.devices()[0]), "slots": SLOTS,
            "quantize_kv": True, "decode_chunk": DECODE_CHUNK,
            "max_new_tokens": MAX_NEW, "sequential": seq,
            "concurrent": conc,
            "throughput_gain": round(conc["qpm"] / seq["qpm"], 2),
+           "agent_sequential": agent_seq, "agent_concurrent": agent_conc,
            "reference_s_per_query": 39.1,
            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
     print(json.dumps(out), flush=True)
