@@ -93,7 +93,7 @@ class TextGenerator:
         if key not in self._programs:
             cfg = self.config
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(4,))
             def extend(params, ids, start, suffix_len, caches):
                 offs = jnp.arange(ids.shape[1])[None, :]
                 positions = start[:, None] + offs
@@ -129,7 +129,7 @@ class TextGenerator:
                 return jnp.take_along_axis(
                     idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(2,))
             def decode(params, first_logits, caches, lengths, rng):
                 def step(carry, _):
                     logits, caches, pos, done, rng = carry
@@ -173,7 +173,7 @@ class TextGenerator:
                     idxs, choice[:, None], axis=1)[:, 0].astype(
                     jnp.int32)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, carry):
                 def step(c, _):
                     logits, caches, pos, done, rng = c
@@ -218,7 +218,7 @@ class TextGenerator:
                 return jnp.where(temps > 0, drawn,
                                  greedy).astype(jnp.int32)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, carry, temps):
                 def step(c, _):
                     logits, caches, pos, done, rng = c

@@ -48,6 +48,7 @@ the program count stays bounded.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 from typing import Any, Callable
 
@@ -224,7 +225,8 @@ class ContinuousEngine:
                     (self.slots, self.cfg.max_seq_len),
                     self.sampling.pad_id, jnp.int32)
                 self._limits = jnp.zeros((self.slots,), jnp.int32)
-                self._insert_hist_jit = jax.jit(self._insert_hist_fn)
+                self._insert_hist_jit = jax.jit(self._insert_hist_fn,
+                                                donate_argnums=(0, 1))
 
         # probe dtypes with a 1-row prefill, then build the pool carry
         probe_ids = jnp.full((1, 8), self.sampling.pad_id, jnp.int32)
@@ -238,8 +240,14 @@ class ContinuousEngine:
             jnp.ones((b,), bool),                 # done=True → slot free
             jax.random.key(rng_seed),
         )
-        self._insert_jit = jax.jit(self._insert_fn)
-        self._release_jit = jax.jit(self._release_fn)
+        # donate the pool carry through every program that replaces it:
+        # the carry holds the full [slots, max_seq] KV tree (2 GB at
+        # 12B/8 slots int8) and functional double-buffering of it is
+        # what capped the slot count
+        self._insert_jit = jax.jit(self._insert_fn,
+                                   donate_argnums=(0,))
+        self._release_jit = jax.jit(self._release_fn,
+                                    donate_argnums=(0,))
 
     # ---------------------------------------------------------- jit bits
     @staticmethod
@@ -279,7 +287,7 @@ class ContinuousEngine:
         top_k = self.sampling.top_k
         model = self.gen.model
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def verify(params, carry, drafts, temps):
             logits, caches, pos, done, rng = carry
             live = ~done
@@ -333,7 +341,7 @@ class ContinuousEngine:
         draft_src = self._device_draft_fn or (
             lambda buf, cur: prompt_lookup_draft(buf, cur, k, n, pad))
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
         def spec_chunk(params, carry, ids_buf, limits, temps):
             L = ids_buf.shape[1]
             idx = jnp.arange(1 + k)[None, :]
