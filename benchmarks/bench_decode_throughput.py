@@ -37,7 +37,9 @@ import numpy as np
 from rag_dpo_tpu.models.decoder import DecoderConfig
 from rag_dpo_tpu.models.generate import SamplingConfig, TextGenerator
 
-MAX_SEQ = 1536
+import os
+
+MAX_SEQ = int(os.environ.get("BENCH_MAX_SEQ", "1536"))
 CHUNK = 16
 PROMPT = 128
 REPS = 4

@@ -50,10 +50,10 @@ from rag_dpo_tpu.app.demo import build_demo_stack
 from rag_dpo_tpu.models.decoder import DecoderConfig
 from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
 
-SLOTS = 8               # int8 KV (quantize_kv) halves the per-slot row
-                        # (~123 MB at 1536 tokens) — 8 slots fit where
-                        # 4 bf16 ones did
-MAX_SEQ = 1536          # demo contexts are short; KV = slots×seq×80KB
+SLOTS = 16              # carry donation fits 16 bf16 rows (3.9 GB)
+                        # next to the 12.4 GB weights — the measured
+                        # one-chip peak (599.5 tok/s aggregate)
+MAX_SEQ = 1536          # demo contexts are short; KV = slots×seq×160KB
 PREFIX_ENTRIES = 8      # device-resident, bucket-SLICED entries: with
                         # int8 KV a ~640-token entry is ~25 MB (a full
                         # row would pin 123 MB; host-resident entries
@@ -77,7 +77,10 @@ def main():
     cfg = DecoderConfig.mistral_nemo_12b()
     cfg = dataclasses.replace(cfg, quantize_weights=True,
                               tie_embeddings=True, max_seq_len=MAX_SEQ,
-                              param_dtype=jnp.bfloat16, quantize_kv=True)
+                              param_dtype=jnp.bfloat16,
+                              quantize_kv=False)   # bf16 KV: fastest at
+                                                   # ≤16×1536 (matrix in
+                                                   # BENCHMARKS.md)
     t0 = time.time()
     llm = TPULLMProvider(cfg, max_new_tokens=MAX_NEW,
                          continuous=True, max_batch=SLOTS,
@@ -127,7 +130,7 @@ def main():
     tk0 = eng.stats["tokens"]
     oc0, st0 = eng.stats["occupancy_sum"], eng.stats["steps"]
     lats, lock = [], threading.Lock()
-    work = [q for _ in range(2) for q in QUESTIONS]
+    work = [q for _ in range(4) for q in QUESTIONS]  # 2 queries/worker
 
     def worker(wid):
         for j, q in enumerate(work):
@@ -202,7 +205,7 @@ def main():
 
     out = {"bench": "e2e_rag_concurrent_12B_int8",
            "device": str(jax.devices()[0]), "slots": SLOTS,
-           "quantize_kv": True, "decode_chunk": DECODE_CHUNK,
+           "quantize_kv": False, "decode_chunk": DECODE_CHUNK,
            "max_new_tokens": MAX_NEW, "sequential": seq,
            "concurrent": conc,
            "throughput_gain": round(conc["qpm"] / seq["qpm"], 2),

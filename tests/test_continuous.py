@@ -650,3 +650,17 @@ def test_driver_bad_request_fails_only_its_caller():
     assert raised, "oversized prompt should fail its caller"
     assert driver.generate(ids, 9, 4) == good
     driver.close()
+
+
+def test_factory_decode_chunk_reaches_engine():
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False,
+                         scheduler="continuous", max_batch=2,
+                         decode_chunk=8)
+    try:
+        assert llm._driver.engine.chunk == 8
+        r = llm.generate("Quel délai de notification ?", max_tokens=6)
+        assert r.error is None
+    finally:
+        llm._driver.close()
