@@ -50,10 +50,12 @@ from rag_dpo_tpu.app.demo import build_demo_stack
 from rag_dpo_tpu.models.decoder import DecoderConfig
 from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
 
-SLOTS = 16              # carry donation fits 16 bf16 rows (3.9 GB)
-                        # next to the 12.4 GB weights — the measured
-                        # one-chip peak (599.5 tok/s aggregate)
-MAX_SEQ = 1536          # demo contexts are short; KV = slots×seq×160KB
+SLOTS = 16              # 16 int8-KV rows (2 GB): bf16 at 16 rows fits
+                        # the bare decoder but NOT the full RAG stack
+                        # (encoder + reranker + index + prefix entries
+                        # share the chip) — this is int8 KV's capacity
+                        # lane (BENCHMARKS.md matrix)
+MAX_SEQ = 1536          # demo contexts are short; KV = slots×seq×80KB
 PREFIX_ENTRIES = 8      # device-resident, bucket-SLICED entries: with
                         # int8 KV a ~640-token entry is ~25 MB (a full
                         # row would pin 123 MB; host-resident entries
@@ -77,10 +79,7 @@ def main():
     cfg = DecoderConfig.mistral_nemo_12b()
     cfg = dataclasses.replace(cfg, quantize_weights=True,
                               tie_embeddings=True, max_seq_len=MAX_SEQ,
-                              param_dtype=jnp.bfloat16,
-                              quantize_kv=False)   # bf16 KV: fastest at
-                                                   # ≤16×1536 (matrix in
-                                                   # BENCHMARKS.md)
+                              param_dtype=jnp.bfloat16, quantize_kv=True)
     t0 = time.time()
     llm = TPULLMProvider(cfg, max_new_tokens=MAX_NEW,
                          continuous=True, max_batch=SLOTS,
@@ -205,7 +204,7 @@ def main():
 
     out = {"bench": "e2e_rag_concurrent_12B_int8",
            "device": str(jax.devices()[0]), "slots": SLOTS,
-           "quantize_kv": False, "decode_chunk": DECODE_CHUNK,
+           "quantize_kv": True, "decode_chunk": DECODE_CHUNK,
            "max_new_tokens": MAX_NEW, "sequential": seq,
            "concurrent": conc,
            "throughput_gain": round(conc["qpm"] / seq["qpm"], 2),
