@@ -188,6 +188,17 @@ class TPULLMProvider(BaseLLMProvider):
         max_new = max(1, min(max_new, cap - min_prompt))
         return cap - max_new, max_new
 
+    def warm_decoder(self,
+                     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
+                     ) -> None:
+        """Pre-compile the slot pool's device programs (continuous
+        scheduler only — no-op otherwise). Call BEFORE serving traffic:
+        a first-shape compile through the axon remote-compile path can
+        stall a production request for minutes."""
+        if self._driver is not None:
+            self.generator.load()
+            self._driver.engine.warm(prompt_buckets)
+
     def generate(self, prompt, system=None, temperature=0.0,
                  json_mode=False, max_tokens=None) -> LLMResponse:
         t0 = time.time()

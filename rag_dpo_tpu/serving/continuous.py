@@ -416,6 +416,45 @@ class ContinuousEngine:
         return spec_chunk
 
     # ------------------------------------------------------------ public
+    def warm(self, prompt_buckets: tuple[int, ...] = (64, 128, 256, 512),
+             max_new: int = 8) -> None:
+        """Pre-compile the engine's device programs so no production
+        request pays a first-shape compile mid-flight (through the axon
+        remote-compile path a single 16-slot spec program measured
+        minutes — it landed as a 410 s p95 on an otherwise 7 s
+        sequential arm). Compiles: one prefill/extend per prompt
+        bucket, the plain and speculative decode dispatch programs, and
+        the insert/release plumbing — by running one real throwaway
+        request per bucket with speculation forced on AND off."""
+        snap = dict(self.stats)
+        room = self.cfg.max_seq_len - max_new \
+            - (self.draft_len if self.speculative else 0) - 1
+        spec_states = (True, False) if self.speculative and self.adaptive \
+            else (self._spec_mode,)
+        for spec_on in spec_states:
+            for j, b in enumerate(prompt_buckets):
+                n = min(int(b), max(room, 1))
+                # distinct token per bucket: identical warm prompts
+                # would prefix-cache-hit each other and skip the very
+                # full-prefill programs this is trying to compile
+                ids = np.full((n,), 3 + j % 64, np.int32)
+                rid = self.submit(ids, n, max_new)
+                if self.speculative and self.adaptive:
+                    self._spec_mode = spec_on
+                    self._plain_left = 0 if spec_on else 10**9
+                while not self._requests[rid].done and self.busy:
+                    self.step()
+        # leave no trace: restore counters, drop warm prefix entries,
+        # restore the adaptive controller's starting posture
+        self.stats.update(snap)
+        self._pentries.clear()
+        self._phash.clear()
+        if self.speculative and self.adaptive:
+            self._spec_mode = True
+            self._spec_seen = 0
+            self._accept_ema = None
+            self._plain_left = 0
+
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None,
                temperature: float | None = None) -> int:

@@ -664,3 +664,32 @@ def test_factory_decode_chunk_reaches_engine():
         assert r.error is None
     finally:
         llm._driver.close()
+
+
+def test_engine_warm_precompiles_and_leaves_no_trace():
+    """warm() compiles prefill/extend buckets and both decode dispatch
+    programs, then restores stats / prefix cache / adaptive posture —
+    and later real requests still match solo exactly."""
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    llm = TPULLMProvider(CFG, max_new_tokens=6, continuous=True,
+                         max_batch=2, speculative=True, prefix_cache=4,
+                         prefix_block=8, prefill_chunk=16)
+    direct = TPULLMProvider(CFG, max_new_tokens=6)
+    llm.generator._params = direct.generator.load()
+    eng = llm._driver.engine
+    llm.warm_decoder(prompt_buckets=(16, 32))
+    progs = set(llm.generator._programs)
+    assert any(k[0] == "prefill" for k in progs)
+    assert any(k[0] == "decode_chunk_mixed" for k in progs)
+    assert eng.stats["admitted"] == 0, "warm must not pollute stats"
+    assert not eng._pentries and not eng._phash
+    assert eng._spec_mode and eng._accept_ema is None
+    p = "Quelle est la base légale du traitement ?"
+    assert llm.generate(p, temperature=0.0).text == \
+        direct.generate(p, temperature=0.0).text
+    n_before = len(llm.generator._programs)
+    llm.generate(p, temperature=0.0)
+    assert len(llm.generator._programs) == n_before, \
+        "a warmed repeat request should compile nothing new"
+    llm._driver.close()
