@@ -1009,7 +1009,13 @@ class ContinuousDriver:
                     evt.set()
                 self._events.clear()
                 with self._sub_lock:
-                    self._work.clear()
+                    # submissions queued DURING the failing step must
+                    # not strand until some future submit re-sets the
+                    # flag — leave it set so the next iteration drains
+                    # them (a still-failing engine then fails THEIR
+                    # events the same way)
+                    if not self._pending:
+                        self._work.clear()
                 continue
             for rid, (evt, box) in list(self._events.items()):
                 req = self.engine._requests[rid]
