@@ -64,9 +64,13 @@ def main():
     ttfts, totals = [], []
     for q in QUESTIONS * 2:
         ttft, total = stream_once(q)
+        if ttft is None:        # no delta (empty retrieval / gen error)
+            print(f"no delta for {q!r} — skipped", flush=True)
+            continue
         ttfts.append(ttft)
         totals.append(total)
         print(f"ttft={ttft:.2f}s total={total:.2f}s", flush=True)
+    assert ttfts, "no query produced a streamed delta"
     out = {"bench": "ttft_streaming_rag_12B_int8",
            "device": str(jax.devices()[0]),
            "mean_ttft_s": round(float(np.mean(ttfts)), 2),

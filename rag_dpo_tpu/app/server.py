@@ -468,12 +468,13 @@ def main(argv=None) -> int:
         system["index"].warm(sizes)
         print(f"warm: compiled search programs for batches {sizes} "
               f"in {_time.time() - t0:.1f}s")
-        llm = system.get("llm")
-        if hasattr(llm, "warm_decoder"):
-            t0 = _time.time()
-            llm.warm_decoder()
-            print(f"warm: compiled decode-pool programs in "
-                  f"{_time.time() - t0:.1f}s")
+    if args.warm and hasattr(system.get("llm"), "warm_decoder"):
+        import time as _time
+
+        t0 = _time.time()
+        system["llm"].warm_decoder()
+        print(f"warm: compiled decode-pool programs in "
+              f"{_time.time() - t0:.1f}s")
     server = serve(args.port, system=system)
     print(f"serving on :{args.port}")
     try:

@@ -251,6 +251,7 @@ class TextGenerator:
         params = self.load()
         b, s = input_ids.shape
         assert s + sampling.max_new_tokens <= self.config.max_seq_len
+        assert int(np.max(lengths)) <= s, "lengths exceed prompt width"
         first_logits, caches = self._prefill(b, s)(
             params, jnp.asarray(input_ids), jnp.asarray(lengths))
         carry = (first_logits, caches, jnp.asarray(lengths),
@@ -277,6 +278,11 @@ class TextGenerator:
         assert s + sampling.max_new_tokens <= self.config.max_seq_len, (
             "prompt + generation exceeds max_seq_len"
         )
+        # the in-place DUS cache write CLAMPS an overflowing window
+        # (the old one-hot scatter silently dropped it) — a lying
+        # `lengths` would corrupt the final rows instead of no-oping,
+        # so reject it here
+        assert int(np.max(lengths)) <= s, "lengths exceed prompt width"
         first_logits, caches = self._prefill(b, s)(
             params, jnp.asarray(input_ids), jnp.asarray(lengths))
         tokens = self._decode(b, sampling.max_new_tokens, sampling)(

@@ -197,7 +197,9 @@ class TPULLMProvider(BaseLLMProvider):
         stall a production request for minutes."""
         if self._driver is not None:
             self.generator.load()
-            self._driver.engine.warm(prompt_buckets)
+            # routed through the driver thread: the engine is single-
+            # threaded and the driver may be stepping live requests
+            self._driver.warm(prompt_buckets)
 
     def generate(self, prompt, system=None, temperature=0.0,
                  json_mode=False, max_tokens=None) -> LLMResponse:

@@ -71,6 +71,7 @@ class _Request:
     slot: int = -1
     done: bool = False
     on_token: Callable | None = None
+    error: Exception | None = None   # per-request failure (bad callback)
 
 
 def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
@@ -91,6 +92,9 @@ def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
     src = hist[j + n:j + n + k]
     out[:len(src)] = src
     return out
+
+
+_WARM = object()   # ContinuousDriver queue sentinel: run engine.warm
 
 
 class ContinuousEngine:
@@ -454,6 +458,7 @@ class ContinuousEngine:
             self._spec_seen = 0
             self._accept_ema = None
             self._plain_left = 0
+            self._hold_len = self.spec_hold
 
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None,
@@ -759,7 +764,17 @@ class ContinuousEngine:
                 req.tokens.append(t)
                 emitted += 1
                 if req.on_token is not None:
-                    req.on_token(req.rid, t)
+                    try:
+                        req.on_token(req.rid, t)
+                    except Exception as cb_err:
+                        # a raising callback fails ITS request only —
+                        # letting it propagate would poison every
+                        # future step (the request would stay active
+                        # and re-raise per dispatch)
+                        req.error = cb_err
+                        req.on_token = None
+                        finished = True
+                        break
             if finished or len(req.tokens) >= req.max_new:
                 req.done = True
                 self._carry = self._release_jit(self._carry,
@@ -969,6 +984,28 @@ class ContinuousDriver:
 
         return _iter()
 
+    def warm(self, prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
+             ) -> None:
+        """Run `engine.warm` ON THE DRIVER THREAD (the engine is
+        single-threaded; warming from the caller would race live
+        steps). Blocks until done. Call before serving traffic —
+        requests admitted while a warm is in flight are served
+        correctly but their engine counters land inside the warm's
+        snapshot/restore window."""
+        import threading
+
+        evt = threading.Event()
+        box: dict = {}
+        with self._sub_lock:
+            if self._closed:
+                raise RuntimeError("driver is closed")
+            self._pending.append((_WARM, prompt_buckets, None, None,
+                                  None, evt, box))
+        self._work.set()
+        evt.wait()
+        if "error" in box:
+            raise box["error"]
+
     def close(self):
         with self._sub_lock:
             self._closed = True
@@ -980,10 +1017,28 @@ class ContinuousDriver:
             self._work.wait()
             with self._sub_lock:
                 if self._closed:
+                    # never strand a caller on evt.wait(): fail every
+                    # queued and in-flight request before exiting
+                    err = RuntimeError("driver is closed")
+                    for item in self._pending:
+                        item[6]["error"] = err
+                        item[5].set()
+                    self._pending.clear()
+                    for evt, box in self._events.values():
+                        box["error"] = err
+                        evt.set()
+                    self._events.clear()
                     return
                 pending, self._pending = self._pending, []
             for (ids, length, max_new, on_token, temp,
                  evt, box) in pending:
+                if ids is _WARM:
+                    try:
+                        self.engine.warm(length)   # length = buckets
+                    except Exception as e:
+                        box["error"] = e
+                    evt.set()
+                    continue
                 try:
                     rid = self.engine.submit(ids, length, max_new,
                                              on_token=on_token,
@@ -1020,6 +1075,9 @@ class ContinuousDriver:
             for rid, (evt, box) in list(self._events.items()):
                 req = self.engine._requests[rid]
                 if req.done:
-                    box["tokens"] = req.tokens
+                    if req.error is not None:
+                        box["error"] = req.error
+                    else:
+                        box["tokens"] = req.tokens
                     evt.set()
                     del self._events[rid]

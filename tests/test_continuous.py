@@ -693,3 +693,76 @@ def test_engine_warm_precompiles_and_leaves_no_trace():
     assert len(llm.generator._programs) == n_before, \
         "a warmed repeat request should compile nothing new"
     llm._driver.close()
+
+
+def test_raising_on_token_fails_only_its_request(gen):
+    """A raising streaming callback must fail ITS caller and free its
+    slot — not poison every future step (review finding)."""
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(13)
+    ids = _prompt(rng, 9)
+
+    def bad_cb(rid, tok):
+        raise ValueError("boom in callback")
+
+    try:
+        driver.generate(ids, 9, 6, on_token=bad_cb)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    # the pool keeps serving; no zombie slot remains
+    assert driver.generate(ids, 9, 4) == _solo(fresh, ids, 4)
+    assert not eng._active
+    driver.close()
+
+
+def test_close_fails_pending_and_inflight_callers():
+    """close() must never strand a blocked caller on evt.wait()."""
+    import threading
+    import time as _t
+
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=1, sampling=SAMPLING, chunk=2)
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(14)
+    errors, ok = [], []
+
+    def call():
+        try:
+            ok.append(driver.generate(_prompt(rng, 7), 7, 50))
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threads = [threading.Thread(target=call) for _ in range(3)]
+    [t.start() for t in threads]
+    _t.sleep(0.3)           # let at least one request get in flight
+    driver.close()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "caller stranded"
+    assert len(ok) + len(errors) == 3
+    assert all("closed" in e for e in errors)
+
+
+def test_driver_warm_runs_on_driver_thread_and_pool_still_serves(gen):
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2,
+                           speculative=True, draft_len=3, ngram=2,
+                           prefix_cache=2, prefix_block=8)
+    driver = ContinuousDriver(eng)
+    driver.warm(prompt_buckets=(16, 32))
+    assert eng.stats["admitted"] == 0 and not eng._pentries
+    assert eng._hold_len == eng.spec_hold
+    rng = np.random.default_rng(15)
+    ids = _prompt(rng, 9)
+    assert driver.generate(ids, 9, 5) == _solo(fresh, ids, 5)
+    driver.close()
