@@ -95,6 +95,7 @@ def build_stack(
                 prefix_cache_host=config.llm.prefix_cache_host,
                 prefill_chunk=config.llm.prefill_chunk,
                 decode_chunk=config.llm.decode_chunk,
+                top_p=config.llm.top_p,
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

@@ -23,9 +23,32 @@ from .decoder import DecoderConfig, DecoderModel
 class SamplingConfig:
     temperature: float = 0.0      # 0 = greedy
     top_k: int = 40
+    top_p: float = 1.0            # nucleus cutoff within the top-k (1 = off)
     max_new_tokens: int = 256
     eos_id: int = 2
     pad_id: int = 1
+
+
+def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float):
+    """Top-k then nucleus draw with PER-ROW temperature; rows with
+    temps ≤ 0 return the argmax (bit-identical to greedy decode, so
+    greedy and sampled requests share one program). logits [B, V].
+
+    Nucleus rule: keep the smallest prefix of the (descending) top-k
+    whose mass reaches `top_p` — a token stays iff the mass BEFORE it
+    is < top_p, so the first token always survives."""
+    kk = min(int(top_k), logits.shape[-1])
+    vals, idxs = jax.lax.top_k(logits, kk)          # sorted desc
+    safe = jnp.where(temps > 0, temps, 1.0)[:, None]
+    scaled = vals / safe
+    if top_p < 1.0:
+        probs = jax.nn.softmax(scaled, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        scaled = jnp.where(before < top_p, scaled, -jnp.inf)
+    choice = jax.random.categorical(rng, scaled, axis=-1)
+    drawn = jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
+    return jnp.where(temps > 0, drawn,
+                     idxs[:, 0]).astype(jnp.int32)
 
 
 class TextGenerator:
@@ -112,22 +135,20 @@ class TextGenerator:
 
     def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
         key = ("decode", b, n_steps, sampling.temperature,
-               sampling.top_k, sampling.eos_id, sampling.pad_id)
+               sampling.top_k, sampling.top_p, sampling.eos_id,
+               sampling.pad_id)
         if key not in self._programs:
             cfg = self.config
             temp = sampling.temperature
-            top_k = sampling.top_k
+            top_k, top_p = sampling.top_k, sampling.top_p
             eos = sampling.eos_id
             pad = sampling.pad_id
 
             def sample(logits, rng):
                 if temp <= 0:
                     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                kk = min(top_k, logits.shape[-1])
-                vals, idxs = jax.lax.top_k(logits, kk)
-                choice = jax.random.categorical(rng, vals / temp, axis=-1)
-                return jnp.take_along_axis(
-                    idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+                temps = jnp.full((logits.shape[0],), temp, jnp.float32)
+                return topk_topp_sample(logits, temps, rng, top_k, top_p)
 
             @functools.partial(jax.jit, donate_argnums=(2,))
             def decode(params, first_logits, caches, lengths, rng):
@@ -157,21 +178,18 @@ class TextGenerator:
         """Like _decode but returns the carry too, so successive chunks
         continue exactly where the previous one stopped (streaming)."""
         key = ("decode_chunk", b, n_steps, sampling.temperature,
-               sampling.top_k, sampling.eos_id, sampling.pad_id)
+               sampling.top_k, sampling.top_p, sampling.eos_id,
+               sampling.pad_id)
         if key not in self._programs:
             temp, top_k = sampling.temperature, sampling.top_k
+            top_p = sampling.top_p
             eos, pad = sampling.eos_id, sampling.pad_id
 
             def sample(logits, rng):
                 if temp <= 0:
                     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                kk = min(top_k, logits.shape[-1])
-                vals, idxs = jax.lax.top_k(logits, kk)
-                choice = jax.random.categorical(rng, vals / temp,
-                                                axis=-1)
-                return jnp.take_along_axis(
-                    idxs, choice[:, None], axis=1)[:, 0].astype(
-                    jnp.int32)
+                temps = jnp.full((logits.shape[0],), temp, jnp.float32)
+                return topk_topp_sample(logits, temps, rng, top_k, top_p)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, carry):
@@ -201,22 +219,14 @@ class TextGenerator:
         temperature — one program serves a pool mixing both
         (serving/continuous.py). top_k/eos/pad stay static per program."""
         key = ("decode_chunk_mixed", b, n_steps, sampling.top_k,
-               sampling.eos_id, sampling.pad_id)
+               sampling.top_p, sampling.eos_id, sampling.pad_id)
         if key not in self._programs:
-            top_k = sampling.top_k
+            top_k, top_p = sampling.top_k, sampling.top_p
             eos, pad = sampling.eos_id, sampling.pad_id
 
             def sample(logits, temps, rng):
-                kk = min(top_k, logits.shape[-1])
-                vals, idxs = jax.lax.top_k(logits, kk)
-                safe = jnp.where(temps > 0, temps, 1.0)[:, None]
-                choice = jax.random.categorical(rng, vals / safe,
-                                                axis=-1)
-                drawn = jnp.take_along_axis(
-                    idxs, choice[:, None], axis=1)[:, 0]
-                greedy = idxs[:, 0]
-                return jnp.where(temps > 0, drawn,
-                                 greedy).astype(jnp.int32)
+                return topk_topp_sample(logits, temps, rng, top_k,
+                                        top_p)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, carry, temps):

@@ -80,6 +80,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    prefix_cache_host: bool = False,
                    prefill_chunk: int = 0,
                    decode_chunk: int = 4,
+                   top_p: float = 1.0,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -134,6 +135,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         prefix_cache_host=prefix_cache_host,
         prefill_chunk=prefill_chunk,
         decode_chunk=decode_chunk,
+        top_p=top_p,
     )
 
 

@@ -51,12 +51,14 @@ class TPULLMProvider(BaseLLMProvider):
         spec_breakeven: float = 1.7,
         prefill_chunk: int = 0,
         decode_chunk: int = 4,
+        top_p: float = 1.0,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
         self.tokenizer = tokenizer or HashedTokenizer(
             vocab_size=self.config.vocab_size)
         self.max_new_tokens = max_new_tokens
+        self.top_p = float(top_p)
         self.model_name = model_name
         # per-batch sampling seed: a server-side counter threaded into
         # each batched decode so identical prompts sampled at
@@ -90,6 +92,7 @@ class TPULLMProvider(BaseLLMProvider):
             engine = ContinuousEngine(
                 self.generator, slots=max_batch,
                 sampling=SamplingConfig(
+                    top_p=self.top_p,
                     temperature=0.0, eos_id=self.tokenizer.sep_id,
                     pad_id=self.tokenizer.pad_id),
                 # decode_chunk tokens per device dispatch: the host↔
@@ -139,6 +142,7 @@ class TPULLMProvider(BaseLLMProvider):
             lengths = np.concatenate(
                 [lengths, np.repeat(lengths[:1], b - q)], axis=0)
         sampling = SamplingConfig(
+            top_p=self.top_p,
             temperature=temp, max_new_tokens=max_new,
             eos_id=self.tokenizer.sep_id, pad_id=self.tokenizer.pad_id,
         )
@@ -224,6 +228,7 @@ class TPULLMProvider(BaseLLMProvider):
                                    self.model_name, time.time() - t0)
             if self._spec is not None and temperature <= 0:
                 sampling = SamplingConfig(
+                    top_p=self.top_p,
                     temperature=0.0, max_new_tokens=max_new,
                     eos_id=self.tokenizer.sep_id,
                     pad_id=self.tokenizer.pad_id)
@@ -245,6 +250,7 @@ class TPULLMProvider(BaseLLMProvider):
                 )
             else:
                 sampling = SamplingConfig(
+                    top_p=self.top_p,
                     temperature=temperature,
                     max_new_tokens=max_new,
                     eos_id=self.tokenizer.sep_id,
@@ -290,6 +296,7 @@ class TPULLMProvider(BaseLLMProvider):
                     yield delta
             return
         sampling = SamplingConfig(
+            top_p=self.top_p,
             temperature=temperature,
             max_new_tokens=max_new,
             eos_id=self.tokenizer.sep_id,

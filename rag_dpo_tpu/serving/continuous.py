@@ -57,7 +57,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decoder import DecoderModel
-from ..models.generate import SamplingConfig, TextGenerator
+from ..models.generate import (SamplingConfig, TextGenerator,
+                               topk_topp_sample)
 
 
 @dataclasses.dataclass
@@ -289,6 +290,7 @@ class ContinuousEngine:
         needed."""
         cfg, k = self.cfg, self.draft_len
         top_k = self.sampling.top_k
+        top_p = self.sampling.top_p
         model = self.gen.model
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -296,14 +298,7 @@ class ContinuousEngine:
             logits, caches, pos, done, rng = carry
             live = ~done
             rng, sub = jax.random.split(rng)
-            greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-            kk = min(top_k, logits.shape[-1])
-            vals, idxs = jax.lax.top_k(logits, kk)
-            safe = jnp.where(temps > 0, temps, 1.0)[:, None]
-            choice = jax.random.categorical(sub, vals / safe, axis=-1)
-            drawn = jnp.take_along_axis(
-                idxs, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
-            t1 = jnp.where(temps > 0, drawn, greedy)
+            t1 = topk_topp_sample(logits, temps, sub, top_k, top_p)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
             positions = pos[:, None] + jnp.arange(1 + k)[None, :]
             wmask = live[:, None] & (positions < cfg.max_seq_len)
@@ -340,6 +335,7 @@ class ContinuousEngine:
         cfg, k, n = self.cfg, self.draft_len, self.ngram
         eos, pad = self.sampling.eos_id, self.sampling.pad_id
         top_k = self.sampling.top_k
+        top_p = self.sampling.top_p
         b, S = self.slots, self.chunk
         model = self.gen.model
         draft_src = self._device_draft_fn or (
@@ -355,16 +351,8 @@ class ContinuousEngine:
                 logits, caches, pos, done, rng, ids_buf = c
                 live = ~done
                 rng, sub = jax.random.split(rng)
-                greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-                kk = min(top_k, logits.shape[-1])
-                vals, idxs = jax.lax.top_k(logits, kk)
-                safe = jnp.where(temps > 0, temps, 1.0)[:, None]
-                choice = jax.random.categorical(sub, vals / safe,
-                                                axis=-1)
-                drawn = jnp.take_along_axis(
-                    idxs, choice[:, None],
-                    axis=1)[:, 0].astype(jnp.int32)
-                t1 = jnp.where(temps > 0, drawn, greedy)
+                t1 = topk_topp_sample(logits, temps, sub, top_k,
+                                      top_p)
                 # write t1 at pos so the tail n-gram includes it
                 cur_c = jnp.clip(pos, 0, L - 1)
                 old = ids_buf[rowi, cur_c]

@@ -73,6 +73,7 @@ class LLMSection:
     prefix_cache_host: bool = False    # APC entries in host RAM, not HBM
     prefill_chunk: int = 0             # chunked prefill segment (0 = whole)
     decode_chunk: int = 4              # decode tokens per device dispatch
+    top_p: float = 1.0                 # nucleus cutoff (sampled calls)
 
 
 @dataclasses.dataclass
