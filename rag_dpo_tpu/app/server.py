@@ -412,19 +412,38 @@ def make_handler(system: dict):
 
 
 def build_system(agent_too: bool = True, llm=None) -> dict:
+    """Production stack when a saved index checkpoint exists (the
+    config-driven bootstrap — honors `llm.mode=tpu`, the continuous
+    scheduler, RAGDPO_* env overlays, …); demo stack otherwise. Same
+    selection rule as the CLI (`app/cli.py::_stack`)."""
     from ..utils import QueryLogger, default_paths
+
+    paths = default_paths().ensure()
+    if (paths.index_dir / "manifest.json").exists():
+        from ..bootstrap import build_stack
+        from ..utils.config import load_config
+
+        stack = build_stack(load_config(), paths, llm=llm)
+        return {
+            "pipe": stack.pipeline,
+            "agent_pipe": stack.agent if agent_too else stack.pipeline,
+            "index": stack.index,
+            "embedder": stack.embedder,
+            "llm": stack.llm,
+            "qlog": stack.query_logger,
+        }
     from .demo import build_demo_stack
 
     pipe, ctx = build_demo_stack(llm=llm, agent=False)
     agent_pipe = None
     if agent_too:
         agent_pipe, _ = build_demo_stack(llm=ctx["llm"], agent=True)
-    paths = default_paths().ensure()
     return {
         "pipe": pipe,
         "agent_pipe": agent_pipe or pipe,
         "index": ctx["index"],
         "embedder": ctx["embedder"],
+        "llm": ctx["llm"],
         "qlog": QueryLogger(paths.queries_log, paths.feedback_log),
     }
 

@@ -326,3 +326,38 @@ def test_stats_exposes_decode_pool_for_continuous_llm(tmp_path):
             srv.shutdown()
     finally:
         llm._driver.close()
+
+
+def test_build_system_uses_bootstrap_when_index_checkpoint_exists(
+        tmp_path, monkeypatch):
+    """The HTTP server serves the PRODUCTION stack (config-driven
+    bootstrap: saved index, unified config incl. llm.mode / scheduler /
+    RAGDPO_* overlays) whenever an index checkpoint exists — it
+    previously always built the demo stack, so env-configured serving
+    silently ran on demo data."""
+    from rag_dpo_tpu.app.server import build_system
+    from rag_dpo_tpu.ingest.indexer import CorpusIndexer
+    from rag_dpo_tpu.providers import Embedder, FakeLLMProvider
+    from rag_dpo_tpu.utils.paths import default_paths
+
+    from test_retrieval import CORPUS
+
+    monkeypatch.setenv("RAGDPO_TPU_ROOT", str(tmp_path))
+    monkeypatch.setenv("RAGDPO_LLM_MODE", "fake")
+    monkeypatch.setenv("RAGDPO_RETRIEVAL_USE_RERANKER", "false")
+    paths = default_paths(tmp_path).ensure()
+    embedder = Embedder()          # same default build_system constructs
+    chunks = []
+    for cid, text, meta in CORPUS:
+        c = dict(meta)
+        c["chunk_id"] = cid
+        c["text"] = text
+        chunks.append(c)
+    index, _, _ = CorpusIndexer(embedder, ell_width=16).build(chunks)
+    index.save(paths.index_dir)
+
+    system = build_system(agent_too=False)
+    assert system["index"].n_rows == len(CORPUS)
+    assert isinstance(system["llm"], FakeLLMProvider)
+    resp = system["pipe"].query("délai de notification d'une violation")
+    assert resp.answer and resp.sources
