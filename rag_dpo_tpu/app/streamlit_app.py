@@ -44,23 +44,41 @@ def _require_streamlit():
 
 def build_system():
     """Assemble both pipelines + logging once (st.cache_resource target,
-    mirroring the reference's init_rag_system, app.py:42-124)."""
-    from rag_dpo_tpu.app.demo import build_demo_stack
+    mirroring the reference's init_rag_system, app.py:42-124).
+
+    Production stack when a saved index checkpoint exists (config-
+    driven bootstrap — same selection rule as the CLI and HTTP server);
+    demo stack otherwise."""
     from rag_dpo_tpu.ingest.enterprise import EnterpriseIngestor, \
         TagRegistry
     from rag_dpo_tpu.utils import Alerter, QueryLogger, default_paths
 
-    native, ctx = build_demo_stack(agent=False)
-    agent, _ = build_demo_stack(llm=ctx["llm"], agent=True)
     paths = default_paths().ensure()
-    qlog = QueryLogger(paths.queries_log, paths.feedback_log)
+    if (paths.index_dir / "manifest.json").exists():
+        from rag_dpo_tpu.bootstrap import build_stack
+        from rag_dpo_tpu.utils.config import load_config
+
+        stack = build_stack(load_config(), paths)
+        native, agent = stack.pipeline, stack.agent
+        index, embedder = stack.index, stack.embedder
+        bm25_stats, llm = stack.bm25_stats, stack.llm
+        qlog, alerter = stack.query_logger, stack.alerter
+    else:
+        from rag_dpo_tpu.app.demo import build_demo_stack
+
+        native, ctx = build_demo_stack(agent=False)
+        agent, _ = build_demo_stack(llm=ctx["llm"], agent=True)
+        index, embedder = ctx["index"], ctx["embedder"]
+        bm25_stats, llm = ctx["bm25_stats"], ctx["llm"]
+        qlog = QueryLogger(paths.queries_log, paths.feedback_log)
+        alerter = Alerter(qlog, paths.alerts_log)
     tags = TagRegistry(paths.root / "configs" / "enterprise_tags.json")
-    ingestor = EnterpriseIngestor(
-        ctx["index"], ctx["embedder"], ctx["bm25_stats"], tags)
+    ingestor = EnterpriseIngestor(index, embedder, bm25_stats, tags)
     return {
         "native": native, "agent": agent, "qlog": qlog,
-        "alerter": Alerter(qlog, paths.alerts_log),
-        "tags": tags, "ingestor": ingestor, "index": ctx["index"],
+        "alerter": alerter,
+        "tags": tags, "ingestor": ingestor, "index": index,
+        "llm": llm,
     }
 
 

@@ -374,3 +374,36 @@ def test_dashboard_renders_decode_pool_stats(system):
             and "préfixe" in caps, caps
     finally:
         llm._driver.close()
+
+
+def test_build_system_uses_bootstrap_when_index_exists(tmp_path,
+                                                       monkeypatch):
+    """Like the HTTP server: a saved index checkpoint routes the
+    Streamlit system through the config-driven bootstrap instead of the
+    demo stack."""
+    from rag_dpo_tpu.app.streamlit_app import build_system
+    from rag_dpo_tpu.ingest.indexer import CorpusIndexer
+    from rag_dpo_tpu.providers import Embedder, FakeLLMProvider
+    from rag_dpo_tpu.utils.paths import default_paths
+
+    from test_retrieval import CORPUS
+
+    monkeypatch.setenv("RAGDPO_TPU_ROOT", str(tmp_path))
+    monkeypatch.setenv("RAGDPO_LLM_MODE", "fake")
+    monkeypatch.setenv("RAGDPO_RETRIEVAL_USE_RERANKER", "false")
+    paths = default_paths(tmp_path).ensure()
+    embedder = Embedder()
+    chunks = []
+    for cid, text, meta in CORPUS:
+        c = dict(meta)
+        c["chunk_id"] = cid
+        c["text"] = text
+        chunks.append(c)
+    index, _, _ = CorpusIndexer(embedder, ell_width=16).build(chunks)
+    index.save(paths.index_dir)
+
+    system = build_system()
+    assert system["index"].n_rows == len(CORPUS)
+    assert isinstance(system["llm"], FakeLLMProvider)
+    resp = system["native"].query("délai de notification d'une violation")
+    assert resp.answer and resp.sources
