@@ -161,3 +161,22 @@ def test_sampling_falls_back_to_plain(gen):
     out, _ = spec.generate_ids(ids, lengths, sampling)
     plain = gen.generate_ids(ids, lengths, sampling)
     np.testing.assert_array_equal(out, plain)
+
+
+def test_bit_parity_under_int8_kv_cache(gen):
+    """Speculative verify over a QUANTIZED cache still equals the plain
+    quantized greedy decode bit-for-bit (the int8 cache is the single
+    source of truth, so verify and decode attend the same K/V)."""
+    import dataclasses
+
+    qcfg = dataclasses.replace(CFG, quantize_kv=True)
+    gq = TextGenerator(qcfg, params=gen.load())
+    rng = np.random.default_rng(21)
+    ids = _prompts(rng, (3, 12))
+    lengths = np.asarray([12, 9, 5], np.int32)
+    sampling = _sampling(16)
+    plain = gq.generate_ids(ids, lengths, sampling)
+    spec = SpeculativeGenerator(gq, draft_len=4, ngram=2)
+    out, stats = spec.generate_ids(ids, lengths, sampling)
+    np.testing.assert_array_equal(out, plain)
+    assert stats.tokens >= 3
