@@ -30,15 +30,13 @@ def _stack(args):
     llm = llm or FakeLLMProvider()
 
     # production path: a saved index checkpoint + unified config
+    from ..bootstrap import try_build_stack
     from ..utils.paths import default_paths
 
     paths = default_paths(getattr(args, "root", None))
-    if (paths.index_dir / "manifest.json").exists():
-        from ..bootstrap import build_stack
-        from ..utils.config import load_config
-
-        stack = build_stack(
-            load_config(getattr(args, "config", None)), paths, llm=llm)
+    stack = try_build_stack(paths, llm=llm,
+                            config_path=getattr(args, "config", None))
+    if stack is not None:
         pipe = stack.active(use_agent=getattr(args, "agent", False))
         return pipe, {
             "index": stack.index, "embedder": stack.embedder,

@@ -362,7 +362,12 @@ def make_handler(system: dict):
                 # "stream": true → Server-Sent Events, one `data:` per
                 # text delta (the reference's Ollama backend streams the
                 # same way; its app never used it — capability superset)
-                llm = system.get("stream_llm")
+                # prefer an explicitly-injected streaming provider,
+                # else the system's own LLM (every provider exposes
+                # generate_stream; review finding: 'stream_llm' was
+                # only ever set by tests, so /generate 503'd through
+                # the public entry points)
+                llm = system.get("stream_llm") or system.get("llm")
                 if llm is None or not hasattr(llm, "generate_stream"):
                     self._send(503, {"error": "no streaming LLM loaded"})
                     return
@@ -419,11 +424,19 @@ def build_system(agent_too: bool = True, llm=None) -> dict:
     from ..utils import QueryLogger, default_paths
 
     paths = default_paths().ensure()
-    if (paths.index_dir / "manifest.json").exists():
-        from ..bootstrap import build_stack
-        from ..utils.config import load_config
+    from ..bootstrap import try_build_stack
 
-        stack = build_stack(load_config(), paths, llm=llm)
+    stack = try_build_stack(paths, llm=llm)
+    if stack is not None:
+        # concurrent /query requests only help when the provider can
+        # co-schedule generations (slot pool / micro-batcher) — the
+        # handler's semaphore otherwise serializes at 1 and a 16-slot
+        # pool would never see more than one resident request
+        cfg_llm = stack.config.llm
+        concurrency = (cfg_llm.max_batch
+                       if cfg_llm.mode == "tpu"
+                       and cfg_llm.scheduler in ("continuous",
+                                                 "batch") else 1)
         return {
             "pipe": stack.pipeline,
             "agent_pipe": stack.agent if agent_too else stack.pipeline,
@@ -431,6 +444,7 @@ def build_system(agent_too: bool = True, llm=None) -> dict:
             "embedder": stack.embedder,
             "llm": stack.llm,
             "qlog": stack.query_logger,
+            "max_concurrent_queries": concurrency,
         }
     from .demo import build_demo_stack
 

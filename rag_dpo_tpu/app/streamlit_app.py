@@ -54,11 +54,10 @@ def build_system():
     from rag_dpo_tpu.utils import Alerter, QueryLogger, default_paths
 
     paths = default_paths().ensure()
-    if (paths.index_dir / "manifest.json").exists():
-        from rag_dpo_tpu.bootstrap import build_stack
-        from rag_dpo_tpu.utils.config import load_config
+    from rag_dpo_tpu.bootstrap import try_build_stack
 
-        stack = build_stack(load_config(), paths)
+    stack = try_build_stack(paths)
+    if stack is not None:
         native, agent = stack.pipeline, stack.agent
         index, embedder = stack.index, stack.embedder
         bm25_stats, llm = stack.bm25_stats, stack.llm

@@ -58,6 +58,17 @@ def _load_bm25_stats(index):
     )
 
 
+def try_build_stack(paths: Paths | None = None, llm=None,
+                    config_path=None) -> "Stack | None":
+    """The app surfaces' shared selection rule (CLI, HTTP server,
+    Streamlit): a saved index checkpoint routes to the config-driven
+    production stack; None means 'fall back to the demo stack'."""
+    paths = paths or default_paths()
+    if not (paths.index_dir / "manifest.json").exists():
+        return None
+    return build_stack(load_config(config_path), paths, llm=llm)
+
+
 def build_stack(
     config: FrameworkConfig | None = None,
     paths: Paths | None = None,

@@ -16,6 +16,8 @@ import pathlib
 import re
 from typing import Sequence
 
+import numpy as np
+
 from .chunker import StructuralChunker
 from .parsing import parse_document
 from ..retrieval.bm25 import build_ell_corpus
@@ -106,10 +108,18 @@ class EnterpriseIngestor:
             )
             impacts = impacts_from_tf(tf, dl, self.bm25_stats)
             self.index.recompute_impacts(self.bm25_stats)
-        else:  # legacy stats without df: OOV terms drop, ids stay valid
+        elif self.bm25_stats is not None:
+            # legacy stats without df: OOV terms drop, ids stay valid
             terms, impacts = build_ell_corpus(
                 token_lists, self.bm25_stats, self.index.config.ell_width
             )
+        else:
+            # hybrid retrieval disabled (retrieval.hybrid=false →
+            # bootstrap leaves bm25_stats=None): ingest dense-only —
+            # the sparse arm never runs, so empty term rows are correct
+            n, w = len(chunks), self.index.config.ell_width
+            terms = np.full((n, w), -1, np.int32)
+            impacts = np.zeros((n, w), np.float32)
         metas = []
         for c in chunks:
             m = {

@@ -37,6 +37,8 @@ def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float):
     Nucleus rule: keep the smallest prefix of the (descending) top-k
     whose mass reaches `top_p` — a token stays iff the mass BEFORE it
     is < top_p, so the first token always survives."""
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     kk = min(int(top_k), logits.shape[-1])
     vals, idxs = jax.lax.top_k(logits, kk)          # sorted desc
     safe = jnp.where(temps > 0, temps, 1.0)[:, None]
@@ -44,7 +46,12 @@ def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float):
     if top_p < 1.0:
         probs = jax.nn.softmax(scaled, axis=-1)
         before = jnp.cumsum(probs, axis=-1) - probs
-        scaled = jnp.where(before < top_p, scaled, -jnp.inf)
+        # the first position has before=0 < top_p for any valid top_p,
+        # but keep it structurally anyway (an all(-inf) row would make
+        # categorical silently return index 0 — degenerate greedy)
+        keep = (before < top_p) | \
+            (jnp.arange(kk)[None, :] == 0)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
     choice = jax.random.categorical(rng, scaled, axis=-1)
     drawn = jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
     return jnp.where(temps > 0, drawn,

@@ -58,6 +58,8 @@ class TPULLMProvider(BaseLLMProvider):
         self.tokenizer = tokenizer or HashedTokenizer(
             vocab_size=self.config.vocab_size)
         self.max_new_tokens = max_new_tokens
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         self.top_p = float(top_p)
         self.model_name = model_name
         # per-batch sampling seed: a server-side counter threaded into
@@ -193,7 +195,7 @@ class TPULLMProvider(BaseLLMProvider):
         return cap - max_new, max_new
 
     def warm_decoder(self,
-                     prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
+                     prompt_buckets: tuple[int, ...] | None = None
                      ) -> None:
         """Pre-compile the slot pool's device programs (continuous
         scheduler only — no-op otherwise). Call BEFORE serving traffic:

@@ -97,6 +97,11 @@ def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
 
 _WARM = object()   # ContinuousDriver queue sentinel: run engine.warm
 
+# default warm ladder: shared by engine.warm / driver.warm /
+# TPULLMProvider.warm_decoder; 1024 covers long RAG contexts so the
+# first 4k-char context doesn't pay a first-shape compile
+WARM_BUCKETS = (64, 128, 256, 512, 1024)
+
 
 class ContinuousEngine:
     """Step-level continuous batching over a fixed slot pool.
@@ -408,7 +413,7 @@ class ContinuousEngine:
         return spec_chunk
 
     # ------------------------------------------------------------ public
-    def warm(self, prompt_buckets: tuple[int, ...] = (64, 128, 256, 512),
+    def warm(self, prompt_buckets: tuple[int, ...] | None = None,
              max_new: int = 8) -> None:
         """Pre-compile the engine's device programs so no production
         request pays a first-shape compile mid-flight (through the axon
@@ -418,11 +423,14 @@ class ContinuousEngine:
         bucket, the plain and speculative decode dispatch programs, and
         the insert/release plumbing — by running one real throwaway
         request per bucket with speculation forced on AND off."""
+        prompt_buckets = prompt_buckets or WARM_BUCKETS
         snap = dict(self.stats)
+        pre_entries = set(self._pentries)
         room = self.cfg.max_seq_len - max_new \
             - (self.draft_len if self.speculative else 0) - 1
         spec_states = (True, False) if self.speculative and self.adaptive \
             else (self._spec_mode,)
+        warm_rids = []
         for spec_on in spec_states:
             for j, b in enumerate(prompt_buckets):
                 n = min(int(b), max(room, 1))
@@ -431,16 +439,23 @@ class ContinuousEngine:
                 # full-prefill programs this is trying to compile
                 ids = np.full((n,), 3 + j % 64, np.int32)
                 rid = self.submit(ids, n, max_new)
+                warm_rids.append(rid)
                 if self.speculative and self.adaptive:
                     self._spec_mode = spec_on
                     self._plain_left = 0 if spec_on else 10**9
                 while not self._requests[rid].done and self.busy:
                     self.step()
-        # leave no trace: restore counters, drop warm prefix entries,
-        # restore the adaptive controller's starting posture
+        # leave no trace: restore counters, drop the WARM-added prefix
+        # entries (pre-existing production entries stay hot), remove
+        # the throwaway requests, restore the adaptive posture
         self.stats.update(snap)
-        self._pentries.clear()
-        self._phash.clear()
+        for eid in [e for e in self._pentries if e not in pre_entries]:
+            entry = self._pentries.pop(eid)
+            for k in entry["keys"]:
+                if self._phash.get(k) == eid:
+                    del self._phash[k]
+        for rid in warm_rids:
+            self._requests.pop(rid, None)
         if self.speculative and self.adaptive:
             self._spec_mode = True
             self._spec_seen = 0
@@ -972,7 +987,7 @@ class ContinuousDriver:
 
         return _iter()
 
-    def warm(self, prompt_buckets: tuple[int, ...] = (64, 128, 256, 512)
+    def warm(self, prompt_buckets: tuple[int, ...] | None = None
              ) -> None:
         """Run `engine.warm` ON THE DRIVER THREAD (the engine is
         single-threaded; warming from the caller would race live

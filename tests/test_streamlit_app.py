@@ -407,3 +407,40 @@ def test_build_system_uses_bootstrap_when_index_exists(tmp_path,
     assert isinstance(system["llm"], FakeLLMProvider)
     resp = system["native"].query("délai de notification d'une violation")
     assert resp.answer and resp.sources
+
+
+def test_enterprise_ingest_works_with_hybrid_disabled(tmp_path,
+                                                      monkeypatch):
+    """retrieval.hybrid=false leaves bm25_stats=None in the bootstrap;
+    document upload must ingest dense-only instead of crashing on the
+    sparse-array build (review finding)."""
+    from rag_dpo_tpu.app.streamlit_app import build_system
+    from rag_dpo_tpu.ingest.indexer import CorpusIndexer
+    from rag_dpo_tpu.providers import Embedder
+    from rag_dpo_tpu.utils.paths import default_paths
+
+    from test_retrieval import CORPUS
+
+    monkeypatch.setenv("RAGDPO_TPU_ROOT", str(tmp_path))
+    monkeypatch.setenv("RAGDPO_LLM_MODE", "fake")
+    monkeypatch.setenv("RAGDPO_RETRIEVAL_USE_RERANKER", "false")
+    monkeypatch.setenv("RAGDPO_RETRIEVAL_HYBRID", "false")
+    paths = default_paths(tmp_path).ensure()
+    embedder = Embedder()
+    chunks = []
+    for cid, text, meta in CORPUS:
+        c = dict(meta)
+        c["chunk_id"] = cid
+        c["text"] = text
+        chunks.append(c)
+    index, _, _ = CorpusIndexer(embedder, ell_width=16).build(chunks)
+    index.save(paths.index_dir)
+
+    system = build_system()
+    doc = tmp_path / "up.txt"
+    doc.write_text("Politique interne de conservation des données RH "
+                   "pendant cinq ans.")
+    out = system["ingestor"].ingest(doc, tags=["rh"])
+    assert out["n_chunks"] >= 1
+    resp = system["native"].query("conservation des données RH")
+    assert resp.answer
