@@ -101,15 +101,20 @@ def main():
         r = pipe.query(q)
         return time.time() - t, r
 
-    # warm EVERY question once: each has its own prompt/context length
-    # buckets, and a first-shape Mosaic/XLA compile through the axon
-    # tunnel costs tens of seconds — the measured arms must be about
-    # SERVING, not residual compiles (round-3 run with a 2-question
-    # warm had 4 of 8 'sequential' queries paying compiles)
+    # warm the decode pool through the production API first (prefill/
+    # extend buckets + plain AND spec dispatch programs — a cold
+    # 16-slot spec compile once landed as a 410 s p95)...
+    t0 = time.time()
+    llm.warm_decoder()
+    print(f"warm_decoder (pool programs): {time.time() - t0:.1f}s",
+          flush=True)
+    # ...then one pass over the questions for the retrieval/reranker
+    # shapes and any residual context-length buckets
     t0 = time.time()
     for q in QUESTIONS:
         ask(q)
-    print(f"warm pass (compiles): {time.time() - t0:.1f}s", flush=True)
+    print(f"warm pass (remaining shapes): {time.time() - t0:.1f}s",
+          flush=True)
 
     # --- sequential
     tk0 = eng.stats["tokens"]
