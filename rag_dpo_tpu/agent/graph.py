@@ -144,7 +144,14 @@ class RAGAgentPipeline:
         re-retrieval regenerates (the client discards the draft), then
         one final ("response", RAGResponse) with the post-processed
         answer. The graph runs in a worker thread; deltas cross over a
-        queue so the caller iterates while generation is in flight."""
+        queue so the caller iterates while generation is in flight.
+
+        Closing this generator early does NOT cancel the in-flight
+        graph run (unlike `RAGPipeline.query_stream`, whose LLM stream
+        close cancels the decode request): the worker owns a full
+        `query()` whose retry/validation ladder must not observe a
+        consumer-side abort as a generation failure. The run completes
+        in the background and its slot frees at its natural end."""
         import queue as _queue
         import threading as _threading
 

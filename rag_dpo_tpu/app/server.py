@@ -293,14 +293,22 @@ def make_handler(system: dict):
                                 f"data: {body}\n\n".encode())
                             self.wfile.flush()
 
-                        for ev, val in pipe.query_stream(question,
-                                                         **kwargs):
-                            if ev == "delta":
-                                emit({"delta": val})
-                            elif ev == "reset":
-                                emit({"reset": True})
-                            elif ev == "response":
-                                emit({"response": payload(val)})
+                        # a disconnected client surfaces as a write
+                        # error mid-loop; closing the stream cancels
+                        # the in-flight decode request (its slot frees
+                        # for the next caller) instead of generating
+                        # max_new tokens into a dead socket
+                        stream = pipe.query_stream(question, **kwargs)
+                        try:
+                            for ev, val in stream:
+                                if ev == "delta":
+                                    emit({"delta": val})
+                                elif ev == "reset":
+                                    emit({"reset": True})
+                                elif ev == "response":
+                                    emit({"response": payload(val)})
+                        finally:
+                            stream.close()
                         self.wfile.write(b"data: [DONE]\n\n")
                     return
                 with lock:
@@ -389,12 +397,18 @@ def make_handler(system: dict):
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
-                for delta in llm.generate_stream(prompt,
-                                                 max_tokens=max_new):
-                    payload = json.dumps({"delta": delta},
-                                         ensure_ascii=False)
-                    self.wfile.write(f"data: {payload}\n\n".encode())
-                    self.wfile.flush()
+                # close-on-disconnect cancels the decode request (see
+                # /query stream) — the slot frees at the next step
+                stream = llm.generate_stream(prompt, max_tokens=max_new)
+                try:
+                    for delta in stream:
+                        payload = json.dumps({"delta": delta},
+                                             ensure_ascii=False)
+                        self.wfile.write(
+                            f"data: {payload}\n\n".encode())
+                        self.wfile.flush()
+                finally:
+                    stream.close()
                 self.wfile.write(b"data: [DONE]\n\n")
             elif self.path == "/feedback":
                 qid = data.get("query_id")

@@ -286,16 +286,24 @@ class TPULLMProvider(BaseLLMProvider):
         if self._driver is not None:
             # continuous scheduler: the stream joins the slot pool and
             # yields per decoded token — it never waits on long pool
-            # neighbors (per-request temperature rides the pool too)
-            for t in self._driver.generate_stream(
-                    np.asarray(enc.input_ids[0], np.int32),
-                    int(enc.lengths[0]), max_new,
-                    temperature=temperature):
-                emitted.append(int(t))
-                full = self._decode_text(emitted)
-                delta, prev = full[len(prev):], full
-                if delta:
-                    yield delta
+            # neighbors (per-request temperature rides the pool too).
+            # An abandoned consumer (client disconnect closes THIS
+            # generator) closes the driver stream, which CANCELS the
+            # request and frees its slot — explicit close rather than
+            # refcount GC so the slot frees at the very next step.
+            stream = self._driver.generate_stream(
+                np.asarray(enc.input_ids[0], np.int32),
+                int(enc.lengths[0]), max_new,
+                temperature=temperature)
+            try:
+                for t in stream:
+                    emitted.append(int(t))
+                    full = self._decode_text(emitted)
+                    delta, prev = full[len(prev):], full
+                    if delta:
+                        yield delta
+            finally:
+                stream.close()
             return
         sampling = SamplingConfig(
             top_p=self.top_p,

@@ -272,13 +272,22 @@ class RAGPipeline:
         t0 = time.time()
         pieces: list[str] = []
         err = None
+        # hold the LLM stream so an abandoned consumer (client
+        # disconnect → GeneratorExit lands at our yield) closes it
+        # DETERMINISTICALLY — on the continuous scheduler that cancels
+        # the decode request and frees its slot at the next step,
+        # instead of waiting for refcount GC to do it
+        llm_stream = self.generator.stream(
+            built.system_prompt, built.user_prompt, temperature)
         try:
-            for delta in self.generator.stream(
-                    built.system_prompt, built.user_prompt, temperature):
-                pieces.append(delta)
-                yield ("delta", delta)
-        except Exception as e:  # noqa: BLE001 — degrade in-band
-            err = f"{type(e).__name__}: {e}"
+            try:
+                for delta in llm_stream:
+                    pieces.append(delta)
+                    yield ("delta", delta)
+            except Exception as e:  # noqa: BLE001 — degrade in-band
+                err = f"{type(e).__name__}: {e}"
+        finally:
+            llm_stream.close()
         text = "".join(pieces)
         gen = GeneratedResponse(
             text=text,

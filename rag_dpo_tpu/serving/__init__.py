@@ -3,4 +3,8 @@ from .batcher import (  # noqa: F401
     MicroBatcher,
     batched_dense_search,
 )
-from .continuous import ContinuousEngine  # noqa: F401
+from .continuous import (  # noqa: F401
+    ContinuousDriver,
+    ContinuousEngine,
+    GenerationHandle,
+)

@@ -169,7 +169,7 @@ class ContinuousEngine:
                       "occupancy_sum": 0, "prefix_hits": 0,
                       "prefix_saved_tokens": 0,
                       "spec_dispatches": 0, "plain_dispatches": 0,
-                      "prefill_segments": 0}
+                      "prefill_segments": 0, "cancelled": 0}
         # chunked prefill (vLLM-style, static-shape TPU form): a prompt
         # longer than `prefill_chunk` tokens prefills in bounded
         # segments — one `_extend` dispatch per engine step — while the
@@ -493,6 +493,36 @@ class ContinuousEngine:
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
+
+    def cancel(self, rid: int) -> bool:
+        """Abort a request: queued → never admits, prefilling → its
+        segments stop, active → the slot frees NOW (before the next
+        dispatch) and the next queued request takes it. The request's
+        partial `tokens` remain readable via `result(rid)`. Returns
+        True iff the request was still live. Engine methods are
+        single-threaded — under a ContinuousDriver, route cancels
+        through the driver (it runs them on the decode thread).
+
+        Slot-reuse safety is the admission argument unchanged: a freed
+        slot's stale K/V rows are overwritten by the next occupant's
+        prefill insert, and rows past its write pointer stay causally
+        masked (same scatter-then-attend invariant as EOS release)."""
+        req = self._requests.get(rid)
+        if req is None or req.done:
+            return False
+        req.done = True
+        if req in self._queue:
+            self._queue.remove(req)
+        for slot, st in list(self._prefilling.items()):
+            if st["req"] is req:
+                del self._prefilling[slot]
+        slot = req.slot
+        if slot >= 0 and self._active.get(slot) is req:
+            del self._active[slot]
+            self._carry = self._release_jit(self._carry,
+                                            jnp.int32(slot))
+        self.stats["cancelled"] += 1
+        return True
 
     def _admit(self):
         free = [s for s in range(self.slots)
@@ -895,6 +925,40 @@ class ContinuousEngine:
         return self.stats["occupancy_sum"] / max(self.stats["steps"], 1)
 
 
+class GenerationHandle:
+    """A request submitted through `ContinuousDriver.submit`: `result()`
+    blocks for the final tokens, `cancel()` aborts it (the slot frees at
+    the next step boundary and queued neighbors admit into it), `done()`
+    polls. A cancelled request's `result()` returns the tokens emitted
+    before the abort — serving uses this for client disconnects, where
+    the partial output is exactly what went on the wire."""
+
+    __slots__ = ("_driver", "_evt", "_box", "_ctl")
+
+    def __init__(self, driver, evt, box, ctl):
+        self._driver = driver
+        self._evt = evt
+        self._box = box
+        self._ctl = ctl
+
+    def result(self) -> list[int]:
+        self._evt.wait()
+        return ContinuousDriver._result(self._box)
+
+    def cancel(self) -> bool:
+        """Request the abort; returns False if already finished or
+        already cancelled. The abort itself lands on the decode thread
+        (the engine is single-threaded) — `result()` unblocks once the
+        slot is actually released."""
+        return self._driver._cancel(self._ctl, self._evt)
+
+    def done(self) -> bool:
+        return self._evt.is_set()
+
+    def cancelled(self) -> bool:
+        return self._box.get("cancelled", False)
+
+
 class ContinuousDriver:
     """Thread-safe front of a ContinuousEngine: concurrent callers
     submit and block (or stream via `on_delta`); ONE driver thread steps
@@ -917,8 +981,9 @@ class ContinuousDriver:
         import threading
 
         self.engine = engine
-        self._sub_lock = threading.Lock()   # guards _pending + _closed
+        self._sub_lock = threading.Lock()   # guards _pending/_cancels/_closed
         self._pending: list[tuple] = []
+        self._cancels: list[dict] = []       # ctl dicts awaiting abort
         self._events: dict[int, tuple] = {}  # rid → (evt, box); driver-owned
         self._work = threading.Event()
         self._closed = False
@@ -932,13 +997,38 @@ class ContinuousDriver:
 
         evt = threading.Event()
         box: dict = {}
+        ctl: dict = {"rid": None, "cancelled": False}
         with self._sub_lock:
             if self._closed:
                 raise RuntimeError("driver is closed")
             self._pending.append((prompt_ids, length, max_new,
-                                  on_token, temperature, evt, box))
+                                  on_token, temperature, evt, box, ctl))
         self._work.set()
-        return evt, box
+        return evt, box, ctl
+
+    def _cancel(self, ctl: dict, evt) -> bool:
+        """Queue an abort for the decode thread. A submission and its
+        cancel are appended under the same lock, so the loop's atomic
+        snapshot can never see the cancel before the submission — rids
+        are always assigned by the time a cancel is processed."""
+        if evt.is_set():
+            return False
+        with self._sub_lock:
+            if ctl["cancelled"]:
+                return False
+            ctl["cancelled"] = True
+            self._cancels.append(ctl)
+        self._work.set()
+        return True
+
+    def submit(self, prompt_ids, length: int, max_new: int,
+               on_token=None, temperature: float | None = None
+               ) -> GenerationHandle:
+        """Non-blocking submit; the returned handle can wait for or
+        cancel the request (`generate()` is `submit().result()`)."""
+        evt, box, ctl = self._submit(prompt_ids, length, max_new,
+                                     on_token, temperature)
+        return GenerationHandle(self, evt, box, ctl)
 
     @staticmethod
     def _result(box: dict) -> list[int]:
@@ -950,8 +1040,8 @@ class ContinuousDriver:
                  on_token=None, temperature: float | None = None
                  ) -> list[int]:
         """Block until this request completes; returns its tokens."""
-        evt, box = self._submit(prompt_ids, length, max_new,
-                                on_token, temperature)
+        evt, box, _ = self._submit(prompt_ids, length, max_new,
+                                   on_token, temperature)
         evt.wait()
         return self._result(box)
 
@@ -965,25 +1055,37 @@ class ContinuousDriver:
         and marks it done inside the same `step()`), so drain-then-stop
         is race-free. The stream joins mid-flight decoding exactly like
         the blocking path — short streams finish without waiting on
-        long pool neighbors."""
+        long pool neighbors.
+
+        Closing the generator before exhaustion (a disconnected SSE
+        client, `break` + GC) CANCELS the request: its slot frees at
+        the next step boundary instead of decoding to max_new into
+        nowhere."""
         import queue as _queue
 
         q: _queue.Queue = _queue.Queue()
-        evt, box = self._submit(prompt_ids, length, max_new,
-                                lambda _rid, t: q.put(t), temperature)
+        evt, box, ctl = self._submit(prompt_ids, length, max_new,
+                                     lambda _rid, t: q.put(t),
+                                     temperature)
 
         def _iter():
-            while not evt.is_set():
-                try:
-                    yield q.get(timeout=0.05)
-                except _queue.Empty:
-                    continue
-            while True:
-                try:
-                    yield q.get_nowait()
-                except _queue.Empty:
-                    break
-            self._result(box)       # surface engine errors to consumers
+            try:
+                while not evt.is_set():
+                    try:
+                        yield q.get(timeout=0.05)
+                    except _queue.Empty:
+                        continue
+                while True:
+                    try:
+                        yield q.get_nowait()
+                    except _queue.Empty:
+                        break
+                self._result(box)   # surface engine errors to consumers
+            finally:
+                # abandoned mid-stream (GeneratorExit lands here) —
+                # stop paying decode steps for a gone consumer
+                if not evt.is_set():
+                    self._cancel(ctl, evt)
 
         return _iter()
 
@@ -1003,7 +1105,7 @@ class ContinuousDriver:
             if self._closed:
                 raise RuntimeError("driver is closed")
             self._pending.append((_WARM, prompt_buckets, None, None,
-                                  None, evt, box))
+                                  None, evt, box, None))
         self._work.set()
         evt.wait()
         if "error" in box:
@@ -1033,8 +1135,9 @@ class ContinuousDriver:
                     self._events.clear()
                     return
                 pending, self._pending = self._pending, []
+                cancels, self._cancels = self._cancels, []
             for (ids, length, max_new, on_token, temp,
-                 evt, box) in pending:
+                 evt, box, ctl) in pending:
                 if ids is _WARM:
                     try:
                         self.engine.warm(length)   # length = buckets
@@ -1046,15 +1149,27 @@ class ContinuousDriver:
                     rid = self.engine.submit(ids, length, max_new,
                                              on_token=on_token,
                                              temperature=temp)
+                    ctl["rid"] = rid
                     self._events[rid] = (evt, box)
                 except Exception as e:           # bad request: fail caller
                     box["error"] = e
                     evt.set()
+            for ctl in cancels:
+                rid = ctl.get("rid")
+                if rid is None or rid not in self._events:
+                    continue    # failed submit, or finished first
+                self.engine.cancel(rid)
+                evt, box = self._events.pop(rid)
+                box["cancelled"] = True
+                box["tokens"] = self.engine._requests[rid].tokens
+                evt.set()
             if not self.engine.busy:
-                # re-check under the lock so a submit racing this
-                # branch can't have its work-flag clear swallowed
+                # re-check under the lock so a submit (or cancel)
+                # racing this branch can't have its work-flag clear
+                # swallowed
                 with self._sub_lock:
-                    if not self._pending and not self.engine.busy:
+                    if (not self._pending and not self._cancels
+                            and not self.engine.busy):
                         self._work.clear()
                 continue
             try:
@@ -1072,7 +1187,7 @@ class ContinuousDriver:
                     # flag — leave it set so the next iteration drains
                     # them (a still-failing engine then fails THEIR
                     # events the same way)
-                    if not self._pending:
+                    if not self._pending and not self._cancels:
                         self._work.clear()
                 continue
             for rid, (evt, box) in list(self._events.items()):

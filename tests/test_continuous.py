@@ -766,3 +766,182 @@ def test_driver_warm_runs_on_driver_thread_and_pool_still_serves(gen):
     ids = _prompt(rng, 9)
     assert driver.generate(ids, 9, 5) == _solo(fresh, ids, 5)
     driver.close()
+
+
+# ------------------------------------------------------- cancellation
+def test_cancel_active_frees_slot_and_neighbor_unaffected(gen):
+    """Cancelling a mid-decode request frees its slot immediately (a
+    queued request admits into it) and its pool neighbor's output is
+    bit-identical to solo."""
+    rng = np.random.default_rng(20)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2)
+    a = _prompt(rng, 6)     # the victim: long budget
+    b = _prompt(rng, 9)     # the neighbor
+    c = _prompt(rng, 5)     # queued behind the full pool
+    ra = eng.submit(a, len(a), 40)
+    rb = eng.submit(b, len(b), 6)
+    rc = eng.submit(c, len(c), 4)
+    eng.step()
+    eng.step()
+    partial = list(eng.result(ra).tokens)
+    assert eng.cancel(ra) is True
+    assert eng.result(ra).done
+    assert eng.result(ra).tokens == partial      # nothing emitted after
+    assert ra not in {r.rid for r in eng._active.values()}
+    results = eng.run()
+    assert results[rb] == _solo(gen, b, 6)
+    assert results[rc] == _solo(gen, c, 4)       # admitted into a's slot
+    assert eng.stats["cancelled"] == 1
+    assert eng.cancel(ra) is False               # already done → no-op
+
+
+def test_cancel_queued_request_never_admits(gen):
+    rng = np.random.default_rng(21)
+    eng = ContinuousEngine(gen, slots=1, sampling=SAMPLING, chunk=2)
+    a = _prompt(rng, 6)
+    b = _prompt(rng, 7)
+    ra = eng.submit(a, len(a), 5)
+    rb = eng.submit(b, len(b), 5)
+    eng.step()                                   # a active, b queued
+    assert eng.cancel(rb) is True
+    results = eng.run()
+    assert results[ra] == _solo(gen, a, 5)
+    assert results[rb] == []
+    assert eng.stats["admitted"] == 1            # b never took a slot
+
+
+def test_cancel_during_chunked_prefill(gen):
+    """A request cancelled while its prompt is still prefilling in
+    segments stops cleanly; the slot serves the next request."""
+    rng = np.random.default_rng(22)
+    eng = ContinuousEngine(gen, slots=1, sampling=SAMPLING, chunk=2,
+                           prefill_chunk=4)
+    a = _prompt(rng, 14)                         # 4 segments
+    b = _prompt(rng, 6)
+    ra = eng.submit(a, len(a), 5)
+    eng.step()                                   # first segment only
+    assert eng._prefilling
+    assert eng.cancel(ra) is True
+    assert not eng._prefilling
+    rb = eng.submit(b, len(b), 4)
+    results = eng.run()
+    assert results[ra] == []
+    assert results[rb] == _solo(gen, b, 4)
+
+
+def test_cancel_under_speculation_slot_reuse_clean(gen):
+    """Cancel an active slot in speculative mode: the stale _limits /
+    ids_buf rows must not leak into the slot's next occupant."""
+    rng = np.random.default_rng(23)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING, chunk=2,
+                           speculative=True, draft_len=3, ngram=2)
+    a = _prompt(rng, 8)
+    b = _prompt(rng, 10)
+    c = _prompt(rng, 7)
+    ra = eng.submit(a, len(a), 30)
+    rb = eng.submit(b, len(b), 8)
+    eng.step()
+    assert eng.cancel(ra) is True
+    rc = eng.submit(c, len(c), 6)                # reuses a's slot
+    results = eng.run()
+    assert results[rb] == _solo(gen, b, 8)
+    assert results[rc] == _solo(gen, c, 6)
+    assert results[ra] == eng.result(ra).tokens
+
+
+def test_driver_handle_cancel_returns_partial():
+    """driver.submit() → handle.cancel(): the caller unblocks with the
+    tokens emitted so far, the pool keeps serving others."""
+    import threading
+
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    import time as _time
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+    # throttle so the victim is still decoding when the cancel lands
+    orig_step = eng.step
+    eng.step = lambda: (_time.sleep(0.05), orig_step())[1]
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(24)
+    long_ids = _prompt(rng, 8)
+    other = _prompt(rng, 6)
+
+    started = threading.Event()
+    h = driver.submit(long_ids, len(long_ids), 60,
+                      on_token=lambda r, t: started.set())
+    assert started.wait(timeout=30), "no token within 30s"
+    assert h.cancel() is True
+    partial = h.result()
+    assert h.cancelled() and h.done()
+    solo = _solo(fresh, long_ids, 60)
+    assert 0 < len(partial) < len(solo)
+    assert partial == solo[:len(partial)]        # prefix of the greedy run
+    assert h.cancel() is False                   # idempotent after done
+    # pool unaffected
+    assert driver.generate(other, len(other), 5) == _solo(fresh, other, 5)
+    assert eng.stats["cancelled"] == 1
+    driver.close()
+
+
+def test_stream_close_cancels_request():
+    """Abandoning generate_stream (the SSE client-disconnect path)
+    cancels the request instead of decoding to max_new into nowhere."""
+    import time as _time
+
+    from rag_dpo_tpu.serving.continuous import ContinuousDriver
+
+    fresh = TextGenerator(CFG)
+    eng = ContinuousEngine(fresh, slots=2, sampling=SAMPLING, chunk=2)
+    # throttle decoding so the request is still in flight at close()
+    # (the tiny CPU model would otherwise finish all 60 tokens first)
+    orig_step = eng.step
+    eng.step = lambda: (_time.sleep(0.05), orig_step())[1]
+    driver = ContinuousDriver(eng)
+    rng = np.random.default_rng(25)
+    ids = _prompt(rng, 7)
+    solo = _solo(fresh, ids, 60)   # compile solo program BEFORE the
+    # stream starts — its multi-second jit between next() and close()
+    # would let the throttled request finish first
+    stream = driver.generate_stream(ids, len(ids), 60)
+    got = [next(stream) for _ in range(2)]
+    assert got == solo[:2]
+    stream.close()                               # client went away
+    deadline = _time.time() + 30
+    while eng.stats["cancelled"] == 0 and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert eng.stats["cancelled"] == 1
+    # exhausted/completed streams must NOT cancel on close
+    full = list(driver.generate_stream(ids, len(ids), 4))
+    assert full == _solo(fresh, ids, 4)
+    assert eng.stats["cancelled"] == 1
+    driver.close()
+
+
+def test_provider_stream_close_cancels_continuous_request():
+    """Closing TPULLMProvider.generate_stream mid-flight propagates the
+    cancel down to the slot pool."""
+    import time as _time
+
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cont = TPULLMProvider(CFG, max_new_tokens=64, continuous=True,
+                          max_batch=2)
+    eng0 = cont._driver.engine
+    orig_step = eng0.step
+    eng0.step = lambda: (_time.sleep(0.05), orig_step())[1]
+    stream = cont.generate_stream("durée de conservation des données",
+                                  temperature=0.0)
+    first = next(stream)
+    assert isinstance(first, str) and first
+    stream.close()
+    eng = cont._driver.engine
+    deadline = _time.time() + 30
+    while eng.stats["cancelled"] == 0 and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert eng.stats["cancelled"] == 1
+    # provider still serves after the abort
+    resp = cont.generate("base légale du traitement", temperature=0.0)
+    assert resp.error is None and resp.text
+    cont._driver.close()
