@@ -110,6 +110,7 @@ def make_handler(system: dict):
                         speculative=eng.speculative,
                         prefill_chunk=eng.prefill_chunk,
                         prefix_cache=eng.prefix_cache,
+                        timeouts=driver.timeouts,
                     )
                 self._send(200, stats)
             else:
@@ -385,8 +386,24 @@ def make_handler(system: dict):
                     return
                 max_new = max(1, min(int(data.get("max_tokens", 128)),
                                      2048))
+                # per-request wall budget (continuous scheduler):
+                # expiry cancels the decode and returns/streams the
+                # partial answer with the deadline error in-band
+                gen_kwargs: dict = {"max_tokens": max_new}
+                timeout_s = data.get("timeout_s")
+                if timeout_s is not None:
+                    try:
+                        timeout_s = float(timeout_s)
+                    except (TypeError, ValueError):
+                        timeout_s = 0.0
+                    if not timeout_s > 0:       # rejects 0, <0 AND nan
+                        self._send(400, {"error":
+                                         "timeout_s must be > 0"})
+                        return
+                    if hasattr(llm, "request_timeout_s"):
+                        gen_kwargs["timeout_s"] = timeout_s
                 if not data.get("stream"):
-                    resp = llm.generate(prompt, max_tokens=max_new)
+                    resp = llm.generate(prompt, **gen_kwargs)
                     self._send(200, {"text": resp.text,
                                      "model": resp.model,
                                      "error": resp.error})
@@ -399,7 +416,7 @@ def make_handler(system: dict):
                 self.end_headers()
                 # close-on-disconnect cancels the decode request (see
                 # /query stream) — the slot frees at the next step
-                stream = llm.generate_stream(prompt, max_tokens=max_new)
+                stream = llm.generate_stream(prompt, **gen_kwargs)
                 try:
                     for delta in stream:
                         payload = json.dumps({"delta": delta},

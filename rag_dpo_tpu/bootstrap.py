@@ -107,6 +107,8 @@ def build_stack(
                 prefill_chunk=config.llm.prefill_chunk,
                 decode_chunk=config.llm.decode_chunk,
                 top_p=config.llm.top_p,
+                request_timeout_s=(config.llm.request_timeout_s
+                                   or None),
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

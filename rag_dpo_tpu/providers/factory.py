@@ -81,6 +81,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    prefill_chunk: int = 0,
                    decode_chunk: int = 4,
                    top_p: float = 1.0,
+                   request_timeout_s: float | None = None,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -136,6 +137,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         prefill_chunk=prefill_chunk,
         decode_chunk=decode_chunk,
         top_p=top_p,
+        request_timeout_s=request_timeout_s,
     )
 
 

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..models.decoder import DecoderConfig
 from ..models.generate import SamplingConfig, TextGenerator
+from ..serving.continuous import DeadlineExceeded
 from ..tokenize import HashedTokenizer, Tokenizer
 from ..tokenize.base import bucket_length
 from .base import BaseLLMProvider, LLMResponse
@@ -52,6 +53,7 @@ class TPULLMProvider(BaseLLMProvider):
         prefill_chunk: int = 0,
         decode_chunk: int = 4,
         top_p: float = 1.0,
+        request_timeout_s: float | None = None,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -61,6 +63,14 @@ class TPULLMProvider(BaseLLMProvider):
         if not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         self.top_p = float(top_p)
+        # default wall-clock budget (queue wait + decode) per request on
+        # the continuous scheduler; None = unbounded. Per-call
+        # `timeout_s` overrides. Expiry cancels the decode request
+        # (slot frees for the next caller) and degrades in-band.
+        if request_timeout_s is not None and not request_timeout_s > 0:
+            raise ValueError("request_timeout_s must be positive, "
+                             f"got {request_timeout_s}")
+        self.request_timeout_s = request_timeout_s
         self.model_name = model_name
         # per-batch sampling seed: a server-side counter threaded into
         # each batched decode so identical prompts sampled at
@@ -208,7 +218,14 @@ class TPULLMProvider(BaseLLMProvider):
             self._driver.warm(prompt_buckets)
 
     def generate(self, prompt, system=None, temperature=0.0,
-                 json_mode=False, max_tokens=None) -> LLMResponse:
+                 json_mode=False, max_tokens=None,
+                 timeout_s: float | None = None) -> LLMResponse:
+        """`timeout_s` (or the provider-wide `request_timeout_s`
+        default) bounds queue wait + decode on the continuous
+        scheduler; expiry cancels the request and returns the partial
+        text with `error` set — in-band, like every other provider
+        failure. Ignored on the direct/batch schedulers (their decode
+        time is already bounded by max_tokens; there is no queue)."""
         t0 = time.time()
         try:
             text = f"{system}\n\n{prompt}" if system else prompt
@@ -223,9 +240,19 @@ class TPULLMProvider(BaseLLMProvider):
                 # the slot pool carries sampled requests too (per-row
                 # temperature in the decode/verify programs)
                 row = np.asarray(enc.input_ids[0], np.int32)
-                toks = self._driver.generate(
-                    row, int(enc.lengths[0]), max_new,
-                    temperature=temperature)
+                deadline = (timeout_s if timeout_s is not None
+                            else self.request_timeout_s)
+                try:
+                    toks = self._driver.generate(
+                        row, int(enc.lengths[0]), max_new,
+                        temperature=temperature, deadline_s=deadline)
+                except DeadlineExceeded as e:
+                    # partial answer + in-band error: callers that can
+                    # use a truncated generation get it, the rest see
+                    # a failed response like any provider outage
+                    return LLMResponse(self._decode_text(e.tokens),
+                                       self.model_name,
+                                       time.time() - t0, error=str(e))
                 return LLMResponse(self._decode_text(toks),
                                    self.model_name, time.time() - t0)
             if self._spec is not None and temperature <= 0:
@@ -268,12 +295,20 @@ class TPULLMProvider(BaseLLMProvider):
                                error=str(e))
 
     def generate_stream(self, prompt, system=None, temperature=0.0,
-                        max_tokens=None, chunk: int = 8):
+                        max_tokens=None, chunk: int = 8,
+                        timeout_s: float | None = None):
         """Yield text deltas as the decoder produces them. Incremental
         detokenization re-decodes the full emitted prefix each block and
         yields the string delta, so subword/multibyte joins across block
         boundaries come out right. Greedy streams concatenate to exactly
-        the non-streaming output."""
+        the non-streaming output.
+
+        On the continuous scheduler `timeout_s` (default: the
+        provider's `request_timeout_s`) deadlines the request; expiry
+        raises `DeadlineExceeded` from the stream AFTER the partial
+        deltas were yielded — consumers that collected them have
+        exactly the truncated answer (the RAG stream path records the
+        error in-band and keeps the pieces)."""
         text = f"{system}\n\n{prompt}" if system else prompt
         # the continuous driver carries the speculation (if any), so a
         # stream routed there reserves the verify window too
@@ -294,7 +329,9 @@ class TPULLMProvider(BaseLLMProvider):
             stream = self._driver.generate_stream(
                 np.asarray(enc.input_ids[0], np.int32),
                 int(enc.lengths[0]), max_new,
-                temperature=temperature)
+                temperature=temperature,
+                deadline_s=(timeout_s if timeout_s is not None
+                            else self.request_timeout_s))
             try:
                 for t in stream:
                     emitted.append(int(t))

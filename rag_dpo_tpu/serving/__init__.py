@@ -6,5 +6,6 @@ from .batcher import (  # noqa: F401
 from .continuous import (  # noqa: F401
     ContinuousDriver,
     ContinuousEngine,
+    DeadlineExceeded,
     GenerationHandle,
 )

@@ -50,6 +50,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import time as _time
 from typing import Any, Callable
 
 import jax
@@ -925,6 +926,19 @@ class ContinuousEngine:
         return self.stats["occupancy_sum"] / max(self.stats["steps"], 1)
 
 
+class DeadlineExceeded(TimeoutError):
+    """A deadline'd request ran out of wall-clock budget (queue wait +
+    decode combined) and was cancelled. `.tokens` holds the partial
+    decode — exactly the tokens that streamed before the abort — so
+    callers can degrade to a truncated answer instead of nothing."""
+
+    def __init__(self, tokens: list[int], deadline_s: float):
+        super().__init__(
+            f"decode deadline exceeded ({deadline_s:.3g}s)")
+        self.tokens = tokens
+        self.deadline_s = deadline_s
+
+
 class GenerationHandle:
     """A request submitted through `ContinuousDriver.submit`: `result()`
     blocks for the final tokens, `cancel()` aborts it (the slot frees at
@@ -958,6 +972,9 @@ class GenerationHandle:
     def cancelled(self) -> bool:
         return self._box.get("cancelled", False)
 
+    def timed_out(self) -> bool:
+        return self._box.get("timed_out", False)
+
 
 class ContinuousDriver:
     """Thread-safe front of a ContinuousEngine: concurrent callers
@@ -985,6 +1002,8 @@ class ContinuousDriver:
         self._pending: list[tuple] = []
         self._cancels: list[dict] = []       # ctl dicts awaiting abort
         self._events: dict[int, tuple] = {}  # rid → (evt, box); driver-owned
+        self._watch: list[dict] = []         # deadline'd ctls; driver-owned
+        self.timeouts = 0                    # deadline aborts (driver-owned)
         self._work = threading.Event()
         self._closed = False
         self._thread = threading.Thread(target=self._loop,
@@ -992,12 +1011,21 @@ class ContinuousDriver:
                                         daemon=True)
         self._thread.start()
 
-    def _submit(self, prompt_ids, length, max_new, on_token, temperature):
+    def _submit(self, prompt_ids, length, max_new, on_token, temperature,
+                deadline_s=None):
         import threading
 
         evt = threading.Event()
         box: dict = {}
         ctl: dict = {"rid": None, "cancelled": False}
+        if deadline_s is not None:
+            if not deadline_s > 0:          # rejects 0, <0 AND nan
+                raise ValueError(
+                    f"deadline_s must be positive, got {deadline_s}")
+            # absolute, from SUBMIT time: the budget covers queue wait
+            # AND decode, which is the promise a serving deadline makes
+            ctl["deadline"] = _time.monotonic() + deadline_s
+            ctl["deadline_s"] = float(deadline_s)
         with self._sub_lock:
             if self._closed:
                 raise RuntimeError("driver is closed")
@@ -1022,12 +1050,15 @@ class ContinuousDriver:
         return True
 
     def submit(self, prompt_ids, length: int, max_new: int,
-               on_token=None, temperature: float | None = None
-               ) -> GenerationHandle:
+               on_token=None, temperature: float | None = None,
+               deadline_s: float | None = None) -> GenerationHandle:
         """Non-blocking submit; the returned handle can wait for or
-        cancel the request (`generate()` is `submit().result()`)."""
+        cancel the request (`generate()` is `submit().result()`).
+        `deadline_s` bounds queue wait + decode together: an expired
+        request is cancelled on the decode thread and its `result()`
+        raises `DeadlineExceeded` carrying the partial tokens."""
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
-                                     on_token, temperature)
+                                     on_token, temperature, deadline_s)
         return GenerationHandle(self, evt, box, ctl)
 
     @staticmethod
@@ -1037,16 +1068,19 @@ class ContinuousDriver:
         return box["tokens"]
 
     def generate(self, prompt_ids, length: int, max_new: int,
-                 on_token=None, temperature: float | None = None
-                 ) -> list[int]:
-        """Block until this request completes; returns its tokens."""
+                 on_token=None, temperature: float | None = None,
+                 deadline_s: float | None = None) -> list[int]:
+        """Block until this request completes; returns its tokens.
+        With `deadline_s`, raises `DeadlineExceeded` (partial tokens on
+        the exception) if the budget expires first."""
         evt, box, _ = self._submit(prompt_ids, length, max_new,
-                                   on_token, temperature)
+                                   on_token, temperature, deadline_s)
         evt.wait()
         return self._result(box)
 
     def generate_stream(self, prompt_ids, length: int, max_new: int,
-                        temperature: float | None = None):
+                        temperature: float | None = None,
+                        deadline_s: float | None = None):
         """Yield this request's token ids as the pool decodes them.
 
         The engine's `on_token` fires on the driver thread; a queue
@@ -1066,7 +1100,7 @@ class ContinuousDriver:
         q: _queue.Queue = _queue.Queue()
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
                                      lambda _rid, t: q.put(t),
-                                     temperature)
+                                     temperature, deadline_s)
 
         def _iter():
             try:
@@ -1151,6 +1185,8 @@ class ContinuousDriver:
                                              temperature=temp)
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)
+                    if "deadline" in ctl:
+                        self._watch.append(ctl)
                 except Exception as e:           # bad request: fail caller
                     box["error"] = e
                     evt.set()
@@ -1163,6 +1199,29 @@ class ContinuousDriver:
                 box["cancelled"] = True
                 box["tokens"] = self.engine._requests[rid].tokens
                 evt.set()
+            if self._watch:
+                # deadline sweep: while any deadline'd request is live
+                # the engine is busy, so the loop passes here at least
+                # once per step (~one decode step of expiry latency)
+                now = _time.monotonic()
+                alive = []
+                for ctl in self._watch:
+                    rid = ctl.get("rid")
+                    if rid not in self._events:
+                        continue        # finished, cancelled, or failed
+                    if now < ctl["deadline"]:
+                        alive.append(ctl)
+                        continue
+                    self.engine.cancel(rid)
+                    evt, box = self._events.pop(rid)
+                    toks = self.engine._requests[rid].tokens
+                    box["timed_out"] = True
+                    box["tokens"] = toks
+                    box["error"] = DeadlineExceeded(toks,
+                                                    ctl["deadline_s"])
+                    self.timeouts += 1
+                    evt.set()
+                self._watch = alive
             if not self.engine.busy:
                 # re-check under the lock so a submit (or cancel)
                 # racing this branch can't have its work-flag clear

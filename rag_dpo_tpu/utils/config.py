@@ -74,6 +74,9 @@ class LLMSection:
     prefill_chunk: int = 0             # chunked prefill segment (0 = whole)
     decode_chunk: int = 4              # decode tokens per device dispatch
     top_p: float = 1.0                 # nucleus cutoff (sampled calls)
+    request_timeout_s: float = 0.0     # per-request wall budget on the
+                                       # continuous scheduler (queue +
+                                       # decode); 0 = unbounded
 
 
 @dataclasses.dataclass
