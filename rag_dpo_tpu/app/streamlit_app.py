@@ -251,7 +251,10 @@ def render_dashboard(st, system):
                if eng.prefix_cache else "")
             + (f" · spéculation : {eng.stats['spec_dispatches']} spec / "
                f"{eng.stats['plain_dispatches']} plain"
-               if eng.speculative else ""))
+               if eng.speculative else "")
+            + (f" · {eng.stats['cancelled']} annulées"
+               f" ({driver.timeouts} délais expirés)"
+               if eng.stats.get("cancelled") else ""))
     st.caption("devices : " + ", ".join(str(d) for d in devices))
     return stats
 
