@@ -111,6 +111,8 @@ def make_handler(system: dict):
                         prefill_chunk=eng.prefill_chunk,
                         prefix_cache=eng.prefix_cache,
                         timeouts=driver.timeouts,
+                        preemption=eng.preemption,
+                        age_steps=eng.age_steps,
                     )
                 self._send(200, stats)
             else:
@@ -402,6 +404,18 @@ def make_handler(system: dict):
                         return
                     if hasattr(llm, "request_timeout_s"):
                         gen_kwargs["timeout_s"] = timeout_s
+                # scheduling class on the continuous scheduler (lower
+                # admits first; default = the provider's own class)
+                prio = data.get("priority")
+                if prio is not None:
+                    try:
+                        prio = int(prio)
+                    except (TypeError, ValueError):
+                        self._send(400, {"error":
+                                         "priority must be an int"})
+                        return
+                    if hasattr(llm, "priority"):
+                        gen_kwargs["priority"] = prio
                 if not data.get("stream"):
                     resp = llm.generate(prompt, **gen_kwargs)
                     self._send(200, {"text": resp.text,

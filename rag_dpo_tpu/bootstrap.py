@@ -109,6 +109,8 @@ def build_stack(
                 top_p=config.llm.top_p,
                 request_timeout_s=(config.llm.request_timeout_s
                                    or None),
+                age_steps=config.llm.age_steps,
+                preemption=config.llm.preemption,
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

@@ -82,6 +82,8 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    decode_chunk: int = 4,
                    top_p: float = 1.0,
                    request_timeout_s: float | None = None,
+                   age_steps: int = 0,
+                   preemption: bool = False,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -138,6 +140,8 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         decode_chunk=decode_chunk,
         top_p=top_p,
         request_timeout_s=request_timeout_s,
+        age_steps=age_steps,
+        preemption=preemption,
     )
 
 

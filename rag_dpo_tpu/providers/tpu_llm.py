@@ -54,6 +54,9 @@ class TPULLMProvider(BaseLLMProvider):
         decode_chunk: int = 4,
         top_p: float = 1.0,
         request_timeout_s: float | None = None,
+        priority: int = 0,
+        age_steps: int = 0,
+        preemption: bool = False,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -71,6 +74,13 @@ class TPULLMProvider(BaseLLMProvider):
             raise ValueError("request_timeout_s must be positive, "
                              f"got {request_timeout_s}")
         self.request_timeout_s = request_timeout_s
+        # default scheduling class for this provider's requests on the
+        # continuous scheduler (lower admits first); per-call
+        # `priority` overrides. A background-work provider (tagging,
+        # summaries, eval) constructed with priority=1 yields pool
+        # slots to interactive traffic — with `age_steps` on the
+        # engine bounding how long it can be deferred.
+        self.priority = int(priority)
         self.model_name = model_name
         # per-batch sampling seed: a server-side counter threaded into
         # each batched decode so identical prompts sampled at
@@ -117,7 +127,8 @@ class TPULLMProvider(BaseLLMProvider):
                 prefix_cache=prefix_cache, prefix_block=prefix_block,
                 prefix_cache_host=prefix_cache_host,
                 adaptive=spec_adaptive, spec_breakeven=spec_breakeven,
-                prefill_chunk=prefill_chunk)
+                prefill_chunk=prefill_chunk,
+                age_steps=age_steps, preemption=preemption)
             self._driver = ContinuousDriver(engine)
         # speculative decoding (models/speculative.py): prompt-lookup
         # drafts verified in one cached forward — lossless under greedy,
@@ -219,7 +230,8 @@ class TPULLMProvider(BaseLLMProvider):
 
     def generate(self, prompt, system=None, temperature=0.0,
                  json_mode=False, max_tokens=None,
-                 timeout_s: float | None = None) -> LLMResponse:
+                 timeout_s: float | None = None,
+                 priority: int | None = None) -> LLMResponse:
         """`timeout_s` (or the provider-wide `request_timeout_s`
         default) bounds queue wait + decode on the continuous
         scheduler; expiry cancels the request and returns the partial
@@ -245,7 +257,9 @@ class TPULLMProvider(BaseLLMProvider):
                 try:
                     toks = self._driver.generate(
                         row, int(enc.lengths[0]), max_new,
-                        temperature=temperature, deadline_s=deadline)
+                        temperature=temperature, deadline_s=deadline,
+                        priority=(self.priority if priority is None
+                                  else int(priority)))
                 except DeadlineExceeded as e:
                     # partial answer + in-band error: callers that can
                     # use a truncated generation get it, the rest see
@@ -296,7 +310,8 @@ class TPULLMProvider(BaseLLMProvider):
 
     def generate_stream(self, prompt, system=None, temperature=0.0,
                         max_tokens=None, chunk: int = 8,
-                        timeout_s: float | None = None):
+                        timeout_s: float | None = None,
+                        priority: int | None = None):
         """Yield text deltas as the decoder produces them. Incremental
         detokenization re-decodes the full emitted prefix each block and
         yields the string delta, so subword/multibyte joins across block
@@ -331,7 +346,9 @@ class TPULLMProvider(BaseLLMProvider):
                 int(enc.lengths[0]), max_new,
                 temperature=temperature,
                 deadline_s=(timeout_s if timeout_s is not None
-                            else self.request_timeout_s))
+                            else self.request_timeout_s),
+                priority=(self.priority if priority is None
+                          else int(priority)))
             try:
                 for t in stream:
                     emitted.append(int(t))
@@ -359,7 +376,8 @@ class TPULLMProvider(BaseLLMProvider):
             if delta:
                 yield delta
 
-    def chat_stream(self, messages, temperature=0.0, max_tokens=None):
+    def chat_stream(self, messages, temperature=0.0, max_tokens=None,
+                    priority: int | None = None):
         """Native token-streamed chat: flatten messages the same way the
         base `chat()` does, then ride the decoder's chunked stream."""
         system, parts = None, []
@@ -370,7 +388,7 @@ class TPULLMProvider(BaseLLMProvider):
                 parts.append(f"{m['role']}: {m['content']}")
         yield from self.generate_stream(
             "\n\n".join(parts), system=system, temperature=temperature,
-            max_tokens=max_tokens)
+            max_tokens=max_tokens, priority=priority)
 
     def is_available(self) -> bool:
         return True

@@ -74,6 +74,12 @@ class _Request:
     done: bool = False
     on_token: Callable | None = None
     error: Exception | None = None   # per-request failure (bad callback)
+    priority: int = 0        # lower admits first (0 = interactive)
+    submit_step: int = 0     # engine step count at submit (aging clock)
+    preempt_count: int = 0   # recompute-preemptions suffered so far
+    consumed: int = 0        # leading tokens already baked into `ids`
+    #                          by a preemption resume (ids holds
+    #                          prompt + tokens[:consumed])
 
 
 def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
@@ -142,7 +148,9 @@ class ContinuousEngine:
                  prefix_cache_host: bool = False,
                  adaptive: bool = True, spec_breakeven: float = 1.7,
                  spec_hold: int = 16, spec_probe: int = 2,
-                 spec_hold_max: int = 256, prefill_chunk: int = 0):
+                 spec_hold_max: int = 256, prefill_chunk: int = 0,
+                 age_steps: int = 0, preemption: bool = False,
+                 max_preempt: int = 2):
         self.gen = generator
         self.cfg = generator.config
         self.slots = int(slots)
@@ -170,7 +178,23 @@ class ContinuousEngine:
                       "occupancy_sum": 0, "prefix_hits": 0,
                       "prefix_saved_tokens": 0,
                       "spec_dispatches": 0, "plain_dispatches": 0,
-                      "prefill_segments": 0, "cancelled": 0}
+                      "prefill_segments": 0, "cancelled": 0,
+                      "preempted": 0}
+        # priority scheduling: admission picks the queued request with
+        # the lowest (effective priority, rid) — rid is arrival order,
+        # so equal priorities stay FIFO. `age_steps=N` ages a waiting
+        # request one priority level per N engine steps (starvation
+        # bound: a class-k request outranks fresh class-0 traffic after
+        # k*N steps of waiting). `preemption=True` additionally lets a
+        # strictly-higher-priority queued request evict the worst
+        # active slot (recompute preemption, vLLM-style: the victim
+        # re-queues and later re-prefills prompt+emissions — greedy
+        # decoding resumes bit-identically). `max_preempt` pins a
+        # request after that many evictions so priority floods can't
+        # thrash one victim forever.
+        self.age_steps = int(age_steps)
+        self.preemption = bool(preemption)
+        self.max_preempt = int(max_preempt)
         # chunked prefill (vLLM-style, static-shape TPU form): a prompt
         # longer than `prefill_chunk` tokens prefills in bounded
         # segments — one `_extend` dispatch per engine step — while the
@@ -466,11 +490,14 @@ class ContinuousEngine:
 
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None,
-               temperature: float | None = None) -> int:
+               temperature: float | None = None,
+               priority: int = 0) -> int:
         """Queue a request; returns its id. `on_token(rid, token_id)`
         fires per decoded token (streaming). `temperature` overrides
-        the engine default for THIS request (≤0 = greedy). Admission
-        happens at the next `step()` if a slot is free."""
+        the engine default for THIS request (≤0 = greedy). `priority`
+        orders admission (lower first; ties FIFO — see __init__ for
+        aging/preemption). Admission happens at the next `step()` if a
+        slot is free."""
         from ..tokenize.base import bucket_length
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
@@ -490,7 +517,8 @@ class ContinuousEngine:
             else float(temperature)
         req = _Request(rid=next(self._rid), ids=ids, length=int(length),
                        max_new=int(max_new), temperature=temp,
-                       on_token=on_token)
+                       on_token=on_token, priority=int(priority),
+                       submit_step=self.stats["steps"])
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
@@ -525,20 +553,85 @@ class ContinuousEngine:
         self.stats["cancelled"] += 1
         return True
 
+    def _order_key(self, req: _Request) -> tuple[int, int]:
+        """Admission order: (effective priority, arrival). With aging
+        on, a request's effective priority improves one level per
+        `age_steps` engine steps waited, bounding starvation."""
+        eff = req.priority
+        if self.age_steps:
+            eff -= (self.stats["steps"] - req.submit_step) \
+                // self.age_steps
+        return (eff, req.rid)
+
+    def _admit_into(self, slot: int, req: _Request):
+        if self.prefill_chunk and req.length > self.prefill_chunk:
+            # long prompt: prefill in segments across steps so the
+            # pool keeps decoding in between (_prefill_step)
+            self._prefilling[slot] = self._prefill_begin(req)
+            req.slot = slot
+            return
+        logits1, caches1 = self._prefill_row(req)
+        self._activate(slot, req, logits1, caches1)
+
+    def _preempt(self, req: _Request):
+        """Evict an ACTIVE request from its slot (recompute
+        preemption): the slot frees now — stale K/V rows are
+        overwritten by the next occupant, the same scatter-then-attend
+        invariant as cancel/EOS release — and the victim re-queues.
+        On re-admission it re-prefills prompt + everything already
+        emitted, so greedy decoding resumes bit-identically to an
+        uninterrupted run (prefill-then-decode ≡ decode chain, the
+        engine's core parity property). `tokens` stays CUMULATIVE
+        (`consumed` marks what `ids` now bakes in), so harvest,
+        budget checks and driver bookkeeping are untouched."""
+        from ..tokenize.base import bucket_length
+
+        slot = req.slot
+        del self._active[slot]
+        self._carry = self._release_jit(self._carry, jnp.int32(slot))
+        req.slot = -1
+        req.preempt_count += 1
+        hist = np.concatenate([
+            req.ids[:req.length],
+            np.asarray(req.tokens[req.consumed:], np.int32)])
+        req.consumed = len(req.tokens)
+        remaining = req.max_new - req.consumed
+        room = self.cfg.max_seq_len - remaining \
+            - (self.draft_len if self.speculative else 0)
+        s = min(bucket_length(len(hist)), room)
+        assert len(hist) <= s, "preempt: resume prompt exceeds budget"
+        padded = np.full((s,), self.sampling.pad_id, np.int32)
+        padded[:len(hist)] = hist
+        req.ids = padded
+        req.length = len(hist)
+        self.stats["preempted"] += 1
+
     def _admit(self):
         free = [s for s in range(self.slots)
                 if s not in self._active and s not in self._prefilling]
         while free and self._queue:
             slot = free.pop(0)
-            req = self._queue.pop(0)
-            if self.prefill_chunk and req.length > self.prefill_chunk:
-                # long prompt: prefill in segments across steps so the
-                # pool keeps decoding in between (_prefill_step)
-                self._prefilling[slot] = self._prefill_begin(req)
-                req.slot = slot
-                continue
-            logits1, caches1 = self._prefill_row(req)
-            self._activate(slot, req, logits1, caches1)
+            req = min(self._queue, key=self._order_key)
+            self._queue.remove(req)
+            self._admit_into(slot, req)
+        if not (self.preemption and self._queue and self._active):
+            return
+        # recompute preemption: while a queued request strictly
+        # outranks the worst unpinned active one, swap them
+        while self._queue and self._active:
+            best = min(self._queue, key=self._order_key)
+            victims = [r for r in self._active.values()
+                       if r.preempt_count < self.max_preempt]
+            if not victims:
+                return
+            worst = max(victims, key=lambda r: (r.priority, r.rid))
+            if self._order_key(best)[0] >= worst.priority:
+                return
+            self._queue.remove(best)
+            slot = worst.slot
+            self._preempt(worst)
+            self._queue.append(worst)
+            self._admit_into(slot, best)
 
     def _activate(self, slot: int, req: _Request, logits1, caches1):
         """Insert a fully-prefilled single-row cache into the pool and
@@ -551,11 +644,16 @@ class ContinuousEngine:
         self._temps[slot] = req.temperature
         self._temps_dev = jnp.asarray(self._temps)
         if self.speculative and self._draft_fn is None:
+            # emission cap is length + REMAINING budget: for a
+            # preemption-resumed request `ids` already bakes in
+            # `consumed` emitted tokens
             self._ids_buf, self._limits = self._insert_hist_jit(
                 self._ids_buf, self._limits, jnp.int32(slot),
                 jnp.asarray(req.ids),
-                jnp.int32(req.length + req.max_new))
-        if self.prefix_cache:
+                jnp.int32(req.length + req.max_new - req.consumed))
+        if self.prefix_cache and not req.consumed:
+            # a resumed request's "prompt" tail is generated text —
+            # caching it would only pollute the prefix LRU
             self._prefix_store(req, caches1)
         self.stats["admitted"] += 1
 
@@ -851,7 +949,7 @@ class ContinuousEngine:
         for slot, req in self._active.items():
             hist = np.concatenate([
                 req.ids[:req.length],
-                np.asarray(req.tokens, np.int32)])
+                np.asarray(req.tokens[req.consumed:], np.int32)])
             hist = hist[:self.cfg.max_seq_len]
             buf[slot, :len(hist)] = hist
         self._ids_buf = jnp.asarray(buf)
@@ -897,7 +995,8 @@ class ContinuousEngine:
                 continue                  # drafts unused for sampled
             hist = np.concatenate([
                 req.ids[:req.length],
-                np.asarray(req.tokens + [int(t1g[slot])], np.int32)])
+                np.asarray(req.tokens[req.consumed:] + [int(t1g[slot])],
+                           np.int32)])
             drafts[slot] = draft(hist, k, n, pad)
         self._carry, n_acc, t1 = self._verify_jit(
             self._params, self._carry, jnp.asarray(drafts),
@@ -1012,7 +1111,7 @@ class ContinuousDriver:
         self._thread.start()
 
     def _submit(self, prompt_ids, length, max_new, on_token, temperature,
-                deadline_s=None):
+                deadline_s=None, priority=0):
         import threading
 
         evt = threading.Event()
@@ -1030,7 +1129,8 @@ class ContinuousDriver:
             if self._closed:
                 raise RuntimeError("driver is closed")
             self._pending.append((prompt_ids, length, max_new,
-                                  on_token, temperature, evt, box, ctl))
+                                  on_token, temperature, evt, box, ctl,
+                                  int(priority)))
         self._work.set()
         return evt, box, ctl
 
@@ -1051,14 +1151,17 @@ class ContinuousDriver:
 
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token=None, temperature: float | None = None,
-               deadline_s: float | None = None) -> GenerationHandle:
+               deadline_s: float | None = None,
+               priority: int = 0) -> GenerationHandle:
         """Non-blocking submit; the returned handle can wait for or
         cancel the request (`generate()` is `submit().result()`).
         `deadline_s` bounds queue wait + decode together: an expired
         request is cancelled on the decode thread and its `result()`
-        raises `DeadlineExceeded` carrying the partial tokens."""
+        raises `DeadlineExceeded` carrying the partial tokens.
+        `priority` orders pool admission (lower first, ties FIFO)."""
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
-                                     on_token, temperature, deadline_s)
+                                     on_token, temperature, deadline_s,
+                                     priority)
         return GenerationHandle(self, evt, box, ctl)
 
     @staticmethod
@@ -1069,18 +1172,21 @@ class ContinuousDriver:
 
     def generate(self, prompt_ids, length: int, max_new: int,
                  on_token=None, temperature: float | None = None,
-                 deadline_s: float | None = None) -> list[int]:
+                 deadline_s: float | None = None,
+                 priority: int = 0) -> list[int]:
         """Block until this request completes; returns its tokens.
         With `deadline_s`, raises `DeadlineExceeded` (partial tokens on
         the exception) if the budget expires first."""
         evt, box, _ = self._submit(prompt_ids, length, max_new,
-                                   on_token, temperature, deadline_s)
+                                   on_token, temperature, deadline_s,
+                                   priority)
         evt.wait()
         return self._result(box)
 
     def generate_stream(self, prompt_ids, length: int, max_new: int,
                         temperature: float | None = None,
-                        deadline_s: float | None = None):
+                        deadline_s: float | None = None,
+                        priority: int = 0):
         """Yield this request's token ids as the pool decodes them.
 
         The engine's `on_token` fires on the driver thread; a queue
@@ -1100,7 +1206,7 @@ class ContinuousDriver:
         q: _queue.Queue = _queue.Queue()
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
                                      lambda _rid, t: q.put(t),
-                                     temperature, deadline_s)
+                                     temperature, deadline_s, priority)
 
         def _iter():
             try:
@@ -1139,7 +1245,7 @@ class ContinuousDriver:
             if self._closed:
                 raise RuntimeError("driver is closed")
             self._pending.append((_WARM, prompt_buckets, None, None,
-                                  None, evt, box, None))
+                                  None, evt, box, None, 0))
         self._work.set()
         evt.wait()
         if "error" in box:
@@ -1171,7 +1277,7 @@ class ContinuousDriver:
                 pending, self._pending = self._pending, []
                 cancels, self._cancels = self._cancels, []
             for (ids, length, max_new, on_token, temp,
-                 evt, box, ctl) in pending:
+                 evt, box, ctl, prio) in pending:
                 if ids is _WARM:
                     try:
                         self.engine.warm(length)   # length = buckets
@@ -1182,7 +1288,8 @@ class ContinuousDriver:
                 try:
                     rid = self.engine.submit(ids, length, max_new,
                                              on_token=on_token,
-                                             temperature=temp)
+                                             temperature=temp,
+                                             priority=prio)
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)
                     if "deadline" in ctl:

@@ -77,6 +77,11 @@ class LLMSection:
     request_timeout_s: float = 0.0     # per-request wall budget on the
                                        # continuous scheduler (queue +
                                        # decode); 0 = unbounded
+    age_steps: int = 0                 # priority aging: one level per N
+                                       # engine steps waited (0 = off)
+    preemption: bool = False           # higher-priority arrivals evict
+                                       # the worst active slot (victim
+                                       # resumes bit-identically)
 
 
 @dataclasses.dataclass
