@@ -254,7 +254,9 @@ def render_dashboard(st, system):
                if eng.speculative else "")
             + (f" · {eng.stats['cancelled']} annulées"
                f" ({driver.timeouts} délais expirés)"
-               if eng.stats.get("cancelled") else ""))
+               if eng.stats.get("cancelled") else "")
+            + (f" · {eng.stats['preempted']} préemptées"
+               if eng.stats.get("preempted") else ""))
     st.caption("devices : " + ", ".join(str(d) for d in devices))
     return stats
 

@@ -85,9 +85,12 @@ class SummaryGenerator:
                         "navigation": False, "via": "vision"}
         if looks_like_navigation(content):
             return {"title": title, "summary": "", "navigation": True}
+        from ..providers.base import background_priority_kwargs
+
         resp = self.llm.generate(
             SUMMARY_PROMPT.format(title=title, content=content),
             temperature=0.0,
+            **background_priority_kwargs(self.llm),
         )
         summary = resp.text.strip() if resp.ok else ""
         return {"title": title, "summary": summary, "navigation": False}

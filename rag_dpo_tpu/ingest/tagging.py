@@ -49,11 +49,14 @@ class ChunkTagger:
             )
 
     def tag_one(self, text: str) -> list[str]:
+        from ..providers.base import background_priority_kwargs
+
         resp = self.llm.generate(
             TAG_PROMPT.format(topics="\n".join(f"- {t}" for t in
                                                RGPD_TOPICS),
                               excerpt=text[:2000]),
             temperature=0.0,
+            **background_priority_kwargs(self.llm),
         )
         if not resp.ok:
             return []

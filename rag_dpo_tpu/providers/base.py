@@ -27,6 +27,15 @@ class LLMResponse:
         return self.error is None
 
 
+def background_priority_kwargs(llm, level: int = 1) -> dict:
+    """Generate-kwargs marking a call as background-class on providers
+    with a priority-aware scheduler (the TPU continuous slot pool); {}
+    elsewhere, so HTTP/fake provider signatures stay untouched. Batch
+    pipelines (tagging, summaries) pass these so that, when they share
+    a serving process, interactive chat traffic outranks them."""
+    return {"priority": int(level)} if hasattr(llm, "priority") else {}
+
+
 class BaseLLMProvider(abc.ABC):
     model_name: str = "unknown"
 

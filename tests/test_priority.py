@@ -194,6 +194,30 @@ def test_preemption_spares_prefix_cache(gen):
     assert eng._requests[rl].tokens == _solo(gen, low, 8)
 
 
+def test_background_pipelines_mark_their_class():
+    """Tagging/summaries pass priority=1 on priority-aware providers
+    (the TPU continuous pool) and NOTHING elsewhere — FakeLLM/HTTP
+    signatures never see the kwarg."""
+    from rag_dpo_tpu.ingest.tagging import ChunkTagger
+    from rag_dpo_tpu.providers import FakeLLMProvider
+    from rag_dpo_tpu.providers.base import background_priority_kwargs
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    assert background_priority_kwargs(FakeLLMProvider()) == {}
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False,
+                         scheduler="continuous", max_batch=2)
+    try:
+        assert background_priority_kwargs(llm) == {"priority": 1}
+        ChunkTagger(llm).tag_one("texte sanction amende RGPD")
+        eng = llm._driver.engine
+        assert [r.priority for r in eng._requests.values()] == [1]
+    finally:
+        llm._driver.close()
+    # the fake provider path still works end-to-end (kwarg elided)
+    tags = ChunkTagger(FakeLLMProvider()).tag_one("texte registre")
+    assert isinstance(tags, list)
+
+
 def test_driver_threads_priority_through(gen):
     """ContinuousDriver.submit/generate/generate_stream carry the
     priority to the engine request."""

@@ -372,6 +372,13 @@ def test_dashboard_renders_decode_pool_stats(system):
                         [c for c in st.calls if c[0] == "caption"])
         assert "pool de décodage" in caps and "spéculation" in caps \
             and "préfixe" in caps, caps
+        # preemption evictions surface once any happened
+        llm._driver.engine.stats["preempted"] = 3
+        st2 = FakeSt()
+        render_dashboard(st2, system2)
+        caps2 = " ".join(str(a) for _, a in
+                         [c for c in st2.calls if c[0] == "caption"])
+        assert "3 préemptées" in caps2, caps2
     finally:
         llm._driver.close()
 
