@@ -165,12 +165,19 @@ class ChunkClassifier:
             return best[0]
         # truly ambiguous → constrained two-option LLM call
         self.n_llm_calls += 1
-        resp = self.llm.generate(
-            CHUNK_CLASSIFY_PROMPT.format(
-                option_a=best[0], option_b=second[0], excerpt=text[:1500]
-            ),
-            temperature=0.0,
+        prompt = CHUNK_CLASSIFY_PROMPT.format(
+            option_a=best[0], option_b=second[0], excerpt=text[:1500]
         )
+        if hasattr(self.llm, "choose"):
+            # TPU decoder: score both options teacher-forced — the
+            # answer is structurally one of the two, no regex rescue
+            try:
+                chosen, _ = self.llm.choose(prompt,
+                                            [best[0], second[0]])
+                return chosen
+            except Exception:
+                return best[0]
+        resp = self.llm.generate(prompt, temperature=0.0)
         if resp.ok:
             answer = resp.text.strip().upper()
             for option in (best[0], second[0]):

@@ -140,6 +140,88 @@ class TextGenerator:
             self._programs[key] = extend
         return self._programs[key]
 
+    def _choose(self, k: int, s: int, c: int):
+        """Teacher-forced candidate scoring: prefill the prompt ONCE
+        (batch 1), broadcast its K/V prefix to `k` rows, run one
+        teacher-forced forward over the `c`-token candidate bucket with
+        FULL per-position logits (tiny: [k, c, V] at c ≤ 64), and sum
+        each candidate's next-token log-probs. Constrained decoding the
+        TPU way — no token-by-token masking loop, no sampling: ranking
+        k continuations costs one prefill + one extend, whatever k."""
+        key = ("choose", k, s, c)
+        if key not in self._programs:
+            cfg = self.config
+
+            @jax.jit
+            def choose(params, prompt_ids, prompt_len, cand_ids,
+                       cand_lens):
+                caches = DecoderModel.init_cache(cfg, 1)
+                positions = jnp.broadcast_to(
+                    jnp.arange(s)[None, :], (1, s))
+                valid = positions < prompt_len[:, None]
+                logits1, caches = self.model.apply(
+                    params, prompt_ids, positions, caches,
+                    attn_mask=None, write_mask=valid,
+                    last_index=jnp.clip(prompt_len - 1, 0))
+                cachesK = jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, (k,) + x.shape[1:]),
+                    caches)
+                offs = jnp.arange(c)[None, :]
+                posC = jnp.broadcast_to(prompt_len[:, None] + offs,
+                                        (k, c))
+                validC = (offs < cand_lens[:, None]) & \
+                    (posC < cfg.max_seq_len)
+                pos_c = jnp.clip(posC, 0, cfg.max_seq_len - 1)
+                logitsC, _ = self.model.apply(
+                    params, cand_ids, pos_c, cachesK,
+                    attn_mask=None, write_mask=validC)
+                lp1 = jax.nn.log_softmax(
+                    logits1[0, 0].astype(jnp.float32))      # [V]
+                lpC = jax.nn.log_softmax(
+                    logitsC.astype(jnp.float32), axis=-1)   # [k, c, V]
+                first = lp1[cand_ids[:, 0]]                 # [k]
+                nxt = jnp.take_along_axis(
+                    lpC[:, :-1], cand_ids[:, 1:, None],
+                    axis=-1)[..., 0]                        # [k, c-1]
+                jmask = (jnp.arange(c - 1)[None, :] + 1) \
+                    < cand_lens[:, None]
+                return first + jnp.where(jmask, nxt, 0.0).sum(-1)
+
+            self._programs[key] = choose
+        return self._programs[key]
+
+    def score_choices(self, prompt_ids: np.ndarray, prompt_len: int,
+                      cand_ids: np.ndarray,
+                      cand_lens: np.ndarray) -> np.ndarray:
+        """Sum log-prob of each candidate continuation [k, c] after the
+        shared prompt [s] (true length `prompt_len`). Shapes are
+        bucketed (k → pow2, s/c → length buckets) so repeated calls hit
+        cached programs; pad rows score garbage and are sliced away."""
+        from ..tokenize.base import bucket_length
+
+        params = self.load()
+        prompt_ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        cand_ids = np.asarray(cand_ids, np.int32)
+        cand_lens = np.asarray(cand_lens, np.int32)
+        k, c = cand_ids.shape
+        kb = 1
+        while kb < k:
+            kb *= 2
+        s = bucket_length(len(prompt_ids))
+        cb = bucket_length(c, buckets=(4, 8, 16, 32, 64, 128))
+        pad = getattr(self.config, "pad_id", 1)
+        pids = np.full((1, s), pad, np.int32)
+        pids[0, :len(prompt_ids)] = prompt_ids[:s]
+        cids = np.full((kb, cb), pad, np.int32)
+        cids[:k, :c] = cand_ids[:, :cb]
+        lens = np.ones((kb,), np.int32)
+        lens[:k] = np.clip(cand_lens, 1, cb)
+        out = self._choose(kb, s, cb)(
+            params, jnp.asarray(pids),
+            jnp.asarray([min(int(prompt_len), s)], dtype=jnp.int32),
+            jnp.asarray(cids), jnp.asarray(lens))
+        return np.asarray(out)[:k]
+
     def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
         key = ("decode", b, n_steps, sampling.temperature,
                sampling.top_k, sampling.top_p, sampling.eos_id,

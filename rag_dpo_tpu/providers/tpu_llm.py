@@ -376,6 +376,56 @@ class TPULLMProvider(BaseLLMProvider):
             if delta:
                 yield delta
 
+    def choose(self, prompt, choices, system=None,
+               normalize: bool = True):
+        """Constrained decoding, the TPU way: rank candidate
+        continuations by teacher-forced log-likelihood in ONE
+        prefill + one tiny extend — the answer is ALWAYS one of
+        `choices`, with no sampling loop, no per-step logit masking
+        and no JSON repair. Returns (best_choice, scores) where
+        scores[i] is candidate i's log-prob (mean per token when
+        `normalize`, killing the short-candidate bias).
+
+        The reference has no equivalent — its constrained calls
+        (intent JSON `src/rag/intent_classifier.py`, the chunk
+        classifier's two-option prompt
+        `src/processing/process_and_chunk.py:1107-1318`) generate free
+        text and regex-rescue it. Candidates are tokenized JOINTLY with
+        the prompt so boundary merges score exactly what the tokenizer
+        would produce; the shared prefix prefills once whatever k is."""
+        choices = list(choices)
+        if not choices:
+            raise ValueError("choose() needs at least one choice")
+        text = f"{system}\n\n{prompt}" if system else prompt
+        est = len(text) // 3 + max(len(ch) for ch in choices) + 16
+        max_len = min(bucket_length(est), self.config.max_seq_len)
+        enc = self.tokenizer.encode_batch(
+            [text] + [f"{text} {ch}" for ch in choices], max_len)
+        ids, lens = enc.input_ids, enc.lengths
+        prow, plen = ids[0], int(lens[0])
+        # shared prefix: the longest run every full row agrees on with
+        # the bare prompt row, capped so every candidate keeps ≥1 token
+        p = plen
+        for i in range(1, len(choices) + 1):
+            li = int(lens[i])
+            n = min(p, li - 1)
+            eq = np.nonzero(prow[:n] != ids[i][:n])[0]
+            p = int(eq[0]) if len(eq) else n
+        k = len(choices)
+        c = max(int(lens[i + 1]) - p for i in range(k))
+        cand_ids = np.full((k, c), self.tokenizer.pad_id, np.int32)
+        cand_lens = np.zeros((k,), np.int32)
+        for i in range(k):
+            li = int(lens[i + 1])
+            cand_ids[i, :li - p] = ids[i + 1][p:li]
+            cand_lens[i] = li - p
+        scores = self.generator.score_choices(prow[:p], p, cand_ids,
+                                              cand_lens)
+        if normalize:
+            scores = scores / np.maximum(cand_lens, 1)
+        best = int(np.argmax(scores))
+        return choices[best], [float(x) for x in scores]
+
     def chat_stream(self, messages, temperature=0.0, max_tokens=None,
                     priority: int | None = None):
         """Native token-streamed chat: flatten messages the same way the

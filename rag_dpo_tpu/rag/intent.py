@@ -101,9 +101,31 @@ def extract_json_object(text: str) -> dict | None:
     return None
 
 
+CHOOSE_PROMPT = """Question d'un délégué à la protection des données :
+"{question}"
+
+Parmi factuel, methodologique, organisationnel, comparaison,
+cas_pratique, liste_exhaustive et refus, l'intention de cette question
+est :"""
+
+
 class IntentClassifier:
     def __init__(self, llm: BaseLLMProvider):
         self.llm = llm
+
+    def _choose_intent(self, question: str) -> str | None:
+        """Constrained fallback on providers that support it (the TPU
+        decoder's `choose`): rank the 7 intents by teacher-forced
+        log-likelihood — the answer is always a valid intent, so a
+        malformed JSON no longer silently degrades to 'factuel'."""
+        if not hasattr(self.llm, "choose"):
+            return None
+        try:
+            best, _ = self.llm.choose(
+                CHOOSE_PROMPT.format(question=question), VALID_INTENTS)
+            return best
+        except Exception:
+            return None
 
     def classify(self, question: str) -> QuestionIntent:
         prompt = CLASSIFY_PROMPT.format(
@@ -117,10 +139,13 @@ class IntentClassifier:
             return fallback
         data = extract_json_object(resp.text)
         if not isinstance(data, dict):
+            chosen = self._choose_intent(question)
+            if chosen:
+                return dataclasses.replace(fallback, intent=chosen)
             return fallback
         intent = str(data.get("intent", "factuel")).strip().lower()
         if intent not in VALID_INTENTS:
-            intent = "factuel"
+            intent = self._choose_intent(question) or "factuel"
         topics = data.get("topics") or []
         if isinstance(topics, str):
             topics = parse_topic_tags(topics)
