@@ -35,6 +35,16 @@ Extrait :
 
 JSON :"""
 
+NATURE_CHOOSE_PROMPT = """Parmi DOCTRINE (position juridique), GUIDE
+(recommandations pratiques), SANCTION (délibération, amende), TECHNIQUE
+(mesures de sécurité) et MIXTE, la nature de ce document CNIL/RGPD est :
+
+Titre : {title}
+Extrait :
+{excerpt}
+
+Nature :"""
+
 
 @dataclasses.dataclass
 class DocClassification:
@@ -103,6 +113,16 @@ class DocumentClassifier:
                     mots_cles=[str(m) for m in
                                (data.get("mots_cles") or [])][:10],
                 )
+        if c.nature not in NATURES and hasattr(self.llm, "choose"):
+            # malformed JSON or invalid nature: score the 5 natures
+            # teacher-forced instead of silently degrading to MIXTE
+            try:
+                c.nature, _ = self.llm.choose(
+                    NATURE_CHOOSE_PROMPT.format(
+                        title=title, excerpt=text[:4000]),
+                    list(NATURES))
+            except Exception:
+                pass
         c = self.validator.correct(c, title, text)
         self.cache[doc_id] = {**dataclasses.asdict(c),
                               "content_hash": content_hash}

@@ -40,6 +40,18 @@ Extrait :
 
 JSON :"""
 
+CHOOSE_FILTER_PROMPT = """Tu es délégué à la protection des données.
+Évalue l'utilité de ce document pour ta pratique quotidienne
+(conformité RGPD, doctrine CNIL, modèles, sanctions) sur une échelle
+de 0 à 10.
+
+URL : {url}
+Titre : {title}
+Extrait :
+{excerpt}
+
+Score (0-10) :"""
+
 
 @dataclasses.dataclass
 class FilterDecision:
@@ -75,6 +87,26 @@ class RelevanceFilter:
         if score <= self.prescore_drop or self.llm is None:
             return FilterDecision(score > self.prescore_drop,
                                   float(score), "prescore")
+        if hasattr(self.llm, "choose"):
+            # TPU decoder: EXPECTED score over the 11 digit candidates
+            # (softmax of teacher-forced log-probs) — calibrated, no
+            # JSON rescue, one prefill + one tiny extend
+            try:
+                import math
+
+                _, lp = self.llm.choose(
+                    CHOOSE_FILTER_PROMPT.format(
+                        url=url, title=title, excerpt=text[:3000]),
+                    [str(i) for i in range(11)])
+                m = max(lp)
+                w = [math.exp(x - m) for x in lp]
+                exp_score = sum(i * wi for i, wi in enumerate(w)) \
+                    / sum(w)
+                return FilterDecision(
+                    exp_score >= self.keep_threshold,
+                    round(exp_score, 2), "choose")
+            except Exception:
+                pass
         resp = self.llm.generate(
             FILTER_PROMPT.format(url=url, title=title,
                                  excerpt=text[:3000]),

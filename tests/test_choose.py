@@ -120,6 +120,56 @@ def test_invalid_intent_value_uses_choice_fallback():
     assert out.intent == "comparaison"
 
 
+class DigitScoringLLM(BrokenJSONLLM):
+    """choose() returns log-probs concentrated on one digit."""
+
+    def __init__(self, peak: int):
+        super().__init__(pick=None)
+        self.peak = peak
+
+    def choose(self, prompt, choices, system=None, normalize=True):
+        self.choose_calls += 1
+        scores = [0.0 if int(ch) == self.peak else -20.0
+                  for ch in choices]
+        return str(self.peak), scores
+
+
+def test_filter_expected_score_via_choose():
+    """Ambiguous prescore → expected score over digit candidates; the
+    keep decision follows the distribution, method is 'choose'."""
+    from rag_dpo_tpu.ingest.filter import RelevanceFilter
+
+    text = "rgpd " * 2   # prescore 3: between drop(1) and keep(8)
+    f = RelevanceFilter(llm=DigitScoringLLM(peak=8))
+    d = f.decide("https://cnil.fr/guide", "Guide AIPD", text)
+    assert d.method == "choose" and d.keep and abs(d.score - 8.0) < 0.01
+    f2 = RelevanceFilter(llm=DigitScoringLLM(peak=2))
+    d2 = f2.decide("https://cnil.fr/guide", "Guide AIPD", text)
+    assert d2.method == "choose" and not d2.keep
+    assert abs(d2.score - 2.0) < 0.01
+
+
+class NatureChoosingLLM(BrokenJSONLLM):
+    def generate(self, prompt, system=None, temperature=0.0,
+                 json_mode=False, max_tokens=None) -> LLMResponse:
+        return LLMResponse('{"nature": "POETIQUE", "importance": 7}',
+                           self.model_name)
+
+
+def test_doc_classifier_nature_fallback_via_choose():
+    """Invalid nature in otherwise-valid JSON → choose over the 5
+    natures instead of silently degrading to MIXTE; other JSON fields
+    survive."""
+    from rag_dpo_tpu.ingest.classify import DocumentClassifier
+
+    clf = DocumentClassifier(NatureChoosingLLM(pick="TECHNIQUE"))
+    c = clf.classify("d1", "Chiffrement des données",
+                     "mesures de sécurité et configuration TLS")
+    assert c.nature == "TECHNIQUE"
+    assert c.importance == 7
+    assert clf.llm.choose_calls == 1
+
+
 def test_chunk_classifier_two_option_uses_choose():
     from rag_dpo_tpu.ingest.classify import ChunkClassifier
 
