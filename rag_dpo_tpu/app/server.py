@@ -441,6 +441,38 @@ def make_handler(system: dict):
                 finally:
                     stream.close()
                 self.wfile.write(b"data: [DONE]\n\n")
+            elif self.path == "/choose":
+                # constrained decision endpoint: score candidate
+                # continuations teacher-forced and return the best
+                # (one prefill + one extend on the TPU decoder — the
+                # answer is structurally one of `choices`; no sampling,
+                # no JSON rescue). Capability superset: the reference's
+                # constrained calls generate free text and regex it.
+                llm = system.get("stream_llm") or system.get("llm")
+                if llm is None or not hasattr(llm, "choose"):
+                    self._send(503, {"error":
+                                     "no choice-capable LLM loaded"})
+                    return
+                prompt = str(data.get("prompt", "")).strip()
+                if not prompt:
+                    self._send(400, {"error": "missing 'prompt'"})
+                    return
+                choices = data.get("choices")
+                if (not isinstance(choices, list) or not choices
+                        or not all(isinstance(c, str) and c.strip()
+                                   for c in choices)):
+                    self._send(400, {"error": "'choices' must be a "
+                                     "non-empty list of strings"})
+                    return
+                if len(choices) > 64:
+                    self._send(400, {"error": "too many choices "
+                                     "(max 64)"})
+                    return
+                best, scores = llm.choose(
+                    prompt, choices,
+                    system=data.get("system"),
+                    normalize=bool(data.get("normalize", True)))
+                self._send(200, {"choice": best, "scores": scores})
             elif self.path == "/feedback":
                 qid = data.get("query_id")
                 if not qid or "rating" not in data:

@@ -287,6 +287,58 @@ def test_generate_sse_streaming(tmp_path_factory):
     srv.shutdown()
 
 
+def test_choose_endpoint(tmp_path_factory):
+    """/choose scores candidates on the TPU decoder and always returns
+    one of them; validation rejects bad payloads; a system without a
+    choice-capable provider 503s."""
+    import os
+    import threading as th
+
+    import jax.numpy as jnp
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("cho"))
+    system = build_system(agent_too=False)
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    code, data = _post(url, "/choose",
+                       {"prompt": "x", "choices": ["a", "b"]})
+    assert code == 503          # FakeLLM has no choose()
+    srv.shutdown()
+
+    system["stream_llm"] = TPULLMProvider(
+        DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32))
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    choices = ["factuel", "methodologique", "refus"]
+    code, data = _post(url, "/choose",
+                       {"prompt": "Quel délai CNIL ? Intention :",
+                        "choices": choices})
+    assert code == 200 and data["choice"] in choices
+    assert len(data["scores"]) == 3
+    code, data = _post(url, "/choose", {"prompt": "x"})
+    assert code == 400
+    code, data = _post(url, "/choose",
+                       {"prompt": "x", "choices": []})
+    assert code == 400
+    code, data = _post(url, "/choose",
+                       {"prompt": "x", "choices": ["a", 3]})
+    assert code == 400
+    code, data = _post(url, "/choose",
+                       {"prompt": "", "choices": ["a"]})
+    assert code == 400
+    code, data = _post(url, "/choose",
+                       {"prompt": "x",
+                        "choices": [str(i) for i in range(65)]})
+    assert code == 400
+    srv.shutdown()
+
+
 def test_stats_exposes_decode_pool_for_continuous_llm(tmp_path):
     """When generation serves through the continuous slot pool, /stats
     carries its occupancy / prefix-cache / speculation counters (same
