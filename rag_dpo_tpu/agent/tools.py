@@ -329,9 +329,35 @@ Question : "{question}"
 
 JSON :"""
 
+DECOMPOSE_GATE_PROMPT = """La question suivante est-elle composée de
+plusieurs questions distinctes ?
+
+Question : "{question}"
+
+Réponse (oui ou non) :"""
+
+
+def _binary_gate(llm: BaseLLMProvider, prompt: str) -> bool | None:
+    """Cheap constrained yes/no on choice-capable providers (one
+    prefill + one extend, ~75 ms at 12B vs ~1 s for a JSON decode —
+    BENCHMARKS.md 'Constrained choice'). None = no capability / error,
+    caller falls through to the full JSON call."""
+    if not hasattr(llm, "choose"):
+        return None
+    try:
+        best, _ = llm.choose(prompt, ["oui", "non"])
+        return best == "oui"
+    except Exception:
+        return None
+
 
 def decompose_question(llm: BaseLLMProvider, question: str,
                        max_subs: int = 3) -> list[str]:
+    # pre-gate: most questions are simple — a 'non' skips the JSON
+    # decompose decode entirely (the common case on the agent path)
+    if _binary_gate(llm, DECOMPOSE_GATE_PROMPT.format(
+            question=question)) is False:
+        return []
     resp = llm.generate(DECOMPOSE_PROMPT.format(question=question),
                         temperature=0.0, json_mode=True)
     if not resp.ok:
@@ -356,6 +382,16 @@ Réponse :
 
 JSON :"""
 
+COMPLETENESS_GATE_PROMPT = """La réponse suivante couvre-t-elle tous les
+aspects de la question ?
+
+Question : "{question}"
+
+Réponse :
+{answer}
+
+Couvre tous les aspects (oui ou non) :"""
+
 
 @dataclasses.dataclass
 class CompletenessResult:
@@ -366,6 +402,12 @@ class CompletenessResult:
 
 def check_answer_completeness(llm: BaseLLMProvider, question: str,
                               answer: str) -> CompletenessResult:
+    # pre-gate: a complete answer (the common case) costs one choose()
+    # instead of the full JSON coverage decode; 'non'/no-capability
+    # falls through to the detailed call for missing_aspects
+    if _binary_gate(llm, COMPLETENESS_GATE_PROMPT.format(
+            question=question, answer=answer[:6000])) is True:
+        return CompletenessResult()
     resp = llm.generate(
         COMPLETENESS_PROMPT.format(question=question, answer=answer[:6000]),
         temperature=0.0, json_mode=True,

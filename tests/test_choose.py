@@ -170,6 +170,54 @@ def test_doc_classifier_nature_fallback_via_choose():
     assert clf.llm.choose_calls == 1
 
 
+class GatedAgentLLM(BrokenJSONLLM):
+    """choose() answers oui/non; counts generate() calls."""
+
+    def __init__(self, verdict: str):
+        super().__init__(pick=None)
+        self.verdict = verdict
+        self.generate_calls = 0
+
+    def generate(self, prompt, system=None, temperature=0.0,
+                 json_mode=False, max_tokens=None) -> LLMResponse:
+        self.generate_calls += 1
+        return LLMResponse('{"sub_questions": ["a ?", "b ?"], '
+                           '"coverage_pct": 40, '
+                           '"missing_aspects": ["x"]}', self.model_name)
+
+    def choose(self, prompt, choices, system=None, normalize=True):
+        self.choose_calls += 1
+        assert set(choices) == {"oui", "non"}
+        return self.verdict, [0.0, 0.0]
+
+
+def test_decompose_gate_skips_json_call():
+    from rag_dpo_tpu.agent.tools import decompose_question
+
+    llm = GatedAgentLLM("non")          # simple question: gate short-circuits
+    assert decompose_question(llm, "Quel délai CNIL ?") == []
+    assert llm.choose_calls == 1 and llm.generate_calls == 0
+
+    llm = GatedAgentLLM("oui")          # composite: full JSON call runs
+    subs = decompose_question(llm, "Délai CNIL et montant des sanctions ?")
+    assert subs == ["a ?", "b ?"]
+    assert llm.choose_calls == 1 and llm.generate_calls == 1
+
+
+def test_completeness_gate_skips_json_call():
+    from rag_dpo_tpu.agent.tools import check_answer_completeness
+
+    llm = GatedAgentLLM("oui")          # complete answer: gate short-circuits
+    r = check_answer_completeness(llm, "q", "réponse complète")
+    assert r.coverage_pct == 100 and not r.missing_aspects
+    assert llm.choose_calls == 1 and llm.generate_calls == 0
+
+    llm = GatedAgentLLM("non")          # incomplete: detailed call runs
+    r = check_answer_completeness(llm, "q", "réponse partielle")
+    assert r.coverage_pct == 40 and r.missing_aspects == ["x"]
+    assert llm.choose_calls == 1 and llm.generate_calls == 1
+
+
 def test_chunk_classifier_two_option_uses_choose():
     from rag_dpo_tpu.ingest.classify import ChunkClassifier
 
