@@ -208,6 +208,7 @@ def create_agent_pipeline(
     enable_expert_refinement: bool = False,
     enable_completeness: bool = True,
     generation_temperature: float = 0.1,
+    intent_fast: bool = False,
 ) -> RAGAgentPipeline:
     """Factory (reference `create_agent_pipeline` graph.py:336-471) —
     builds the same shared components as the sequential factory."""
@@ -230,7 +231,7 @@ def create_agent_pipeline(
         context_builder=ContextBuilder(
             llm=llm, max_context_chars=max_context_chars
         ),
-        intent_classifier=IntentClassifier(llm),
+        intent_classifier=IntentClassifier(llm, fast=intent_fast),
         grounding_validator=GroundingValidator(),
         reranker=reranker,
         n_candidates=n_candidates,

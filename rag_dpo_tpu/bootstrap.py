@@ -197,6 +197,7 @@ def build_stack(
         bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
         retriever_config=retriever_config,
         use_reranker=r.use_reranker,
+        intent_fast=r.intent_fast,
         n_candidates=r.n_candidates,
         rerank_top_k=r.rerank_top_k,
         max_context_chars=r.max_context_chars,
@@ -212,6 +213,7 @@ def build_stack(
         enable_expert_refinement=config.agent.enable_expert_refinement,
         enable_completeness=config.agent.enable_completeness,
         generation_temperature=config.llm.temperature,
+        intent_fast=r.intent_fast,
     )
 
     o = config.observability

@@ -110,8 +110,16 @@ est :"""
 
 
 class IntentClassifier:
-    def __init__(self, llm: BaseLLMProvider):
+    def __init__(self, llm: BaseLLMProvider, fast: bool = False):
+        # fast=True: on choice-capable providers, classify by scoring
+        # the 7 intents directly (one prefill + one extend, ~84 ms at
+        # 12B vs ~1 s for the JSON decode — BENCHMARKS.md "Constrained
+        # choice") and detect topics deterministically from the
+        # question text. The JSON path remains the fallback and the
+        # default (reference-parity flags wants_sources /
+        # negative_topics only exist there).
         self.llm = llm
+        self.fast = fast
 
     def _choose_intent(self, question: str) -> str | None:
         """Constrained fallback on providers that support it (the TPU
@@ -128,6 +136,18 @@ class IntentClassifier:
             return None
 
     def classify(self, question: str) -> QuestionIntent:
+        if self.fast:
+            chosen = self._choose_intent(question)
+            if chosen:
+                from .topics import detect_topics
+
+                return QuestionIntent(
+                    intent=chosen,
+                    topics=detect_topics(question),
+                    wants_sources=True,
+                    is_comparison=(chosen == "comparaison"),
+                )
+            # no capability / scoring error: fall through to JSON
         prompt = CLASSIFY_PROMPT.format(
             intents=", ".join(VALID_INTENTS),
             topics="; ".join(RGPD_TOPICS),

@@ -485,6 +485,7 @@ def create_pipeline(
     reranker=None,
     use_maxsim: bool = False,
     use_intent: bool = True,
+    intent_fast: bool = False,
     use_expansion: bool = True,
     retriever_config=None,
     n_candidates: int = 40,
@@ -520,7 +521,8 @@ def create_pipeline(
         context_builder=ContextBuilder(
             llm=llm, max_context_chars=max_context_chars
         ),
-        intent_classifier=IntentClassifier(llm) if use_intent else None,
+        intent_classifier=(IntentClassifier(llm, fast=intent_fast)
+                           if use_intent else None),
         reranker=reranker if use_reranker else None,
         relevance_validator=None if use_reranker else RelevanceValidator(),
         n_candidates=n_candidates,

@@ -41,6 +41,87 @@ RGPD_TOPICS: list[str] = [
 ]
 
 
+# trigger terms per topic for DETERMINISTIC detection from question
+# text (fast intent path: no LLM call). Normalized accent-free
+# substring match; triggers chosen to be unambiguous in DPO questions.
+_TOPIC_TRIGGERS: dict[str, tuple[str, ...]] = {
+    "base légale et consentement": ("base legale", "consentement",
+                                    "interet legitime", "licéite",
+                                    "liceite"),
+    "droits des personnes": ("droit d'acces", "droits des personnes",
+                             "effacement", "portabilite",
+                             "rectification", "droit d'opposition",
+                             "demande d'acces"),
+    "information et transparence": ("transparence", "mention d'information",
+                                    "politique de confidentialite",
+                                    "information des personnes"),
+    "registre des traitements": ("registre",),
+    "analyse d'impact (AIPD)": ("aipd", "analyse d'impact", "pia",
+                                "etude d'impact"),
+    "sécurité des données": ("securite", "chiffrement", "pseudonymisation",
+                             "mot de passe", "habilitation"),
+    "violation de données": ("violation", "fuite de donnees",
+                             "notification a la cnil"),
+    "sous-traitance": ("sous-traitant", "sous-traitance", "article 28",
+                       "prestataire"),
+    "transferts internationaux": ("transfert", "hors ue", "etats-unis",
+                                  "clauses contractuelles types",
+                                  "adequation"),
+    "durée de conservation": ("conservation", "duree de conservation",
+                              "archivage", "purge"),
+    "minimisation des données": ("minimisation",),
+    "données sensibles": ("donnees sensibles", "categories particulieres",
+                          "biometrique", "opinions"),
+    "données de santé": ("sante", "medical", "hds", "patient"),
+    "données des mineurs": ("mineur", "enfant", "eleve", "scolaire"),
+    "vidéosurveillance": ("videosurveillance", "camera", "videoprotection"),
+    "cookies et traceurs": ("cookie", "traceur", "mesure d'audience"),
+    "prospection commerciale": ("prospection", "marketing", "demarchage",
+                                "newsletter"),
+    "ressources humaines et salariés": ("salarie", "employe", "rh",
+                                        "recrutement", "paie",
+                                        "badgeage"),
+    "délégué à la protection des données": ("dpo", "delegue a la protection",
+                                            "designation du delegue"),
+    "sanctions et contrôles CNIL": ("sanction", "amende", "controle",
+                                    "mise en demeure", "deliberation"),
+    "responsabilité et gouvernance": ("responsable de traitement",
+                                      "accountability", "gouvernance",
+                                      "responsabilite conjointe"),
+    "certification et labels": ("certification", "label", "code de conduite"),
+    "recherche et statistiques": ("recherche", "statistique", "archives"),
+    "intelligence artificielle": ("intelligence artificielle", " ia ",
+                                  "algorithme", "apprentissage"),
+    "secteur public et collectivités": ("collectivite", "commune", "mairie",
+                                        "secteur public",
+                                        "administration"),
+}
+
+
+def _fold(text: str) -> str:
+    import unicodedata
+
+    folded = unicodedata.normalize("NFKD", text.lower())
+    return "".join(c for c in folded if not unicodedata.combining(c))
+
+
+def detect_topics(text: str, max_tags: int = 3) -> list[str]:
+    """Deterministic topic detection from question text (accent-folded
+    trigger substrings). Used by the fast intent path in place of the
+    LLM's JSON topic list; empty result is safe (the topic boost simply
+    doesn't apply)."""
+    low = f" {_fold(text)} "
+    out = []
+    for topic in RGPD_TOPICS:
+        for trig in _TOPIC_TRIGGERS.get(topic, ()):
+            if trig in low:
+                out.append(topic)
+                break
+        if len(out) >= max_tags:
+            break
+    return out
+
+
 def parse_topic_tags(raw: str, max_tags: int = 3) -> list[str]:
     """Normalize LLM tag output onto the controlled vocabulary
     (split on , ; / newline, fuzzy containment match, cap at 3)."""

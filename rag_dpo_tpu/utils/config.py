@@ -38,6 +38,11 @@ class RetrievalSection:
     # 64 on the 1M benchmark corpus and keeps the hybrid within ~9% of
     # the dense arm (BENCHMARKS.md "Hybrid tracking dense")
     postings_candidates: int = 0
+    # fast intent path on choice-capable providers: intent by
+    # constrained scoring (~84 ms at 12B vs ~1 s JSON decode) + topics
+    # by deterministic trigger match — frees decode-pool capacity
+    # under concurrent serving
+    intent_fast: bool = False
 
 
 @dataclasses.dataclass

@@ -170,6 +170,55 @@ def test_doc_classifier_nature_fallback_via_choose():
     assert clf.llm.choose_calls == 1
 
 
+def test_detect_topics_deterministic():
+    from rag_dpo_tpu.rag.topics import RGPD_TOPICS, detect_topics
+
+    got = detect_topics("Peut-on installer une caméra pour surveiller "
+                        "les salariés ?")
+    assert "vidéosurveillance" in got
+    assert "ressources humaines et salariés" in got
+    # accent folding: question typed without accents still matches
+    assert detect_topics("duree de conservation des videos ?") == \
+        ["durée de conservation"]
+    assert detect_topics("bonjour") == []
+    assert all(t in RGPD_TOPICS for t in got)
+
+
+def test_fast_intent_path_skips_json_decode():
+    """fast=True on a choice-capable provider: one choose() call, zero
+    generate() calls, deterministic topics; without the capability the
+    JSON path still runs."""
+    from rag_dpo_tpu.rag.intent import IntentClassifier
+
+    class CountingLLM(BrokenJSONLLM):
+        generate_calls = 0
+
+        def generate(self, *a, **k):
+            self.generate_calls += 1
+            return super().generate(*a, **k)
+
+    llm = CountingLLM(pick="cas_pratique")
+    clf = IntentClassifier(llm, fast=True)
+    out = clf.classify("Un salarié refuse la vidéosurveillance ?")
+    assert out.intent == "cas_pratique"
+    assert "vidéosurveillance" in out.topics
+    assert llm.choose_calls == 1 and llm.generate_calls == 0
+
+    class NoChoose(BaseLLMProvider):
+        model_name = "plain"
+        generate_calls = 0
+
+        def generate(self, prompt, system=None, temperature=0.0,
+                     json_mode=False, max_tokens=None):
+            self.generate_calls += 1
+            return LLMResponse('{"intent": "factuel", "topics": []}',
+                               self.model_name)
+
+    plain = NoChoose()
+    out = IntentClassifier(plain, fast=True).classify("Quel délai ?")
+    assert out.intent == "factuel" and plain.generate_calls == 1
+
+
 class GatedAgentLLM(BrokenJSONLLM):
     """choose() answers oui/non; counts generate() calls."""
 
