@@ -94,10 +94,14 @@ class RelevanceFilter:
             try:
                 import math
 
+                # normalize=False: the softmax needs the JOINT log-prob
+                # of each candidate ('10' is two tokens — its chain
+                # probability already prices that; a per-token mean
+                # would overweight it)
                 _, lp = self.llm.choose(
                     CHOOSE_FILTER_PROMPT.format(
                         url=url, title=title, excerpt=text[:3000]),
-                    [str(i) for i in range(11)])
+                    [str(i) for i in range(11)], normalize=False)
                 m = max(lp)
                 w = [math.exp(x - m) for x in lp]
                 exp_score = sum(i * wi for i, wi in enumerate(w)) \
