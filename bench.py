@@ -177,6 +177,8 @@ def _latest_serving_records():
             "concurrent_workers": e2e["concurrent"]["workers"],
             "concurrent_mean_latency_s":
                 e2e["concurrent"]["mean_latency_s"],
+            "concurrent_intent_fast_qpm": e2e.get(
+                "concurrent_intent_fast", {}).get("qpm"),
             "agent_sequential_s": e2e.get(
                 "agent_sequential", {}).get("mean_latency_s"),
             "agent_concurrent_qpm": e2e.get(

@@ -161,6 +161,50 @@ def main():
                 / max(eng.stats["steps"] - st0, 1), 2)}
     print("concurrent:", conc, flush=True)
 
+    # --- concurrent with the FAST intent path (intent by constrained
+    # choice + trigger topics instead of a 96-token JSON decode): same
+    # workload, same pool — the saved decode capacity goes to answers
+    from rag_dpo_tpu.rag.pipeline import create_pipeline
+
+    pipe_fast = create_pipeline(
+        ctx["index"], ctx["embedder"], llm,
+        bm25_stats=ctx["bm25_stats"], summary_index=ctx["summary_index"],
+        intent_fast=True)
+    pipe_fast.max_quality_retries = 0
+
+    def ask_fast(q):
+        t = time.time()
+        pipe_fast.query(q)
+        return time.time() - t
+
+    for q in QUESTIONS:                      # choose-shape warm pass
+        ask_fast(q)
+    f_lats = []
+    tk0 = eng.stats["tokens"]
+
+    def fast_worker(wid):
+        for j, q in enumerate(work):
+            if j % SLOTS == wid:
+                dt = ask_fast(q)
+                with lock:
+                    f_lats.append(dt)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=fast_worker, args=(w,))
+               for w in range(SLOTS)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    fast_wall = time.time() - t0
+    conc_fast = {"wall_s": round(fast_wall, 2), "queries": len(work),
+                 "workers": SLOTS,
+                 "qpm": round(60 * len(work) / fast_wall, 1),
+                 "mean_latency_s": round(float(np.mean(f_lats)), 2),
+                 "p95_latency_s": round(
+                     float(np.quantile(f_lats, 0.95)), 2),
+                 "tok_per_s": round(
+                     (eng.stats["tokens"] - tk0) / fast_wall, 1)}
+    print("concurrent intent_fast:", conc_fast, flush=True)
+
     # --- agent pipeline (the reference's 90.4% headline path: rewrite→
     # classify→enrich→decompose→retrieve→generate→validate→completeness,
     # worst case ~7 LLM calls/query vs the sequential pipeline's 3).
@@ -212,7 +256,9 @@ def main():
            "quantize_kv": True, "decode_chunk": DECODE_CHUNK,
            "max_new_tokens": MAX_NEW, "sequential": seq,
            "concurrent": conc,
+           "concurrent_intent_fast": conc_fast,
            "throughput_gain": round(conc["qpm"] / seq["qpm"], 2),
+           "intent_fast_gain": round(conc_fast["qpm"] / conc["qpm"], 2),
            "agent_sequential": agent_seq, "agent_concurrent": agent_conc,
            "reference_s_per_query": 39.1,
            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}

@@ -72,6 +72,32 @@ def test_choose_api_contract():
         llm.choose("X", [])
 
 
+def test_choose_fuzz_unicode_and_boundaries():
+    """Randomized prompts/choices (accents, punctuation-leading,
+    shared-prefix traps, k 1..6): always returns a member, score list
+    length k, and is deterministic across repeat calls."""
+    import random
+
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False)
+    rng = random.Random(7)
+    pool = ["oui", "non", "à confirmer", "REFUS", "l'article 28",
+            "données", "10", "1", ", virgule", "sous-traitance (art. 28)"]
+    for trial in range(6):
+        k = rng.randint(1, 6)
+        choices = rng.sample(pool, k)
+        prompt = rng.choice([
+            "Réponse :", "Choix parmi les options suivantes :",
+            "Le délai CNIL est de 72 h. Verdict :",
+        ])
+        best, scores = llm.choose(prompt, choices)
+        assert best in choices and len(scores) == k, (trial, best)
+        best2, scores2 = llm.choose(prompt, choices)
+        assert best2 == best
+        assert all(abs(a - b) < 1e-5 for a, b in zip(scores, scores2))
+
+
 class BrokenJSONLLM(BaseLLMProvider):
     """Returns malformed JSON; exposes `choose` like the TPU provider."""
     model_name = "broken"
