@@ -63,6 +63,25 @@ def test_config_rejects_unknown_key(tmp_path):
         load_config(f)
 
 
+def test_example_config_covers_every_field():
+    """configs/config.example.yaml loads cleanly, names EVERY field of
+    the typed tree, and its values are exactly the defaults (the
+    example can't drift from the dataclasses)."""
+    import dataclasses
+    import pathlib
+
+    path = (pathlib.Path(__file__).resolve().parent.parent
+            / "configs" / "config.example.yaml")
+    text = path.read_text()
+    cfg = load_config(path, env={})
+    default = load_config(None, env={})
+    assert cfg == default
+    for sec in dataclasses.fields(default):
+        assert f"{sec.name}:" in text, sec.name
+        for f in dataclasses.fields(getattr(default, sec.name)):
+            assert f"{f.name}:" in text, f"{sec.name}.{f.name}"
+
+
 def test_structured_logging(tmp_path):
     log_file = tmp_path / "app.jsonl"
     logger = setup_structured_logging(log_file, console=False)
