@@ -42,6 +42,22 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _prometheus_lines(tree: dict, prefix: str = "ragdpo"):
+    """Flatten a stats tree into Prometheus text lines: numeric leaves
+    become `ragdpo_<path> <value>`; bools count as 0/1; strings/lists
+    are skipped (exposition format carries numbers only)."""
+    import re
+
+    for key, value in sorted(tree.items()):
+        name = f"{prefix}_{re.sub(r'[^a-zA-Z0-9_]', '_', str(key))}"
+        if isinstance(value, dict):
+            yield from _prometheus_lines(value, name)
+        elif isinstance(value, bool):
+            yield f"{name} {int(value)}\n"
+        elif isinstance(value, (int, float)):
+            yield f"{name} {value}\n"
+
+
 def make_handler(system: dict):
     # /query concurrency: 1 by default (the LLM dominates and an external
     # endpoint serializes anyway). With a TPU-served LLM in
@@ -115,6 +131,37 @@ def make_handler(system: dict):
                         age_steps=eng.age_steps,
                     )
                 self._send(200, stats)
+            elif self.path.startswith("/metrics"):
+                # Prometheus text exposition of the SAME stats tree
+                # /stats serves (numeric leaves only) — scrapeable by a
+                # standard prometheus/grafana stack with zero deps.
+                # Capability superset: the reference has no metrics
+                # endpoint at all.
+                stats = system["qlog"].get_stats()
+                llm = system.get("llm")
+                driver = getattr(llm, "_driver", None)
+                if driver is not None:
+                    stats["decode_pool"] = dict(
+                        driver.engine.stats,
+                        slots=driver.engine.slots,
+                        mean_occupancy=driver.engine.occupancy,
+                        timeouts=driver.timeouts,
+                    )
+                search = system.get("search")
+                if search is not None:
+                    bs = search.batcher.stats
+                    stats["search_batcher"] = {
+                        "n_requests": bs.n_requests,
+                        "n_device_calls": bs.n_device_calls,
+                        "mean_batch": bs.mean_batch,
+                    }
+                body = "".join(_prometheus_lines(stats)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 

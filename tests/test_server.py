@@ -54,6 +54,22 @@ def test_query_and_feedback_flow(server):
     assert stats["n_queries"] >= 1
 
 
+def test_metrics_prometheus_format(server):
+    """GET /metrics serves the stats tree as Prometheus text lines
+    (numeric leaves only, nested keys joined by underscores)."""
+    _post(server, "/query", {"question": "Quel registre tenir ?"})
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    lines = [ln for ln in body.splitlines() if ln]
+    assert lines, body
+    for ln in lines:
+        name, _, value = ln.partition(" ")
+        assert name.startswith("ragdpo_"), ln
+        float(value)                     # every sample parses numeric
+    assert any(ln.startswith("ragdpo_n_queries ") for ln in lines), body
+
+
 def test_query_validation(server):
     code, data = _post(server, "/query", {})
     assert code == 400 and "question" in data["error"]
