@@ -162,6 +162,14 @@ def make_handler(system: dict):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/v1/models":
+                # OpenAI-compatible model listing (clients call this
+                # before chat.completions)
+                llm = system.get("stream_llm") or system.get("llm")
+                name = getattr(llm, "model_name", "rag-dpo-tpu")
+                self._send(200, {"object": "list", "data": [{
+                    "id": name, "object": "model", "created": 0,
+                    "owned_by": "rag-dpo-tpu"}]})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -520,6 +528,102 @@ def make_handler(system: dict):
                     system=data.get("system"),
                     normalize=bool(data.get("normalize", True)))
                 self._send(200, {"choice": best, "scores": scores})
+            elif self.path == "/v1/chat/completions":
+                # OpenAI-compatible chat endpoint over the TPU-served
+                # decoder (every provider is streamable — base
+                # chat_stream): standard clients (openai SDK, curl
+                # recipes, LibreChat-style UIs) can point at this
+                # server unchanged. Capability superset — the reference
+                # only CONSUMES an LLM API, it never serves one.
+                import time as _time
+                import uuid as _uuid
+
+                llm = system.get("stream_llm") or system.get("llm")
+                if llm is None:
+                    self._send(503, {"error": {"message":
+                                               "no LLM loaded"}})
+                    return
+                messages = data.get("messages")
+                if (not isinstance(messages, list) or not messages
+                        or not all(isinstance(m, dict)
+                                   and str(m.get("role", ""))
+                                   and isinstance(m.get("content"), str)
+                                   for m in messages)):
+                    self._send(400, {"error": {"message":
+                                     "'messages' must be a non-empty "
+                                     "list of {role, content}"}})
+                    return
+                try:
+                    temperature = float(data.get("temperature", 0.0))
+                except (TypeError, ValueError):
+                    self._send(400, {"error": {"message":
+                                     "temperature must be a number"}})
+                    return
+                max_new = data.get("max_tokens")
+                if max_new is not None:
+                    try:
+                        max_new = max(1, min(int(max_new), 2048))
+                    except (TypeError, ValueError):
+                        self._send(400, {"error": {"message":
+                                         "max_tokens must be an int"}})
+                        return
+                model = getattr(llm, "model_name", "rag-dpo-tpu")
+                rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
+                created = int(_time.time())
+                if not data.get("stream"):
+                    resp = llm.chat(messages, temperature=temperature,
+                                    max_tokens=max_new)
+                    if not resp.ok:
+                        self._send(502, {"error":
+                                         {"message": resp.error}})
+                        return
+                    n_prompt = sum(len(str(m["content"]).split())
+                                   for m in messages)
+                    self._send(200, {
+                        "id": rid, "object": "chat.completion",
+                        "created": created, "model": model,
+                        "choices": [{"index": 0,
+                                     "message": {"role": "assistant",
+                                                 "content": resp.text},
+                                     "finish_reason": "stop"}],
+                        "usage": {
+                            "prompt_tokens": n_prompt,
+                            "completion_tokens": len(resp.text.split()),
+                            "total_tokens": n_prompt
+                            + len(resp.text.split())},
+                    })
+                    return
+                self._raw_started = True
+                self._sse_started = True
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+
+                def chunk(delta: dict, finish=None):
+                    payload = json.dumps({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": model,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": finish}]},
+                        ensure_ascii=False)
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+
+                chunk({"role": "assistant", "content": ""})
+                stream = llm.chat_stream(messages,
+                                         temperature=temperature,
+                                         max_tokens=max_new)
+                try:
+                    for delta in stream:
+                        if delta:
+                            chunk({"content": delta})
+                finally:
+                    close = getattr(stream, "close", None)
+                    if close:
+                        close()
+                chunk({}, finish="stop")
+                self.wfile.write(b"data: [DONE]\n\n")
             elif self.path == "/feedback":
                 qid = data.get("query_id")
                 if not qid or "rating" not in data:

@@ -355,6 +355,77 @@ def test_choose_endpoint(tmp_path_factory):
     srv.shutdown()
 
 
+def test_openai_compatible_chat_completions(tmp_path_factory):
+    """/v1/chat/completions speaks the OpenAI schema over the TPU
+    decoder: non-stream result, SSE chunks that concatenate to it,
+    /v1/models listing, and 400s on malformed payloads."""
+    import json as _json
+    import os
+    import threading as th
+
+    import jax.numpy as jnp
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("oai"))
+    system = build_system(agent_too=False)
+    system["stream_llm"] = TPULLMProvider(
+        DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32), max_new_tokens=12)
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    with urllib.request.urlopen(url + "/v1/models", timeout=30) as r:
+        models = _json.loads(r.read())
+    assert models["object"] == "list" and models["data"][0]["id"]
+
+    msgs = [{"role": "system", "content": "Assistant RGPD."},
+            {"role": "user", "content": "registre des traitements"}]
+    code, data = _post(url, "/v1/chat/completions",
+                       {"messages": msgs, "max_tokens": 12})
+    assert code == 200, data
+    assert data["object"] == "chat.completion"
+    text = data["choices"][0]["message"]["content"]
+    assert text and data["choices"][0]["finish_reason"] == "stop"
+    assert data["usage"]["total_tokens"] > 0
+
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        data=_json.dumps({"messages": msgs, "max_tokens": 12,
+                          "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    deltas, finishes = [], []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[6:]
+            if body == "[DONE]":
+                break
+            obj = _json.loads(body)
+            assert obj["object"] == "chat.completion.chunk"
+            delta = obj["choices"][0]["delta"]
+            if "content" in delta:
+                deltas.append(delta["content"])
+            finishes.append(obj["choices"][0]["finish_reason"])
+    assert "".join(deltas) == text       # greedy stream == one-shot
+    assert finishes[-1] == "stop"
+
+    code, _ = _post(url, "/v1/chat/completions", {"messages": []})
+    assert code == 400
+    code, _ = _post(url, "/v1/chat/completions",
+                    {"messages": [{"role": "user"}]})
+    assert code == 400
+    code, _ = _post(url, "/v1/chat/completions",
+                    {"messages": msgs, "temperature": "chaud"})
+    assert code == 400
+    srv.shutdown()
+
+
 def test_stats_exposes_decode_pool_for_continuous_llm(tmp_path):
     """When generation serves through the continuous slot pool, /stats
     carries its occupancy / prefix-cache / speculation counters (same
