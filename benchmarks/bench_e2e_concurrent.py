@@ -251,6 +251,43 @@ def main():
                   "mean_latency_s": round(float(np.mean(ag_lats)), 2)}
     print("agent concurrent:", agent_conc, flush=True)
 
+    # --- agent with the fast intent path (the agent graph classifies
+    # every query too; its decompose/completeness calls already
+    # pre-gate via choose on this provider)
+    agent_fast = create_agent_pipeline(
+        ctx["index"], ctx["embedder"], llm,
+        bm25_stats=ctx["bm25_stats"], summary_index=ctx["summary_index"],
+        intent_fast=True)
+    agent_fast.components.max_generation_retries = 0
+
+    def ask_agent_fast(q):
+        t = time.time()
+        agent_fast.query(q)
+        return time.time() - t
+
+    for q in QUESTIONS:                      # warm
+        ask_agent_fast(q)
+    af_lats, t0 = [], time.time()
+
+    def agent_fast_worker(wid):
+        for j, q in enumerate(work):
+            if j % SLOTS == wid:
+                dt = ask_agent_fast(q)
+                with lock:
+                    af_lats.append(dt)
+
+    threads = [threading.Thread(target=agent_fast_worker, args=(w,))
+               for w in range(SLOTS)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    af_wall = time.time() - t0
+    agent_conc_fast = {
+        "wall_s": round(af_wall, 2), "queries": len(work),
+        "workers": SLOTS,
+        "qpm": round(60 * len(work) / af_wall, 1),
+        "mean_latency_s": round(float(np.mean(af_lats)), 2)}
+    print("agent concurrent intent_fast:", agent_conc_fast, flush=True)
+
     out = {"bench": "e2e_rag_concurrent_12B_int8",
            "device": str(jax.devices()[0]), "slots": SLOTS,
            "quantize_kv": True, "decode_chunk": DECODE_CHUNK,
@@ -260,6 +297,7 @@ def main():
            "throughput_gain": round(conc["qpm"] / seq["qpm"], 2),
            "intent_fast_gain": round(conc_fast["qpm"] / conc["qpm"], 2),
            "agent_sequential": agent_seq, "agent_concurrent": agent_conc,
+           "agent_concurrent_intent_fast": agent_conc_fast,
            "reference_s_per_query": 39.1,
            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
     print(json.dumps(out), flush=True)

@@ -567,6 +567,11 @@ def make_handler(system: dict):
                         self._send(400, {"error": {"message":
                                          "max_tokens must be an int"}})
                         return
+                stops = data.get("stop")
+                if isinstance(stops, str):
+                    stops = [stops]
+                stops = [s for s in (stops or [])
+                         if isinstance(s, str) and s][:4]
                 model = getattr(llm, "model_name", "rag-dpo-tpu")
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
                 created = int(_time.time())
@@ -577,6 +582,10 @@ def make_handler(system: dict):
                         self._send(502, {"error":
                                          {"message": resp.error}})
                         return
+                    text = resp.text
+                    cuts = [text.find(s) for s in stops if s in text]
+                    if cuts:
+                        text = text[:min(cuts)]
                     n_prompt = sum(len(str(m["content"]).split())
                                    for m in messages)
                     self._send(200, {
@@ -584,13 +593,13 @@ def make_handler(system: dict):
                         "created": created, "model": model,
                         "choices": [{"index": 0,
                                      "message": {"role": "assistant",
-                                                 "content": resp.text},
+                                                 "content": text},
                                      "finish_reason": "stop"}],
                         "usage": {
                             "prompt_tokens": n_prompt,
-                            "completion_tokens": len(resp.text.split()),
+                            "completion_tokens": len(text.split()),
                             "total_tokens": n_prompt
-                            + len(resp.text.split())},
+                            + len(text.split())},
                     })
                     return
                 self._raw_started = True
@@ -614,10 +623,33 @@ def make_handler(system: dict):
                 stream = llm.chat_stream(messages,
                                          temperature=temperature,
                                          max_tokens=max_new)
+                # stop sequences are matched host-side on the
+                # accumulated text; withholding len(stop)-1 trailing
+                # chars keeps a match that spans two deltas intact, and
+                # breaking the loop closes the inner stream, which
+                # CANCELS the decode (slot frees — same machinery as a
+                # client disconnect)
+                hold = max((len(s) for s in stops), default=0) - 1
+                acc, emitted = "", 0
                 try:
                     for delta in stream:
-                        if delta:
-                            chunk({"content": delta})
+                        if not delta:
+                            continue
+                        acc += delta
+                        cuts = [acc.find(s) for s in stops if s in acc]
+                        if cuts:
+                            out = acc[emitted:min(cuts)]
+                            if out:
+                                chunk({"content": out})
+                            emitted = len(acc)
+                            break
+                        safe = len(acc) - hold if hold > 0 else len(acc)
+                        if safe > emitted:
+                            chunk({"content": acc[emitted:safe]})
+                            emitted = safe
+                    else:
+                        if emitted < len(acc):
+                            chunk({"content": acc[emitted:]})
                 finally:
                     close = getattr(stream, "close", None)
                     if close:

@@ -415,6 +415,33 @@ def test_openai_compatible_chat_completions(tmp_path_factory):
     assert "".join(deltas) == text       # greedy stream == one-shot
     assert finishes[-1] == "stop"
 
+    # stop sequences: pick a substring from the middle of the known
+    # greedy answer; both modes must truncate before it (the stream
+    # must not leak the withheld tail even when the stop spans deltas)
+    if len(text) > 8:
+        stop = text[len(text) // 2: len(text) // 2 + 3]
+        code, data = _post(url, "/v1/chat/completions",
+                           {"messages": msgs, "max_tokens": 12,
+                            "stop": stop})
+        cut = data["choices"][0]["message"]["content"]
+        assert stop not in cut and text.startswith(cut), (stop, cut)
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            data=_json.dumps({"messages": msgs, "max_tokens": 12,
+                              "stream": True, "stop": [stop]}).encode(),
+            headers={"Content-Type": "application/json"})
+        sdeltas = []
+        with urllib.request.urlopen(req, timeout=300) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: ") or line == "data: [DONE]":
+                    continue
+                obj = _json.loads(line[6:])
+                d = obj["choices"][0]["delta"]
+                if "content" in d:
+                    sdeltas.append(d["content"])
+        assert "".join(sdeltas) == cut, (cut, sdeltas)
+
     code, _ = _post(url, "/v1/chat/completions", {"messages": []})
     assert code == 400
     code, _ = _post(url, "/v1/chat/completions",
