@@ -388,8 +388,15 @@ class DecoderModel(nn.Module):
         return logits
 
     @staticmethod
-    def init_cache(cfg: DecoderConfig, batch: int):
-        kv_shape = (batch, cfg.max_seq_len, cfg.num_kv_heads, cfg.dh)
+    def init_cache(cfg: DecoderConfig, batch: int,
+                   length: int | None = None):
+        # `length` bounds the cache rows (default: full context).
+        # Attention reads kv_len from the cache's actual shape, so a
+        # short-lived program (e.g. choose/score_choices) can allocate
+        # only the rows it will write instead of max_seq_len — at 12B
+        # that is ~180 MB instead of ~1 GB for a k=8 broadcast.
+        kv_shape = (batch, length or cfg.max_seq_len,
+                    cfg.num_kv_heads, cfg.dh)
         if cfg.quantize_kv:
             sc_shape = kv_shape[:-1]
             return [

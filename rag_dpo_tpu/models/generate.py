@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from typing import Any
 
 import jax
@@ -68,6 +69,11 @@ class TextGenerator:
         self._params = params
         self._rng_seed = rng_seed
         self._programs: dict = {}
+        # bound concurrent score_choices dispatches: each holds a
+        # k-broadcast KV transient (~180 MB at 12B after the length
+        # bound); 16 serving workers firing choose at once next to a
+        # loaded slot pool exhausted HBM (measured, bench_e2e run 2)
+        self._choose_slots = threading.Semaphore(2)
 
     def load(self):
         if self._params is None:
@@ -151,11 +157,18 @@ class TextGenerator:
         key = ("choose", k, s, c)
         if key not in self._programs:
             cfg = self.config
+            # cache bounded to the rows this program writes (s prompt
+            # + c candidate) — NOT max_seq_len: attention reads kv_len
+            # from the cache shape, and the k-broadcast of a full-
+            # context cache was a ~1 GB transient at 12B that OOMed
+            # next to a loaded serving pool
+            cache_len = min(s + c, cfg.max_seq_len)
 
             @jax.jit
             def choose(params, prompt_ids, prompt_len, cand_ids,
                        cand_lens):
-                caches = DecoderModel.init_cache(cfg, 1)
+                caches = DecoderModel.init_cache(cfg, 1,
+                                                 length=cache_len)
                 positions = jnp.broadcast_to(
                     jnp.arange(s)[None, :], (1, s))
                 valid = positions < prompt_len[:, None]
@@ -170,8 +183,8 @@ class TextGenerator:
                 posC = jnp.broadcast_to(prompt_len[:, None] + offs,
                                         (k, c))
                 validC = (offs < cand_lens[:, None]) & \
-                    (posC < cfg.max_seq_len)
-                pos_c = jnp.clip(posC, 0, cfg.max_seq_len - 1)
+                    (posC < cache_len)
+                pos_c = jnp.clip(posC, 0, cache_len - 1)
                 logitsC, _ = self.model.apply(
                     params, cand_ids, pos_c, cachesK,
                     attn_mask=None, write_mask=validC)
@@ -216,11 +229,12 @@ class TextGenerator:
         cids[:k, :c] = cand_ids[:, :cb]
         lens = np.ones((kb,), np.int32)
         lens[:k] = np.clip(cand_lens, 1, cb)
-        out = self._choose(kb, s, cb)(
-            params, jnp.asarray(pids),
-            jnp.asarray([min(int(prompt_len), s)], dtype=jnp.int32),
-            jnp.asarray(cids), jnp.asarray(lens))
-        return np.asarray(out)[:k]
+        with self._choose_slots:
+            out = self._choose(kb, s, cb)(
+                params, jnp.asarray(pids),
+                jnp.asarray([min(int(prompt_len), s)], dtype=jnp.int32),
+                jnp.asarray(cids), jnp.asarray(lens))
+            return np.asarray(out)[:k]
 
     def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
         key = ("decode", b, n_steps, sampling.temperature,
