@@ -111,6 +111,7 @@ def build_stack(
                                    or None),
                 age_steps=config.llm.age_steps,
                 preemption=config.llm.preemption,
+                choose_batch=config.llm.choose_batch,
             )
         llm = create_llm(
             config.llm.mode, base_url=config.llm.base_url,

@@ -74,6 +74,7 @@ class TextGenerator:
         # bound); 16 serving workers firing choose at once next to a
         # loaded slot pool exhausted HBM (measured, bench_e2e run 2)
         self._choose_slots = threading.Semaphore(2)
+        self._choose_batcher = None   # see enable_choose_batching
 
     def load(self):
         if self._params is None:
@@ -146,15 +147,21 @@ class TextGenerator:
             self._programs[key] = extend
         return self._programs[key]
 
-    def _choose(self, k: int, s: int, c: int):
-        """Teacher-forced candidate scoring: prefill the prompt ONCE
-        (batch 1), broadcast its K/V prefix to `k` rows, run one
-        teacher-forced forward over the `c`-token candidate bucket with
-        FULL per-position logits (tiny: [k, c, V] at c ≤ 64), and sum
-        each candidate's next-token log-probs. Constrained decoding the
-        TPU way — no token-by-token masking loop, no sampling: ranking
-        k continuations costs one prefill + one extend, whatever k."""
-        key = ("choose", k, s, c)
+    def _choose(self, b: int, k: int, s: int, c: int):
+        """Teacher-forced candidate scoring: prefill `b` prompts ONCE,
+        broadcast each prompt's K/V prefix to its `k` candidate rows,
+        run one teacher-forced forward over the `c`-token candidate
+        bucket, and sum each candidate's next-token log-probs →
+        [b, k]. Constrained decoding the TPU way — no token-by-token
+        masking loop, no sampling: ranking k continuations costs one
+        prefill + one extend, whatever k; `b` concurrent callers share
+        both weight sweeps (see enable_choose_batching).
+
+        Log-probs come from a logsumexp + gather rather than a full
+        log_softmax so the [b·k, c, V] logits tensor is read twice but
+        never copied — at 12B (V=131k) a normalized copy is another
+        ~130 MB per (k·c) row-token."""
+        key = ("choose", b, k, s, c)
         if key not in self._programs:
             cfg = self.config
             # cache bounded to the rows this program writes (s prompt
@@ -167,38 +174,50 @@ class TextGenerator:
             @jax.jit
             def choose(params, prompt_ids, prompt_len, cand_ids,
                        cand_lens):
-                caches = DecoderModel.init_cache(cfg, 1,
+                # prompt_ids [b, s], prompt_len [b],
+                # cand_ids [b, k, c], cand_lens [b, k]
+                caches = DecoderModel.init_cache(cfg, b,
                                                  length=cache_len)
                 positions = jnp.broadcast_to(
-                    jnp.arange(s)[None, :], (1, s))
+                    jnp.arange(s)[None, :], (b, s))
                 valid = positions < prompt_len[:, None]
                 logits1, caches = self.model.apply(
                     params, prompt_ids, positions, caches,
                     attn_mask=None, write_mask=valid,
                     last_index=jnp.clip(prompt_len - 1, 0))
                 cachesK = jax.tree_util.tree_map(
-                    lambda x: jnp.broadcast_to(x, (k,) + x.shape[1:]),
+                    lambda x: jnp.reshape(
+                        jnp.broadcast_to(x[:, None],
+                                         (b, k) + x.shape[1:]),
+                        (b * k,) + x.shape[1:]),
                     caches)
+                cflat = cand_ids.reshape(b * k, c)
+                lflat = cand_lens.reshape(b * k)
+                plen = jnp.repeat(prompt_len, k)            # [b·k]
                 offs = jnp.arange(c)[None, :]
-                posC = jnp.broadcast_to(prompt_len[:, None] + offs,
-                                        (k, c))
-                validC = (offs < cand_lens[:, None]) & \
+                posC = plen[:, None] + offs
+                validC = (offs < lflat[:, None]) & \
                     (posC < cache_len)
                 pos_c = jnp.clip(posC, 0, cache_len - 1)
                 logitsC, _ = self.model.apply(
-                    params, cand_ids, pos_c, cachesK,
+                    params, cflat, pos_c, cachesK,
                     attn_mask=None, write_mask=validC)
-                lp1 = jax.nn.log_softmax(
-                    logits1[0, 0].astype(jnp.float32))      # [V]
-                lpC = jax.nn.log_softmax(
-                    logitsC.astype(jnp.float32), axis=-1)   # [k, c, V]
-                first = lp1[cand_ids[:, 0]]                 # [k]
-                nxt = jnp.take_along_axis(
-                    lpC[:, :-1], cand_ids[:, 1:, None],
-                    axis=-1)[..., 0]                        # [k, c-1]
+                l1 = logits1[:, 0].astype(jnp.float32)      # [b, V]
+                lp1 = l1 - jax.nn.logsumexp(l1, axis=-1,
+                                            keepdims=True)
+                first = jnp.take_along_axis(
+                    jnp.repeat(lp1, k, axis=0),
+                    cflat[:, :1], axis=1)[:, 0]             # [b·k]
+                lC = logitsC.astype(jnp.float32)            # [b·k, c, V]
+                lse = jax.nn.logsumexp(lC, axis=-1)         # [b·k, c]
+                tgt = jnp.take_along_axis(
+                    lC[:, :-1], cflat[:, 1:, None],
+                    axis=-1)[..., 0]                        # [b·k, c-1]
+                nxt = tgt - lse[:, :-1]
                 jmask = (jnp.arange(c - 1)[None, :] + 1) \
-                    < cand_lens[:, None]
-                return first + jnp.where(jmask, nxt, 0.0).sum(-1)
+                    < lflat[:, None]
+                out = first + jnp.where(jmask, nxt, 0.0).sum(-1)
+                return out.reshape(b, k)
 
             self._programs[key] = choose
         return self._programs[key]
@@ -209,7 +228,9 @@ class TextGenerator:
         """Sum log-prob of each candidate continuation [k, c] after the
         shared prompt [s] (true length `prompt_len`). Shapes are
         bucketed (k → pow2, s/c → length buckets) so repeated calls hit
-        cached programs; pad rows score garbage and are sliced away."""
+        cached programs; pad rows score garbage and are sliced away.
+        With `enable_choose_batching`, concurrent same-bucket callers
+        coalesce into ONE device dispatch (see _choose_batch_fn)."""
         from ..tokenize.base import bucket_length
 
         params = self.load()
@@ -223,18 +244,69 @@ class TextGenerator:
         s = bucket_length(len(prompt_ids))
         cb = bucket_length(c, buckets=(4, 8, 16, 32, 64, 128))
         pad = getattr(self.config, "pad_id", 1)
-        pids = np.full((1, s), pad, np.int32)
-        pids[0, :len(prompt_ids)] = prompt_ids[:s]
+        pids = np.full((s,), pad, np.int32)
+        pids[:len(prompt_ids)] = prompt_ids[:s]
         cids = np.full((kb, cb), pad, np.int32)
         cids[:k, :c] = cand_ids[:, :cb]
         lens = np.ones((kb,), np.int32)
         lens[:k] = np.clip(cand_lens, 1, cb)
+        plen = min(int(prompt_len), s)
+        if self._choose_batcher is not None:
+            # pack one flat int32 row [s | 1 | kb·cb | kb]; same-bucket
+            # rows stack into one program call by the MicroBatcher
+            row = np.concatenate([
+                pids, np.asarray([plen], np.int32),
+                cids.reshape(-1), lens])
+            (out,) = self._choose_batcher(row[None, :], key=(kb, s, cb))
+            return np.asarray(out)[0, :k]
         with self._choose_slots:
-            out = self._choose(kb, s, cb)(
+            out = self._choose(1, kb, s, cb)(
+                params, jnp.asarray(pids[None, :]),
+                jnp.asarray([plen], dtype=jnp.int32),
+                jnp.asarray(cids[None]), jnp.asarray(lens[None]))
+            return np.asarray(out)[0, :k]
+
+    def enable_choose_batching(self, max_batch: int = 4,
+                               max_wait_ms: float = 2.0) -> None:
+        """Coalesce concurrent score_choices calls into batched device
+        dispatches. Under concurrent serving (16 workers, intent_fast)
+        or background classifier floods (relevance filter, doc nature),
+        choose calls otherwise serialize at batch 1 — the two weight
+        sweeps amortize across however many callers share the window.
+        `max_batch` bounds the prefix-broadcast transient: each row
+        holds a k-row KV broadcast (~180 MB at 12B, k=8, bf16 KV), so
+        4 rows ≈ 720 MB peak next to the slot pool. Idempotent."""
+        if self._choose_batcher is not None:
+            return
+        from ..serving.batcher import MicroBatcher
+
+        self._choose_batcher = MicroBatcher(
+            self._choose_batch_fn, max_batch=max_batch,
+            max_wait_ms=max_wait_ms)
+
+    def _choose_batch_fn(self, stacked: np.ndarray, key):
+        """MicroBatcher fn: unpack [B, s+1+kb·(cb+1)] rows, pad B to a
+        power of two (bounded program count), run the batched choose
+        program, return per-row scores [B, kb]."""
+        kb, s, cb = key
+        q = stacked.shape[0]
+        b = 1
+        while b < q:
+            b *= 2
+        if b > q:  # replicate row 0: real shapes, results sliced off
+            stacked = np.concatenate(
+                [stacked, np.repeat(stacked[:1], b - q, axis=0)])
+        pids = stacked[:, :s]
+        plens = stacked[:, s]
+        cids = stacked[:, s + 1:s + 1 + kb * cb].reshape(b, kb, cb)
+        lens = stacked[:, s + 1 + kb * cb:].reshape(b, kb)
+        params = self.load()
+        with self._choose_slots:
+            out = self._choose(b, kb, s, cb)(
                 params, jnp.asarray(pids),
-                jnp.asarray([min(int(prompt_len), s)], dtype=jnp.int32),
+                jnp.asarray(plens, dtype=jnp.int32),
                 jnp.asarray(cids), jnp.asarray(lens))
-            return np.asarray(out)[:k]
+            return (np.asarray(out)[:q],)
 
     def _decode(self, b: int, n_steps: int, sampling: SamplingConfig):
         key = ("decode", b, n_steps, sampling.temperature,

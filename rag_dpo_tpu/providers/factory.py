@@ -84,6 +84,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
                    request_timeout_s: float | None = None,
                    age_steps: int = 0,
                    preemption: bool = False,
+                   choose_batch: int = 0,
                    model: str | None = None) -> BaseLLMProvider:
     """On-chip generation: the in-process JAX decoder as the provider.
 
@@ -142,6 +143,7 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
         request_timeout_s=request_timeout_s,
         age_steps=age_steps,
         preemption=preemption,
+        choose_batch=choose_batch,
     )
 
 

@@ -57,6 +57,7 @@ class TPULLMProvider(BaseLLMProvider):
         priority: int = 0,
         age_steps: int = 0,
         preemption: bool = False,
+        choose_batch: int = 0,
     ):
         self.config = config or DecoderConfig.tiny()
         self.generator = TextGenerator(self.config, params=params)
@@ -89,6 +90,12 @@ class TPULLMProvider(BaseLLMProvider):
         # per device call, so it never fragments batching keys.
         self._seed_counter = 0
         self._seed_lock = threading.Lock()
+        # coalesce concurrent choose() calls into one batched scoring
+        # dispatch (intent_fast serving, background classifier floods);
+        # 0 = each call dispatches alone (bounded by a semaphore)
+        if choose_batch > 0:
+            self.generator.enable_choose_batching(
+                max_batch=int(choose_batch))
         self._batcher = None
         if batch_concurrent:
             from ..serving.batcher import MicroBatcher

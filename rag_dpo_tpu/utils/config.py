@@ -87,6 +87,9 @@ class LLMSection:
     preemption: bool = False           # higher-priority arrivals evict
                                        # the worst active slot (victim
                                        # resumes bit-identically)
+    choose_batch: int = 0              # coalesce concurrent choose()
+                                       # calls into one batched scoring
+                                       # dispatch (0 = off)
 
 
 @dataclasses.dataclass

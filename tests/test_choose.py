@@ -304,3 +304,67 @@ def test_chunk_classifier_two_option_uses_choose():
     # GUIDE (2.0) ranks first, DOCTRINE (1.5) second — the stub picks
     # the runner-up, proving choose()'s verdict is what's returned
     assert out == "DOCTRINE"
+
+
+def test_batched_choose_program_matches_single(gen):
+    """The b-batched choose program scores each row exactly like b=1
+    dispatches (same bucket): batching is a throughput move, never a
+    semantics one."""
+    params = gen.load()
+    rng = np.random.default_rng(7)
+    kb, s, cb, b = 4, 16, 4, 4
+    pids = rng.integers(4, CFG.vocab_size, (b, s)).astype(np.int32)
+    plens = rng.integers(3, s, (b,)).astype(np.int32)
+    cids = rng.integers(4, CFG.vocab_size, (b, kb, cb)).astype(np.int32)
+    clens = rng.integers(1, cb + 1, (b, kb)).astype(np.int32)
+    batched = np.asarray(gen._choose(b, kb, s, cb)(
+        params, jnp.asarray(pids), jnp.asarray(plens),
+        jnp.asarray(cids), jnp.asarray(clens)))
+    for i in range(b):
+        solo = np.asarray(gen._choose(1, kb, s, cb)(
+            params, jnp.asarray(pids[i:i + 1]),
+            jnp.asarray(plens[i:i + 1]),
+            jnp.asarray(cids[i:i + 1]), jnp.asarray(clens[i:i + 1])))
+        np.testing.assert_allclose(batched[i], solo[0], atol=1e-4,
+                                   rtol=1e-4)
+        assert int(np.argmax(batched[i])) == int(np.argmax(solo[0]))
+
+
+def test_choose_batching_coalesces_and_matches_unbatched():
+    """Concurrent choose() through a choose_batch provider returns the
+    same answers+scores as the unbatched provider, and the batcher
+    stats prove real coalescing happened."""
+    import threading
+
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    plain = create_tpu_llm(arch="tiny", quantize_int8=False)
+    batched = create_tpu_llm(arch="tiny", quantize_int8=False,
+                             choose_batch=4)
+    prompts = [f"Question numéro {i}: quelle intention ?"
+               for i in range(8)]
+    choices = ["factuel", "procedural", "comparatif"]
+    want = [plain.choose(p, choices) for p in prompts]
+
+    # warm the (b, kb, s, cb) programs so the storm coalesces instead
+    # of serializing behind first-call compiles
+    batched.choose(prompts[0], choices)
+
+    got = [None] * len(prompts)
+    barrier = threading.Barrier(len(prompts))
+
+    def run(i):
+        barrier.wait()
+        got[i] = batched.choose(prompts[i], choices)
+
+    ts = [threading.Thread(target=run, args=(i,))
+          for i in range(len(prompts))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for i in range(len(prompts)):
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        np.testing.assert_allclose(got[i][1], want[i][1], atol=1e-4)
+    stats = batched.generator._choose_batcher.stats
+    assert stats.n_requests == len(prompts) + 1
+    assert stats.n_device_calls < stats.n_requests
+    assert stats.max_batch_seen > 1
