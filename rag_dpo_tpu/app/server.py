@@ -58,6 +58,30 @@ def _prometheus_lines(tree: dict, prefix: str = "ragdpo"):
             yield f"{name} {value}\n"
 
 
+def _batcher_dict(batcher) -> dict:
+    s = batcher.stats
+    return {
+        "n_requests": s.n_requests,
+        "n_device_calls": s.n_device_calls,
+        "max_batch_seen": s.max_batch_seen,
+        "mean_batch": round(s.mean_batch, 2),
+    }
+
+
+def _attach_batcher_stats(stats: dict, system: dict) -> None:
+    """Search + choose micro-batcher counters onto the stats tree —
+    shared by /stats (JSON) and /metrics (Prometheus)."""
+    search = system.get("search")
+    if search is not None:
+        stats["search_batcher"] = _batcher_dict(search.batcher)
+    for cand in (system.get("llm"), system.get("stream_llm")):
+        cb = getattr(getattr(cand, "generator", None),
+                     "_choose_batcher", None)
+        if cb is not None:
+            stats["choose_batcher"] = _batcher_dict(cb)
+            break
+
+
 def make_handler(system: dict):
     # /query concurrency: 1 by default (the LLM dominates and an external
     # endpoint serializes anyway). With a TPU-served LLM in
@@ -106,15 +130,7 @@ def make_handler(system: dict):
                 })
             elif self.path.startswith("/stats"):
                 stats = system["qlog"].get_stats()
-                search = system.get("search")
-                if search is not None:
-                    bs = search.batcher.stats
-                    stats["search_batcher"] = {
-                        "n_requests": bs.n_requests,
-                        "n_device_calls": bs.n_device_calls,
-                        "max_batch_seen": bs.max_batch_seen,
-                        "mean_batch": round(bs.mean_batch, 2),
-                    }
+                _attach_batcher_stats(stats, system)
                 llm = system.get("llm")
                 driver = getattr(llm, "_driver", None)
                 if driver is not None:
@@ -147,14 +163,7 @@ def make_handler(system: dict):
                         mean_occupancy=driver.engine.occupancy,
                         timeouts=driver.timeouts,
                     )
-                search = system.get("search")
-                if search is not None:
-                    bs = search.batcher.stats
-                    stats["search_batcher"] = {
-                        "n_requests": bs.n_requests,
-                        "n_device_calls": bs.n_device_calls,
-                        "mean_batch": bs.mean_batch,
-                    }
+                _attach_batcher_stats(stats, system)
                 body = "".join(_prometheus_lines(stats)).encode()
                 self.send_response(200)
                 self.send_header("Content-Type",

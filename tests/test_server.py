@@ -352,6 +352,18 @@ def test_choose_endpoint(tmp_path_factory):
                        {"prompt": "x",
                         "choices": [str(i) for i in range(65)]})
     assert code == 400
+    # choose batching enabled → its counters ride /stats and /metrics
+    system["stream_llm"].generator.enable_choose_batching(max_batch=4)
+    code, data = _post(url, "/choose",
+                       {"prompt": "Quel délai CNIL ? Intention :",
+                        "choices": choices})
+    assert code == 200
+    with urllib.request.urlopen(url + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["choose_batcher"]["n_requests"] >= 1
+    with urllib.request.urlopen(url + "/metrics") as r:
+        text = r.read().decode()
+    assert "ragdpo_choose_batcher_n_requests" in text
     srv.shutdown()
 
 
