@@ -284,6 +284,37 @@ class TextGenerator:
             self._choose_batch_fn, max_batch=max_batch,
             max_wait_ms=max_wait_ms)
 
+    def warm_choose(self, k: int, s: int, c: int) -> None:
+        """Pre-compile choose programs for the (k, s, c) bucket at
+        every batch size the batcher can produce (pow2s up to its
+        max_batch; just b=1 unbatched). A first-shape Mosaic compile
+        through the axon remote path can stall a production intent
+        call for minutes — warm BEFORE serving traffic, like
+        warm_decoder for the slot pool."""
+        from ..tokenize.base import bucket_length
+
+        params = self.load()
+        kb = 1
+        while kb < k:
+            kb *= 2
+        s = bucket_length(s)
+        cb = bucket_length(c, buckets=(4, 8, 16, 32, 64, 128))
+        bs = [1]
+        if self._choose_batcher is not None:
+            b = 1
+            while b < self._choose_batcher.max_batch:
+                b *= 2
+                bs.append(b)
+        pad = getattr(self.config, "pad_id", 1)
+        for b in bs:
+            out = self._choose(b, kb, s, cb)(
+                params,
+                jnp.full((b, s), pad, jnp.int32),
+                jnp.ones((b,), jnp.int32),
+                jnp.full((b, kb, cb), pad, jnp.int32),
+                jnp.ones((b, kb), jnp.int32))
+            np.asarray(out)
+
     def _choose_batch_fn(self, stacked: np.ndarray, key):
         """MicroBatcher fn: unpack [B, s+1+kb·(cb+1)] rows, pad B to a
         power of two (bounded program count), run the batched choose

@@ -403,6 +403,18 @@ class TPULLMProvider(BaseLLMProvider):
         choices = list(choices)
         if not choices:
             raise ValueError("choose() needs at least one choice")
+        prow, p, cand_ids, cand_lens = self._encode_choices(
+            prompt, choices, system)
+        scores = self.generator.score_choices(prow[:p], p, cand_ids,
+                                              cand_lens)
+        if normalize:
+            scores = scores / np.maximum(cand_lens, 1)
+        best = int(np.argmax(scores))
+        return choices[best], [float(x) for x in scores]
+
+    def _encode_choices(self, prompt, choices, system=None):
+        """Joint prompt+candidate tokenization for choose(): returns
+        (prompt_row, shared_prefix_len, cand_ids [k, c], cand_lens)."""
         text = f"{system}\n\n{prompt}" if system else prompt
         est = len(text) // 3 + max(len(ch) for ch in choices) + 16
         max_len = min(bucket_length(est), self.config.max_seq_len)
@@ -426,12 +438,18 @@ class TPULLMProvider(BaseLLMProvider):
             li = int(lens[i + 1])
             cand_ids[i, :li - p] = ids[i + 1][p:li]
             cand_lens[i] = li - p
-        scores = self.generator.score_choices(prow[:p], p, cand_ids,
-                                              cand_lens)
-        if normalize:
-            scores = scores / np.maximum(cand_lens, 1)
-        best = int(np.argmax(scores))
-        return choices[best], [float(x) for x in scores]
+        return prow, p, cand_ids, cand_lens
+
+    def warm_choose(self, prompt, choices, system=None) -> None:
+        """Pre-compile the choose programs a production call with this
+        prompt/choices SHAPE will hit — at every batch size the choose
+        batcher can coalesce (warm_decoder's counterpart for the
+        constrained-choice path; call before serving intent_fast
+        traffic)."""
+        prow, p, cand_ids, cand_lens = self._encode_choices(
+            prompt, list(choices), system)
+        self.generator.warm_choose(cand_ids.shape[0], p,
+                                   cand_ids.shape[1])
 
     def chat_stream(self, messages, temperature=0.0, max_tokens=None,
                     priority: int | None = None):

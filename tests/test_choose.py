@@ -368,3 +368,20 @@ def test_choose_batching_coalesces_and_matches_unbatched():
     assert stats.n_requests == len(prompts) + 1
     assert stats.n_device_calls < stats.n_requests
     assert stats.max_batch_seen > 1
+
+
+def test_warm_choose_precompiles_the_production_programs():
+    """warm_choose compiles exactly the programs a production call
+    with the same prompt/choices shape will hit (every batcher batch
+    size) — a subsequent choose() adds NO new program."""
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False,
+                         choose_batch=4)
+    llm.warm_choose("Quelle est l'intention ?",
+                    ["factuel", "procedural"])
+    progs = set(llm.generator._programs)
+    # b=1 (direct) plus b=2 and b=4 (batcher coalesced) all warmed
+    assert sum(1 for key in progs if key[0] == "choose") == 3
+    llm.choose("Quelle est l'intention ?", ["factuel", "procedural"])
+    assert set(llm.generator._programs) == progs
