@@ -205,6 +205,51 @@ def main():
                      (eng.stats["tokens"] - tk0) / fast_wall, 1)}
     print("concurrent intent_fast:", conc_fast, flush=True)
 
+    # --- concurrent intent_fast + BATCHED choose: per-query intent
+    # decisions coalesce across workers into one scoring dispatch
+    # (models/generate.py::enable_choose_batching) instead of
+    # serializing at batch 1 behind the semaphore
+    from rag_dpo_tpu.rag.intent import CHOOSE_PROMPT, VALID_INTENTS
+
+    llm.generator.enable_choose_batching(max_batch=4)
+    t0 = time.time()
+    for q in QUESTIONS:                 # every s-bucket × b∈{1,2,4}
+        llm.warm_choose(CHOOSE_PROMPT.format(question=q),
+                        list(VALID_INTENTS))
+    print(f"warm_choose (batched programs): {time.time() - t0:.1f}s",
+          flush=True)
+    cb = llm.generator._choose_batcher
+    cb.stats.__init__()
+    b_lats = []
+    tk0 = eng.stats["tokens"]
+
+    def batched_worker(wid):
+        for j, q in enumerate(work):
+            if j % SLOTS == wid:
+                dt = ask_fast(q)
+                with lock:
+                    b_lats.append(dt)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=batched_worker, args=(w,))
+               for w in range(SLOTS)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    bat_wall = time.time() - t0
+    conc_batched = {
+        "wall_s": round(bat_wall, 2), "queries": len(work),
+        "workers": SLOTS,
+        "qpm": round(60 * len(work) / bat_wall, 1),
+        "mean_latency_s": round(float(np.mean(b_lats)), 2),
+        "p95_latency_s": round(float(np.quantile(b_lats, 0.95)), 2),
+        "tok_per_s": round(
+            (eng.stats["tokens"] - tk0) / bat_wall, 1),
+        "choose_requests": cb.stats.n_requests,
+        "choose_device_calls": cb.stats.n_device_calls,
+        "choose_mean_batch": round(cb.stats.mean_batch, 2)}
+    print("concurrent intent_fast + batched choose:", conc_batched,
+          flush=True)
+
     # --- agent pipeline (the reference's 90.4% headline path: rewrite→
     # classify→enrich→decompose→retrieve→generate→validate→completeness,
     # worst case ~7 LLM calls/query vs the sequential pipeline's 3).
@@ -294,8 +339,11 @@ def main():
            "max_new_tokens": MAX_NEW, "sequential": seq,
            "concurrent": conc,
            "concurrent_intent_fast": conc_fast,
+           "concurrent_intent_fast_batched_choose": conc_batched,
            "throughput_gain": round(conc["qpm"] / seq["qpm"], 2),
            "intent_fast_gain": round(conc_fast["qpm"] / conc["qpm"], 2),
+           "batched_choose_gain": round(
+               conc_batched["qpm"] / conc_fast["qpm"], 2),
            "agent_sequential": agent_seq, "agent_concurrent": agent_conc,
            "agent_concurrent_intent_fast": agent_conc_fast,
            "reference_s_per_query": 39.1,
