@@ -218,6 +218,11 @@ def main():
                         list(VALID_INTENTS))
     print(f"warm_choose (batched programs): {time.time() - t0:.1f}s",
           flush=True)
+    # ...and coalesce concurrent query encodes the same way (each
+    # query otherwise runs its ~4-row expansion encode in its own
+    # forward: 16 workers = 16 encoder weight sweeps where one does)
+    ctx["embedder"].enable_query_batching(max_batch=64)
+    qb = ctx["embedder"]._query_batcher
     cb = llm.generator._choose_batcher
     cb.stats.__init__()
     b_lats = []
@@ -246,9 +251,12 @@ def main():
             (eng.stats["tokens"] - tk0) / bat_wall, 1),
         "choose_requests": cb.stats.n_requests,
         "choose_device_calls": cb.stats.n_device_calls,
-        "choose_mean_batch": round(cb.stats.mean_batch, 2)}
-    print("concurrent intent_fast + batched choose:", conc_batched,
-          flush=True)
+        "choose_mean_batch": round(cb.stats.mean_batch, 2),
+        "encode_requests": qb.stats.n_requests,
+        "encode_device_calls": qb.stats.n_device_calls,
+        "encode_mean_batch": round(qb.stats.mean_batch, 2)}
+    print("concurrent intent_fast + batched choose/encode:",
+          conc_batched, flush=True)
 
     # --- agent pipeline (the reference's 90.4% headline path: rewrite→
     # classify→enrich→decompose→retrieve→generate→validate→completeness,

@@ -80,6 +80,9 @@ def _attach_batcher_stats(stats: dict, system: dict) -> None:
         if cb is not None:
             stats["choose_batcher"] = _batcher_dict(cb)
             break
+    qb = getattr(system.get("embedder"), "_query_batcher", None)
+    if qb is not None:
+        stats["encode_batcher"] = _batcher_dict(qb)
 
 
 def make_handler(system: dict):

@@ -152,6 +152,9 @@ def build_stack(
             )
         else:
             embedder = Embedder(EmbedderConfig(**kwargs))
+        if config.embedding.query_batch > 0:
+            embedder.enable_query_batching(
+                max_batch=int(config.embedding.query_batch))
 
     # the query encoder MUST produce vectors in the index's space — a
     # default tiny random-weight embedder against a real 1024-dim corpus

@@ -57,6 +57,7 @@ class Embedder:
         self._rng_seed = rng_seed
         self._apply_cache: dict = {}
         self.mesh = mesh
+        self._query_batcher = None   # see enable_query_batching
 
     @property
     def dim(self) -> int:
@@ -191,7 +192,59 @@ class Embedder:
         return self.embed_queries([text])[0]
 
     def embed_queries(self, texts: Sequence[str]) -> np.ndarray:
-        """Query encode (shorter bucket) → [B, H] f32 L2-normalized."""
+        """Query encode (shorter bucket) → [B, H] f32 L2-normalized.
+        With `enable_query_batching`, concurrent callers coalesce into
+        one encoder forward (rows are independent under the per-row
+        attention mask, so coalescing never changes a caller's
+        vectors)."""
         cfg = self.config
-        out, b, _ = self._encode_padded(list(texts), cfg.query_max_len)
+        texts = list(texts)
+        if self._query_batcher is not None and texts:
+            enc = self.tokenizer.encode_batch(texts, cfg.query_max_len)
+            rows = np.concatenate(
+                [enc.input_ids,
+                 np.asarray(enc.lengths, np.int32)[:, None]],
+                axis=1).astype(np.int32)
+            (dense,) = self._query_batcher(rows)
+            return dense
+        out, b, _ = self._encode_padded(texts, cfg.query_max_len)
         return np.asarray(out.dense[:b], np.float32)
+
+    def enable_query_batching(self, max_batch: int = 64,
+                              max_wait_ms: float = 3.0) -> None:
+        """Coalesce concurrent embed_queries calls into one device
+        forward. Under concurrent serving every query encodes its
+        ~4 expansion reformulations in its own small forward; each
+        dispatch pays the host↔device round trip plus a full encoder
+        weight sweep, so 16 workers serialize 16 sweeps where one
+        batched sweep would do. Same primitive as the search/choose
+        micro-batchers (serving/batcher.py). Idempotent."""
+        if self._query_batcher is not None:
+            return
+        from ..serving.batcher import MicroBatcher
+
+        self._query_batcher = MicroBatcher(
+            self._query_batch_fn, max_batch=max_batch,
+            max_wait_ms=max_wait_ms)
+
+    def _query_batch_fn(self, stacked: np.ndarray, key):
+        """MicroBatcher fn: rows are [query_max_len | true length]
+        int32; the sequence bucket is recomputed from the coalesced
+        batch's longest row (same program inventory as the direct
+        path: length buckets × batch buckets)."""
+        cfg = self.config
+        params = self.load()
+        ids_full, lengths = stacked[:, :-1], stacked[:, -1]
+        b = stacked.shape[0]
+        seq = min(bucket_length(int(lengths.max())), cfg.query_max_len)
+        ids = ids_full[:, :seq]
+        b_bucket = self._batch_bucket(b)
+        if b_bucket != b:
+            ids = np.concatenate(
+                [ids, np.full((b_bucket - b, seq),
+                              self.tokenizer.pad_id, np.int32)])
+            lengths = np.concatenate(
+                [lengths, np.ones((b_bucket - b,), np.int32)])
+        out = self._apply(b_bucket, seq)(
+            params, jnp.asarray(ids), jnp.asarray(lengths))
+        return (np.asarray(out.dense[:b], np.float32),)

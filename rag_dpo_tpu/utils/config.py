@@ -53,6 +53,9 @@ class EmbeddingSection:
     query_max_len: int = 512
     device_dtype: str = "bfloat16"
     checkpoint_path: str = ""
+    query_batch: int = 0               # coalesce concurrent query
+                                       # encodes into one forward
+                                       # (0 = off)
 
 
 @dataclasses.dataclass

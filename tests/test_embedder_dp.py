@@ -27,3 +27,46 @@ def test_dp_encode_matches_single(eight_devices):
     q_ref = single.embed_queries(["violation de données"])
     q_out = sharded.embed_queries(["violation de données"])
     np.testing.assert_allclose(q_out, q_ref, atol=1e-5, rtol=1e-5)
+
+
+def test_query_batching_matches_direct_and_coalesces():
+    """enable_query_batching: concurrent embed_queries callers get
+    bit-identical vectors to the direct path, and the batcher stats
+    prove the forwards actually coalesced (rows are independent under
+    the per-row attention mask)."""
+    import threading
+
+    cfg = EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            use_flash_attention=False), colbert_dim=32),
+        batch_size=16,
+    )
+    direct = Embedder(cfg)
+    params = direct.load()
+    batched = Embedder(cfg, params=params)
+    batched.enable_query_batching(max_batch=16, max_wait_ms=10.0)
+
+    groups = [[f"question {i} sur le registre des traitements"]
+              * (1 + i % 3) for i in range(8)]
+    want = [direct.embed_queries(g) for g in groups]
+
+    batched.embed_queries(groups[0])        # warm the programs
+    batched._query_batcher.stats.__init__()
+
+    got = [None] * len(groups)
+    barrier = threading.Barrier(len(groups))
+
+    def run(i):
+        barrier.wait()
+        got[i] = batched.embed_queries(groups[i])
+
+    ts = [threading.Thread(target=run, args=(i,))
+          for i in range(len(groups))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for i in range(len(groups)):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-5,
+                                   rtol=1e-5)
+    st = batched._query_batcher.stats
+    assert st.n_device_calls < st.n_requests
+    assert st.max_batch_seen > 1
