@@ -83,6 +83,10 @@ def _attach_batcher_stats(stats: dict, system: dict) -> None:
     qb = getattr(system.get("embedder"), "_query_batcher", None)
     if qb is not None:
         stats["encode_batcher"] = _batcher_dict(qb)
+    rb = getattr(getattr(system.get("pipe"), "reranker", None),
+                 "_pair_batcher", None)
+    if rb is not None:
+        stats["rerank_batcher"] = _batcher_dict(rb)
 
 
 def make_handler(system: dict):

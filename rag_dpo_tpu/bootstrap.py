@@ -196,11 +196,23 @@ def build_stack(
         use_sparse=r.hybrid,
         dense_exact=r.dense_exact,
     )
+    # ONE cross-encoder shared by both pipelines: one param set in HBM,
+    # and concurrent rerank pair-scoring can coalesce across both
+    # surfaces when rerank_batch is on
+    reranker = None
+    if r.use_reranker:
+        from .retrieval.reranker import CrossEncoderReranker
+
+        reranker = CrossEncoderReranker()
+        if r.rerank_batch > 0:
+            reranker.enable_pair_batching(
+                max_batch=int(r.rerank_batch))
     pipeline = create_pipeline(
         index, embedder, llm,
         bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
         retriever_config=retriever_config,
         use_reranker=r.use_reranker,
+        reranker=reranker,
         intent_fast=r.intent_fast,
         n_candidates=r.n_candidates,
         rerank_top_k=r.rerank_top_k,
@@ -211,6 +223,7 @@ def build_stack(
         index, embedder, llm,
         bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,
         retriever_config=retriever_config,
+        reranker=reranker,
         n_candidates=r.n_candidates,
         rerank_top_k=r.rerank_top_k,
         max_context_chars=r.max_context_chars,

@@ -56,6 +56,7 @@ class CrossEncoderReranker:
         self._rng_seed = rng_seed
         self._apply_cache: dict = {}
         self.topic_matcher = topic_matcher
+        self._pair_batcher = None   # see enable_pair_batching
 
     def load(self):
         """Lazy model load (reference `_load_model` at :74-108)."""
@@ -80,9 +81,20 @@ class CrossEncoderReranker:
         return self._apply_cache[key]
 
     def score_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
-        """Sigmoid relevance scores for (query, passage) pairs."""
+        """Sigmoid relevance scores for (query, passage) pairs. With
+        `enable_pair_batching`, concurrent callers' pairs coalesce into
+        shared cross-encoder forwards (rows are independent under the
+        per-row attention mask — scores never change)."""
         params = self.load()
         cfg = self.config
+        if self._pair_batcher is not None and len(pairs):
+            enc = self.tokenizer.encode_pairs(list(pairs), cfg.max_len)
+            rows = np.concatenate(
+                [enc.input_ids,
+                 np.asarray(enc.lengths, np.int32)[:, None]],
+                axis=1).astype(np.int32)
+            (scores,) = self._pair_batcher(rows)
+            return scores
         out = []
         for i in range(0, len(pairs), cfg.batch_size):
             batch = list(pairs[i : i + cfg.batch_size])
@@ -106,6 +118,43 @@ class CrossEncoderReranker:
             )
             out.append(np.asarray(jax.nn.sigmoid(logits))[:b])
         return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+    def enable_pair_batching(self, max_batch: int = 256,
+                             max_wait_ms: float = 3.0) -> None:
+        """Coalesce concurrent score_pairs calls into shared device
+        forwards. A rerank scores ~40 (query, passage) pairs; under
+        concurrent serving each query otherwise pays its own
+        cross-encoder weight sweeps. Same primitive as the search/
+        choose/encode micro-batchers (serving/batcher.py). Idempotent."""
+        if self._pair_batcher is not None:
+            return
+        from ..serving.batcher import MicroBatcher
+
+        self._pair_batcher = MicroBatcher(
+            self._pair_batch_fn, max_batch=max_batch,
+            max_wait_ms=max_wait_ms)
+
+    def _pair_batch_fn(self, stacked: np.ndarray, key):
+        """MicroBatcher fn: rows are [max_len ids | true length] int32;
+        the sequence bucket is recomputed from the coalesced batch's
+        longest row and the batch pads to the direct path's pow2
+        buckets — same program inventory, per-row-identical scores."""
+        params = self.load()
+        cfg = self.config
+        ids_full, lengths = stacked[:, :-1], stacked[:, -1]
+        b = stacked.shape[0]
+        seq = min(bucket_length(int(lengths.max())), cfg.max_len)
+        ids = ids_full[:, :seq]
+        b_pad = max(8, 1 << (b - 1).bit_length())
+        if b_pad != b:
+            ids = np.concatenate(
+                [ids, np.full((b_pad - b, seq),
+                              self.tokenizer.pad_id, np.int32)])
+            lengths = np.concatenate(
+                [lengths, np.ones((b_pad - b,), np.int32)])
+        logits = self._apply(b_pad, seq)(
+            params, jnp.asarray(ids), jnp.asarray(lengths))
+        return (np.asarray(jax.nn.sigmoid(logits))[:b],)
 
     def rerank(
         self,

@@ -43,6 +43,9 @@ class RetrievalSection:
     # by deterministic trigger match — frees decode-pool capacity
     # under concurrent serving
     intent_fast: bool = False
+    rerank_batch: int = 0              # coalesce concurrent rerank
+                                       # pair-scoring into shared
+                                       # forwards (0 = off)
 
 
 @dataclasses.dataclass

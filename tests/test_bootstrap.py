@@ -95,3 +95,24 @@ def test_postings_candidates_override(saved_corpus):
     assert stack.index.config.postings_candidates == 64
     resp = stack.pipeline.query("Quel délai de notification ?")
     assert resp.answer
+
+
+def test_coalescing_knobs_wire_through_bootstrap(saved_corpus):
+    """rerank_batch / query_batch config knobs enable the micro-
+    batchers, and BOTH pipelines share ONE cross-encoder (one param
+    set in HBM; pair-scoring coalesces across surfaces)."""
+    paths, embedder = saved_corpus
+    cfg = load_config(env={"RAGDPO_LLM_MODE": "fake",
+                           "RAGDPO_RETRIEVAL_RERANK_BATCH": "16",
+                           "RAGDPO_EMBEDDING_QUERY_BATCH": "32"})
+    assert cfg.retrieval.rerank_batch == 16
+    stack = build_stack(cfg, paths, llm=FakeLLMProvider())
+    rr = stack.pipeline.reranker
+    assert rr is not None and rr._pair_batcher is not None
+    assert rr._pair_batcher.max_batch == 16
+    # the agent pipeline reranks through the SAME instance — before
+    # the shared-reranker fix the production agent path got NO
+    # reranker at all (bootstrap never passed one; demo.py did)
+    assert stack.agent.graph.c.reranker is rr
+    resp = stack.pipeline.query("délai de notification d'une violation")
+    assert resp.answer

@@ -157,3 +157,45 @@ def test_summary_prefilter(stack):
     ])
     keys = summary.relevant_doc_keys("violation notification", top_k=3)
     assert "cnil.fr/violations" in keys
+
+
+def test_pair_batching_matches_direct_and_coalesces():
+    """enable_pair_batching: concurrent score_pairs callers get scores
+    identical to the direct path, and the batcher stats prove the
+    cross-encoder forwards coalesced."""
+    import threading
+
+    import numpy as np
+
+    direct = CrossEncoderReranker(
+        model_config=EncoderConfig.tiny(use_flash_attention=False))
+    params = direct.load()
+    batched = CrossEncoderReranker(
+        model_config=EncoderConfig.tiny(use_flash_attention=False),
+        params=params)
+    batched.enable_pair_batching(max_batch=64, max_wait_ms=10.0)
+
+    groups = [[(f"question {i}", f"passage {j} sur les données")
+               for j in range(3 + i % 4)] for i in range(6)]
+    want = [direct.score_pairs(g) for g in groups]
+
+    batched.score_pairs(groups[0])          # warm
+    batched._pair_batcher.stats.__init__()
+
+    got = [None] * len(groups)
+    barrier = threading.Barrier(len(groups))
+
+    def run(i):
+        barrier.wait()
+        got[i] = batched.score_pairs(groups[i])
+
+    ts = [threading.Thread(target=run, args=(i,))
+          for i in range(len(groups))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    for i in range(len(groups)):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-5,
+                                   rtol=1e-5)
+    st = batched._pair_batcher.stats
+    assert st.n_device_calls < st.n_requests
+    assert st.max_batch_seen > 1
