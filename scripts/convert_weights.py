@@ -17,12 +17,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
+
+# Conversion is a HOST job (torch state_dict → npz): never touch the
+# TPU. The container's sitecustomize re-pins JAX_PLATFORMS=axon in
+# every process, so an inherited env var is not enough — set it here,
+# before anything imports jax, and pin the config too. Without this a
+# dead TPU tunnel hangs the converter (and the test suite) forever.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def load_state_dict(snapshot: pathlib.Path) -> dict:
