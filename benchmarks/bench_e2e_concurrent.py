@@ -205,59 +205,6 @@ def main():
                      (eng.stats["tokens"] - tk0) / fast_wall, 1)}
     print("concurrent intent_fast:", conc_fast, flush=True)
 
-    # --- concurrent intent_fast + BATCHED choose: per-query intent
-    # decisions coalesce across workers into one scoring dispatch
-    # (models/generate.py::enable_choose_batching) instead of
-    # serializing at batch 1 behind the semaphore
-    from rag_dpo_tpu.rag.intent import CHOOSE_PROMPT, VALID_INTENTS
-
-    llm.generator.enable_choose_batching(max_batch=4)
-    t0 = time.time()
-    for q in QUESTIONS:                 # every s-bucket × b∈{1,2,4}
-        llm.warm_choose(CHOOSE_PROMPT.format(question=q),
-                        list(VALID_INTENTS))
-    print(f"warm_choose (batched programs): {time.time() - t0:.1f}s",
-          flush=True)
-    # ...and coalesce concurrent query encodes the same way (each
-    # query otherwise runs its ~4-row expansion encode in its own
-    # forward: 16 workers = 16 encoder weight sweeps where one does)
-    ctx["embedder"].enable_query_batching(max_batch=64)
-    qb = ctx["embedder"]._query_batcher
-    cb = llm.generator._choose_batcher
-    cb.stats.__init__()
-    b_lats = []
-    tk0 = eng.stats["tokens"]
-
-    def batched_worker(wid):
-        for j, q in enumerate(work):
-            if j % SLOTS == wid:
-                dt = ask_fast(q)
-                with lock:
-                    b_lats.append(dt)
-
-    t0 = time.time()
-    threads = [threading.Thread(target=batched_worker, args=(w,))
-               for w in range(SLOTS)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    bat_wall = time.time() - t0
-    conc_batched = {
-        "wall_s": round(bat_wall, 2), "queries": len(work),
-        "workers": SLOTS,
-        "qpm": round(60 * len(work) / bat_wall, 1),
-        "mean_latency_s": round(float(np.mean(b_lats)), 2),
-        "p95_latency_s": round(float(np.quantile(b_lats, 0.95)), 2),
-        "tok_per_s": round(
-            (eng.stats["tokens"] - tk0) / bat_wall, 1),
-        "choose_requests": cb.stats.n_requests,
-        "choose_device_calls": cb.stats.n_device_calls,
-        "choose_mean_batch": round(cb.stats.mean_batch, 2),
-        "encode_requests": qb.stats.n_requests,
-        "encode_device_calls": qb.stats.n_device_calls,
-        "encode_mean_batch": round(qb.stats.mean_batch, 2)}
-    print("concurrent intent_fast + batched choose/encode:",
-          conc_batched, flush=True)
-
     # --- agent pipeline (the reference's 90.4% headline path: rewrite→
     # classify→enrich→decompose→retrieve→generate→validate→completeness,
     # worst case ~7 LLM calls/query vs the sequential pipeline's 3).
@@ -340,6 +287,70 @@ def main():
         "qpm": round(60 * len(work) / af_wall, 1),
         "mean_latency_s": round(float(np.mean(af_lats)), 2)}
     print("agent concurrent intent_fast:", agent_conc_fast, flush=True)
+
+    # --- concurrent intent_fast + BATCHED choose/encode. Runs LAST:
+    # enable_* is irreversible, so every earlier arm measures the
+    # pre-coalescing configuration its result key has always meant.
+    # Per-query intent decisions coalesce across workers into one
+    # scoring dispatch (models/generate.py::enable_choose_batching)
+    # instead of serializing at batch 1 behind the semaphore, and
+    # concurrent query encodes share one encoder forward (each query
+    # otherwise runs its ~4-row expansion encode alone: 16 workers =
+    # 16 encoder weight sweeps where one does).
+    from rag_dpo_tpu.rag.intent import CHOOSE_PROMPT, VALID_INTENTS
+
+    llm.generator.enable_choose_batching(max_batch=4)
+    ctx["embedder"].enable_query_batching(max_batch=64)
+    qb = ctx["embedder"]._query_batcher
+    cb = llm.generator._choose_batcher
+    t0 = time.time()
+    for q in QUESTIONS:                 # every s-bucket × b∈{1,2,4}
+        llm.warm_choose(CHOOSE_PROMPT.format(question=q),
+                        list(VALID_INTENTS))
+    # coalesced-encode programs: a storm can land any pow2/bucket row
+    # count; slabs of 1/8/64 through the batcher compile them all
+    # (batch buckets are {1, 8, 64} — everything coalesced maps there)
+    for n in (1, 8, 64):
+        ctx["embedder"].embed_queries(
+            [QUESTIONS[i % len(QUESTIONS)] for i in range(n)])
+    for q in QUESTIONS:                 # residual shapes, end to end
+        ask_fast(q)
+    print(f"warm coalesced programs: {time.time() - t0:.1f}s",
+          flush=True)
+    cb.stats.__init__()
+    qb.stats.__init__()
+    b_lats = []
+    tk0 = eng.stats["tokens"]
+
+    def batched_worker(wid):
+        for j, q in enumerate(work):
+            if j % SLOTS == wid:
+                dt = ask_fast(q)
+                with lock:
+                    b_lats.append(dt)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=batched_worker, args=(w,))
+               for w in range(SLOTS)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    bat_wall = time.time() - t0
+    conc_batched = {
+        "wall_s": round(bat_wall, 2), "queries": len(work),
+        "workers": SLOTS,
+        "qpm": round(60 * len(work) / bat_wall, 1),
+        "mean_latency_s": round(float(np.mean(b_lats)), 2),
+        "p95_latency_s": round(float(np.quantile(b_lats, 0.95)), 2),
+        "tok_per_s": round(
+            (eng.stats["tokens"] - tk0) / bat_wall, 1),
+        "choose_requests": cb.stats.n_requests,
+        "choose_device_calls": cb.stats.n_device_calls,
+        "choose_mean_batch": round(cb.stats.mean_batch, 2),
+        "encode_requests": qb.stats.n_requests,
+        "encode_device_calls": qb.stats.n_device_calls,
+        "encode_mean_batch": round(qb.stats.mean_batch, 2)}
+    print("concurrent intent_fast + batched choose/encode:",
+          conc_batched, flush=True)
 
     out = {"bench": "e2e_rag_concurrent_12B_int8",
            "device": str(jax.devices()[0]), "slots": SLOTS,

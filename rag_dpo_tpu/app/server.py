@@ -58,35 +58,24 @@ def _prometheus_lines(tree: dict, prefix: str = "ragdpo"):
             yield f"{name} {value}\n"
 
 
-def _batcher_dict(batcher) -> dict:
-    s = batcher.stats
-    return {
-        "n_requests": s.n_requests,
-        "n_device_calls": s.n_device_calls,
-        "max_batch_seen": s.max_batch_seen,
-        "mean_batch": round(s.mean_batch, 2),
-    }
-
-
 def _attach_batcher_stats(stats: dict, system: dict) -> None:
-    """Search + choose micro-batcher counters onto the stats tree —
-    shared by /stats (JSON) and /metrics (Prometheus)."""
+    """Micro-batcher counters (search/choose/encode/rerank) onto the
+    stats tree — shared by /stats (JSON) and /metrics (Prometheus)."""
+    from ..serving.batcher import batcher_stats, find_choose_batcher
+
     search = system.get("search")
     if search is not None:
-        stats["search_batcher"] = _batcher_dict(search.batcher)
-    for cand in (system.get("llm"), system.get("stream_llm")):
-        cb = getattr(getattr(cand, "generator", None),
-                     "_choose_batcher", None)
-        if cb is not None:
-            stats["choose_batcher"] = _batcher_dict(cb)
-            break
+        stats["search_batcher"] = batcher_stats(search.batcher)
+    cb = find_choose_batcher(system)
+    if cb is not None:
+        stats["choose_batcher"] = batcher_stats(cb)
     qb = getattr(system.get("embedder"), "_query_batcher", None)
     if qb is not None:
-        stats["encode_batcher"] = _batcher_dict(qb)
+        stats["encode_batcher"] = batcher_stats(qb)
     rb = getattr(getattr(system.get("pipe"), "reranker", None),
                  "_pair_batcher", None)
     if rb is not None:
-        stats["rerank_batcher"] = _batcher_dict(rb)
+        stats["rerank_batcher"] = batcher_stats(rb)
 
 
 def make_handler(system: dict):

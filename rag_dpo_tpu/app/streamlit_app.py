@@ -257,15 +257,14 @@ def render_dashboard(st, system):
                if eng.stats.get("cancelled") else "")
             + (f" · {eng.stats['preempted']} préemptées"
                if eng.stats.get("preempted") else ""))
-    for cand in (system.get("llm"), system.get("stream_llm")):
-        cb = getattr(getattr(cand, "generator", None),
-                     "_choose_batcher", None)
-        if cb is not None:
-            st.caption(
-                f"choix contraints : {cb.stats.n_requests} requêtes → "
-                f"{cb.stats.n_device_calls} appels device "
-                f"(batch moyen {cb.stats.mean_batch:.1f})")
-            break
+    from ..serving.batcher import find_choose_batcher
+
+    cb = find_choose_batcher(system)
+    if cb is not None:
+        st.caption(
+            f"choix contraints : {cb.stats.n_requests} requêtes → "
+            f"{cb.stats.n_device_calls} appels device "
+            f"(batch moyen {cb.stats.mean_batch:.1f})")
     st.caption("devices : " + ", ".join(str(d) for d in devices))
     return stats
 

@@ -152,9 +152,14 @@ def build_stack(
             )
         else:
             embedder = Embedder(EmbedderConfig(**kwargs))
-        if config.embedding.query_batch > 0:
-            embedder.enable_query_batching(
-                max_batch=int(config.embedding.query_batch))
+    # applies to injected embedders too (enable is idempotent): the
+    # config said coalesce — silently skipping it for a pre-built
+    # embedder would leave concurrent encodes serializing with no
+    # signal (review finding)
+    if config.embedding.query_batch > 0 and \
+            hasattr(embedder, "enable_query_batching"):
+        embedder.enable_query_batching(
+            max_batch=int(config.embedding.query_batch))
 
     # the query encoder MUST produce vectors in the index's space — a
     # default tiny random-weight embedder against a real 1024-dim corpus

@@ -238,7 +238,13 @@ class Embedder:
         b = stacked.shape[0]
         seq = min(bucket_length(int(lengths.max())), cfg.query_max_len)
         ids = ids_full[:, :seq]
-        b_bucket = self._batch_bucket(b)
+        # _batch_bucket falls through to the raw count past the largest
+        # bucket; coalesced batches arrive at ARBITRARY counts, so pow2
+        # first to bound the program inventory (the hazard the search/
+        # choose/rerank batchers pad for), then bucket (mesh multiple)
+        b_bucket = self._batch_bucket(
+            b if b <= max(cfg.batch_buckets)
+            else 1 << (b - 1).bit_length())
         if b_bucket != b:
             ids = np.concatenate(
                 [ids, np.full((b_bucket - b, seq),

@@ -119,26 +119,35 @@ class CrossEncoderReranker:
             out.append(np.asarray(jax.nn.sigmoid(logits))[:b])
         return np.concatenate(out) if out else np.zeros((0,), np.float32)
 
-    def enable_pair_batching(self, max_batch: int = 256,
+    def enable_pair_batching(self, max_batch: int | None = None,
                              max_wait_ms: float = 3.0) -> None:
         """Coalesce concurrent score_pairs calls into shared device
         forwards. A rerank scores ~40 (query, passage) pairs; under
         concurrent serving each query otherwise pays its own
         cross-encoder weight sweeps. Same primitive as the search/
-        choose/encode micro-batchers (serving/batcher.py). Idempotent."""
+        choose/encode micro-batchers (serving/batcher.py). Idempotent.
+
+        `max_batch` defaults to config.batch_size (64) so coalesced
+        forwards use EXACTLY the direct path's program inventory —
+        raising it buys more amortization but the first oversized
+        coalesce compiles a new (b_pad, seq) program mid-request."""
         if self._pair_batcher is not None:
             return
         from ..serving.batcher import MicroBatcher
 
         self._pair_batcher = MicroBatcher(
-            self._pair_batch_fn, max_batch=max_batch,
+            self._pair_batch_fn,
+            max_batch=(self.config.batch_size if max_batch is None
+                       else max_batch),
             max_wait_ms=max_wait_ms)
 
     def _pair_batch_fn(self, stacked: np.ndarray, key):
         """MicroBatcher fn: rows are [max_len ids | true length] int32;
         the sequence bucket is recomputed from the coalesced batch's
         longest row and the batch pads to the direct path's pow2
-        buckets — same program inventory, per-row-identical scores."""
+        buckets — the default max_batch (config.batch_size) keeps the
+        program inventory identical to the direct path's; per-row
+        scores are identical either way."""
         params = self.load()
         cfg = self.config
         ids_full, lengths = stacked[:, :-1], stacked[:, -1]

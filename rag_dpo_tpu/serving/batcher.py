@@ -179,6 +179,30 @@ class MicroBatcher:
                     p.event.set()
 
 
+def batcher_stats(batcher) -> dict:
+    """Counters of one MicroBatcher as a plain dict (stats surfaces)."""
+    s = batcher.stats
+    return {
+        "n_requests": s.n_requests,
+        "n_device_calls": s.n_device_calls,
+        "max_batch_seen": s.max_batch_seen,
+        "mean_batch": round(s.mean_batch, 2),
+    }
+
+
+def find_choose_batcher(system: dict):
+    """The choose MicroBatcher of whichever provider in the system dict
+    carries one (llm first, stream_llm as fallback) — shared by the
+    HTTP stats endpoints and the dashboard so the two surfaces can't
+    diverge on discovery."""
+    for cand in (system.get("llm"), system.get("stream_llm")):
+        cb = getattr(getattr(cand, "generator", None),
+                     "_choose_batcher", None)
+        if cb is not None:
+            return cb
+    return None
+
+
 def batched_dense_search(index, *, max_batch: int = 256,
                          max_wait_ms: float = 3.0) -> MicroBatcher:
     """MicroBatcher over `DeviceIndex.search_dense`: concurrent requests

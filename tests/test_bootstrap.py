@@ -116,3 +116,11 @@ def test_coalescing_knobs_wire_through_bootstrap(saved_corpus):
     assert stack.agent.graph.c.reranker is rr
     resp = stack.pipeline.query("délai de notification d'une violation")
     assert resp.answer
+    # query_batch applies to INJECTED embedders too (config said
+    # coalesce; silently skipping left concurrent encodes serializing
+    # with no signal — review finding)
+    _, embedder2 = saved_corpus
+    stack2 = build_stack(cfg, paths, llm=FakeLLMProvider(),
+                         embedder=embedder2)
+    assert embedder2._query_batcher is not None
+    assert embedder2._query_batcher.max_batch == 32
