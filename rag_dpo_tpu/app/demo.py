@@ -100,8 +100,11 @@ def build_demo_stack(llm=None, agent: bool = False, use_reranker=True):
         for m in metas
     ])
 
+    from ..rag.topics import TopicMatcher
+
     reranker = CrossEncoderReranker(
-        model_config=EncoderConfig.tiny(use_flash_attention=False)
+        model_config=EncoderConfig.tiny(use_flash_attention=False),
+        topic_matcher=TopicMatcher(embedder),
     ) if use_reranker else None
 
     ctx = {"index": index, "embedder": embedder, "bm25_stats": stats,

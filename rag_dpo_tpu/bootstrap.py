@@ -206,9 +206,13 @@ def build_stack(
     # surfaces when rerank_batch is on
     reranker = None
     if r.use_reranker:
+        from .rag.topics import TopicMatcher
         from .retrieval.reranker import CrossEncoderReranker
 
-        reranker = CrossEncoderReranker()
+        # topic matcher on by default, like the reference
+        # (`src/rag/pipeline.py:156-160`)
+        reranker = CrossEncoderReranker(
+            topic_matcher=TopicMatcher(embedder))
         if r.rerank_batch > 0:
             reranker.enable_pair_batching(
                 max_batch=int(r.rerank_batch))

@@ -514,7 +514,14 @@ def create_pipeline(
             # index built with colbert vectors (CorpusIndexer with_colbert)
             reranker = MaxSimReranker(index, embedder)
         else:
-            reranker = CrossEncoderReranker()
+            # topic matcher ON by default like the reference
+            # (`src/rag/pipeline.py:156-160` builds TopicMatcher
+            # whenever an embedding provider exists): intent topics
+            # boost matching-tag chunks ≤ +0.15 at rerank
+            from .topics import TopicMatcher
+
+            reranker = CrossEncoderReranker(
+                topic_matcher=TopicMatcher(embedder))
     return RAGPipeline(
         retriever=retriever,
         generator=Generator(llm, temperature=generation_temperature),

@@ -24,14 +24,17 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The replay is hermetic BY DEFINITION: random-init tiny encoders +
+# extractive fake LLM, CPU-deterministic. sitecustomize re-pins
+# JAX_PLATFORMS=axon in every process, so setdefault would lose and a
+# dead TPU tunnel would hang the replay — assign, and pin the config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def main():
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
     from rag_dpo_tpu.evals import EvalHarness
     from rag_dpo_tpu.evals.hermetic import (

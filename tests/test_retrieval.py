@@ -199,3 +199,56 @@ def test_pair_batching_matches_direct_and_coalesces():
     st = batched._pair_batcher.stats
     assert st.n_device_calls < st.n_requests
     assert st.max_batch_seen > 1
+
+
+def test_topic_matcher_boosts_matching_tags_at_rerank():
+    """TopicMatcher wiring parity with the reference
+    (`src/rag/pipeline.py:156-160` builds it whenever an embedding
+    provider exists; `src/rag/reranker.py:168-180` applies the boost):
+    identical topic/tag strings embed to cosine 1.0 → max boost; the
+    default factory reranker carries a matcher."""
+    import numpy as np
+
+    from rag_dpo_tpu.rag.topics import TopicMatcher
+
+    retriever, embedder, _ = None, None, None
+    from rag_dpo_tpu.models import BgeM3Config
+    from rag_dpo_tpu.providers import Embedder, EmbedderConfig
+
+    embedder = Embedder(EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            use_flash_attention=False), colbert_dim=32)))
+    tm = TopicMatcher(embedder)
+    # identical strings → cosine 1.0 → the full +0.15
+    assert abs(tm.topic_boost(["vidéosurveillance"],
+                              ["vidéosurveillance"]) - 0.15) < 1e-6
+    assert tm.topic_boost([], ["x"]) == 0.0
+    assert tm.topic_boost(["x"], []) == 0.0
+
+    # the factory default reranker carries a matcher (boost reaches
+    # production rerank; regression for the dead-wiring gap)
+    from rag_dpo_tpu.rag.pipeline import create_pipeline
+    from rag_dpo_tpu.providers import FakeLLMProvider
+    from rag_dpo_tpu.index import DeviceIndex, IndexConfig
+
+    texts = ["La vidéosurveillance au travail est encadrée.",
+             "Le registre des traitements est obligatoire."]
+    dense = embedder.embed(texts)["dense"]
+    metas = [{"text": t, "title": f"d{i}", "heading": "",
+              "source_url": f"https://cnil.fr/d{i}", "doc_key": f"d{i}",
+              "source": "CNIL", "nature": "DOCTRINE",
+              "rgpd_topics": "vidéosurveillance" if i == 0 else "registre"}
+             for i, t in enumerate(texts)]
+    index = DeviceIndex(IndexConfig(dim=embedder.dim, ell_width=8,
+                                    row_block=8))
+    from rag_dpo_tpu.retrieval.bm25 import (
+        build_bm25_stats, build_ell_corpus, tokenize_corpus,
+    )
+    tokens = tokenize_corpus(texts)
+    stats = build_bm25_stats(tokens)
+    terms, impacts = build_ell_corpus(tokens, stats, ell_width=8)
+    index.add([f"c{i}" for i in range(2)], dense, metas, terms, impacts)
+    pipe = create_pipeline(index, embedder, FakeLLMProvider(),
+                           bm25_stats=stats)
+    assert pipe.reranker is not None
+    assert pipe.reranker.topic_matcher is not None
