@@ -78,6 +78,59 @@ def _attach_batcher_stats(stats: dict, system: dict) -> None:
         stats["rerank_batcher"] = batcher_stats(rb)
 
 
+def _warm_coalesced(system: dict) -> None:
+    """Pre-compile the coalescing batchers' programs (choose / encode /
+    rerank) when their knobs are on — a first-shape compile through the
+    axon remote path stalls a live request for minutes. Choose warms
+    the intent template at short/medium/long question lengths (the
+    s-bucket varies with question length); encode warms every batch
+    bucket through the batcher; rerank warms one max_batch forward."""
+    import time as _time
+
+    from ..serving.batcher import find_choose_batcher
+
+    llm = system.get("llm")
+    if find_choose_batcher(system) is not None \
+            and hasattr(llm, "warm_choose"):
+        from ..rag.intent import CHOOSE_PROMPT, VALID_INTENTS
+
+        t0 = _time.time()
+        samples = [
+            "Quel délai ?",
+            "Comment mettre en place un registre des traitements "
+            "pour une PME du secteur santé ?",
+            ("Quelles obligations de sécurité, de documentation et "
+             "d'information s'appliquent à un responsable de "
+             "traitement qui déploie la vidéosurveillance, la "
+             "géolocalisation et un registre des traitements dans "
+             "plusieurs établissements ?"),
+        ]
+        for q in samples:
+            llm.warm_choose(CHOOSE_PROMPT.format(question=q),
+                            list(VALID_INTENTS))
+        print(f"warm: compiled constrained-choice programs in "
+              f"{_time.time() - t0:.1f}s")
+    embedder = system.get("embedder")
+    qb = getattr(embedder, "_query_batcher", None)
+    if qb is not None:
+        t0 = _time.time()
+        for n in getattr(embedder.config, "batch_buckets", (1, 8, 64)):
+            if n <= qb.max_batch:
+                embedder.embed_queries(
+                    ["registre des traitements"] * n)
+        print(f"warm: compiled coalesced-encode programs in "
+              f"{_time.time() - t0:.1f}s")
+    rr = getattr(system.get("pipe"), "reranker", None)
+    rb = getattr(rr, "_pair_batcher", None)
+    if rb is not None:
+        t0 = _time.time()
+        rr.score_pairs([("question type",
+                         "passage sur le registre des traitements")]
+                       * rb.max_batch)
+        print(f"warm: compiled coalesced-rerank programs in "
+              f"{_time.time() - t0:.1f}s")
+
+
 def make_handler(system: dict):
     # /query concurrency: 1 by default (the LLM dominates and an external
     # endpoint serializes anyway). With a TPU-served LLM in
@@ -773,6 +826,8 @@ def main(argv=None) -> int:
         system["llm"].warm_decoder()
         print(f"warm: compiled decode-pool programs in "
               f"{_time.time() - t0:.1f}s")
+    if args.warm:
+        _warm_coalesced(system)
     server = serve(args.port, system=system)
     print(f"serving on :{args.port}")
     try:

@@ -539,3 +539,37 @@ def test_build_system_uses_bootstrap_when_index_checkpoint_exists(
     assert isinstance(system["llm"], FakeLLMProvider)
     resp = system["pipe"].query("délai de notification d'une violation")
     assert resp.answer and resp.sources
+
+
+def test_warm_coalesced_precompiles_all_batchers(tmp_path_factory):
+    """--warm covers the coalescing batchers: after _warm_coalesced a
+    production choose() adds no program, and the encode/rerank
+    batchers have executed at least one coalesced device call each."""
+    import os
+
+    import jax.numpy as jnp
+
+    from rag_dpo_tpu.app.server import _warm_coalesced
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+    from rag_dpo_tpu.rag.intent import CHOOSE_PROMPT, VALID_INTENTS
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("warm"))
+    system = build_system(agent_too=False)
+    # (the config knobs wire these through bootstrap — covered by
+    # test_bootstrap; the demo fallback stack enables them directly)
+    system["embedder"].enable_query_batching(max_batch=16)
+    system["pipe"].reranker.enable_pair_batching(max_batch=16)
+    llm = TPULLMProvider(
+        DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32), choose_batch=4)
+    system["llm"] = llm
+    _warm_coalesced(system)
+    progs = set(llm.generator._programs)
+    assert any(k[0] == "choose" for k in progs)
+    llm.choose(CHOOSE_PROMPT.format(question="Quel délai ?"),
+               list(VALID_INTENTS))
+    assert set(llm.generator._programs) == progs
+    assert system["embedder"]._query_batcher.stats.n_device_calls >= 1
+    rr = system["pipe"].reranker
+    assert rr._pair_batcher.stats.n_device_calls >= 1
