@@ -30,14 +30,23 @@ class SamplingConfig:
     pad_id: int = 1
 
 
-def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float):
+def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float,
+                     exclude=None):
     """Top-k then nucleus draw with PER-ROW temperature; rows with
     temps ≤ 0 return the argmax (bit-identical to greedy decode, so
     greedy and sampled requests share one program). logits [B, V].
 
     Nucleus rule: keep the smallest prefix of the (descending) top-k
     whose mass reaches `top_p` — a token stays iff the mass BEFORE it
-    is < top_p, so the first token always survives."""
+    is < top_p, so the first token always survives.
+
+    `exclude` [B] (optional): per-row token id masked out WITHIN the
+    kept set — the residual draw of speculative sampling (the rejected
+    draft's mass removed, remaining kept-set probs renormalized by the
+    softmax). -1 (or None) excludes nothing; the kept set itself is
+    computed BEFORE the exclusion so the support stays exactly
+    `target kept-set minus the rejected token` (re-truncating after
+    the mask would leak the (k+1)-th token in)."""
     if not 0.0 < top_p <= 1.0:
         raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     kk = min(int(top_k), logits.shape[-1])
@@ -53,10 +62,36 @@ def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float):
         keep = (before < top_p) | \
             (jnp.arange(kk)[None, :] == 0)
         scaled = jnp.where(keep, scaled, -jnp.inf)
+    if exclude is not None:
+        scaled = jnp.where(idxs == exclude[:, None], -jnp.inf, scaled)
     choice = jax.random.categorical(rng, scaled, axis=-1)
     drawn = jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
     return jnp.where(temps > 0, drawn,
                      idxs[:, 0]).astype(jnp.int32)
+
+
+def truncated_token_prob(logits, temps, tokens, top_k: int,
+                         top_p: float):
+    """Probability `topk_topp_sample` assigns to `tokens` [B] under
+    `logits` [B, V] — softmax over the temperature-scaled kept set
+    (top-k ∩ nucleus), 0 for tokens outside it. This is the target-
+    side acceptance probability of speculative sampling with a
+    deterministic (prompt-lookup) draft: accept d with prob p(d),
+    else resample with d excluded — the emitted marginal is exactly
+    p (Leviathan et al.'s rejection scheme with a point-mass q).
+    Works over the kk-sized top-k only: never materializes [B, V]."""
+    kk = min(int(top_k), logits.shape[-1])
+    vals, idxs = jax.lax.top_k(logits, kk)
+    safe = jnp.where(temps > 0, temps, 1.0)[:, None]
+    scaled = vals / safe
+    if top_p < 1.0:
+        p0 = jax.nn.softmax(scaled, axis=-1)
+        before = jnp.cumsum(p0, axis=-1) - p0
+        keep = (before < top_p) | (jnp.arange(kk)[None, :] == 0)
+        scaled = jnp.where(keep, scaled, -jnp.inf)
+    probs = jax.nn.softmax(scaled, axis=-1)        # kept-set dist
+    match = (idxs == tokens[:, None])
+    return jnp.sum(jnp.where(match, probs, 0.0), axis=-1)
 
 
 class TextGenerator:

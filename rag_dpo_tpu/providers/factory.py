@@ -94,7 +94,9 @@ def create_tpu_llm(*, checkpoint_path: str = "", tokenizer_path: str = "",
     `scheduler`: "direct" (one decode per call), "batch" (micro-batched
     concurrent calls share one weight sweep), "continuous" (slot-pool
     engine — short answers never wait on long neighbors). `speculative`
-    accelerates greedy calls via prompt-lookup drafts. With no
+    accelerates calls via prompt-lookup drafts — greedy slots
+    losslessly by argmax-chain verify, sampled slots losslessly by
+    speculative sampling (continuous scheduler). With no
     checkpoint the decoder runs random-init (tests/load benches)."""
     import dataclasses as _dc
 

@@ -123,13 +123,26 @@ class ContinuousEngine:
     the pool (the vLLM-style pairing, TPU-native): each step drafts
     per-slot on the host from the slot's own prompt+emission history,
     runs ONE jitted (1+draft_len)-position cached verify forward over
-    ALL slots, and harvests each slot's accepted greedy run — so a slot
+    ALL slots, and harvests each slot's accepted run — so a slot
     quoting its context emits several tokens per weight sweep while its
-    neighbors still emit their one. Greedy-lossless per slot for the
+    neighbors still emit their one. Greedy slots are lossless for the
     same reason the batch path is (models/speculative.py): emitted
-    tokens are always the verify forward's own argmax chain. Sampled
-    slots ride the same verify program (their next token is drawn
-    in-program from the carried logits, drafts ignored, advance 1).
+    tokens are always the verify forward's own argmax chain. SAMPLED
+    slots use speculative SAMPLING on the scanned device path
+    (production default): each draft d is accepted with probability
+    p(d) under the target's truncated top-k/top-p distribution (the
+    prompt-lookup draft is a deterministic point mass, so Leviathan's
+    min(1, p/q) reduces to p), and the first rejection's token is
+    EXCLUDED from the next draw — the residual — making the emitted
+    marginal exactly the plain-sampling distribution (identity test in
+    tests/test_sampling.py; the RAG default temperature 0.1 therefore
+    speculates too). The exclusion crosses dispatch boundaries
+    (`_excl`); it is dropped on preemption and on adaptive fallback to
+    plain decode — one draw then samples from full p instead of the
+    residual, a bias bounded by p(d_rej) at those rare boundaries. The
+    host-drafted fallback path (`draft_fn=`) stays greedy-only: its
+    sampled slots draw in-program from the carried logits, drafts
+    ignored, advance 1.
 
     `adaptive=True` (default) makes speculation self-tuning: the engine
     tracks accepted tokens per slot-step and drops back to the plain
@@ -260,6 +273,11 @@ class ContinuousEngine:
                     (self.slots, self.cfg.max_seq_len),
                     self.sampling.pad_id, jnp.int32)
                 self._limits = jnp.zeros((self.slots,), jnp.int32)
+                # speculative-SAMPLING residual state: the rejected
+                # draft token a slot must exclude from its next draw
+                # (-1 = none); crosses dispatch boundaries so the
+                # residual draw stays exact between chunks
+                self._excl = np.full((self.slots,), -1, np.int32)
                 self._insert_hist_jit = jax.jit(self._insert_hist_fn,
                                                 donate_argnums=(0, 1))
 
@@ -360,6 +378,7 @@ class ContinuousEngine:
         tunnel — measured in benchmarks/bench_continuous_spec.py),
         the scanned path amortizes one dispatch over
         chunk × accepted-run tokens."""
+        from ..models.generate import truncated_token_prob
         from ..models.speculative import prompt_lookup_draft
 
         cfg, k, n = self.cfg, self.draft_len, self.ngram
@@ -372,17 +391,21 @@ class ContinuousEngine:
             lambda buf, cur: prompt_lookup_draft(buf, cur, k, n, pad))
 
         @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def spec_chunk(params, carry, ids_buf, limits, temps):
+        def spec_chunk(params, carry, ids_buf, limits, temps, excl0):
             L = ids_buf.shape[1]
             idx = jnp.arange(1 + k)[None, :]
             rowi = jnp.arange(b)
 
             def step(c, _):
-                logits, caches, pos, done, rng, ids_buf = c
+                logits, caches, pos, done, rng, ids_buf, excl = c
                 live = ~done
                 rng, sub = jax.random.split(rng)
+                # `excl` carries the rejected draft token of the last
+                # step's speculative-sampling rejection (-1 = none):
+                # this draw IS the residual draw — the rejected token's
+                # mass removed from the kept set, rest renormalized
                 t1 = topk_topp_sample(logits, temps, sub, top_k,
-                                      top_p)
+                                      top_p, exclude=excl)
                 # write t1 at pos so the tail n-gram includes it
                 cur_c = jnp.clip(pos, 0, L - 1)
                 old = ids_buf[rowi, cur_c]
@@ -397,11 +420,32 @@ class ContinuousEngine:
                                          attn_mask=None,
                                          write_mask=wmask)
                 g = jnp.argmax(la, -1).astype(jnp.int32)
-                ok = inputs[:, 1:] == g[:, :-1]
-                n_acc = 1 + jnp.where(
-                    temps > 0, 0,
-                    jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
-                            axis=1))
+                ok_greedy = inputs[:, 1:] == g[:, :-1]
+                # SPECULATIVE SAMPLING (temps > 0): accept draft d_i
+                # with prob p_i(d_i) under the target's truncated
+                # distribution (the draft is deterministic prompt-
+                # lookup, a point-mass q, so min(1, p/q) = p); the
+                # first rejection's token is excluded from the next
+                # t1 draw (residual) — emitted marginals equal plain
+                # sampling exactly (unit identity in tests)
+                rng, sub_u = jax.random.split(rng)
+                u = jax.random.uniform(sub_u, (b, k))
+                p_draft = truncated_token_prob(
+                    la[:, :-1].reshape(b * k, -1),
+                    jnp.repeat(temps, k),
+                    drafts.reshape(b * k), top_k, top_p,
+                ).reshape(b, k)
+                ok_samp = u < p_draft
+                ok = jnp.where((temps > 0)[:, None], ok_samp,
+                               ok_greedy)
+                n_acc = 1 + jnp.sum(
+                    jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+                # first rejected draft (if any) → excluded next draw
+                rej = n_acc <= k
+                d_rej = jnp.take_along_axis(
+                    drafts, jnp.clip(n_acc - 1, 0, k - 1)[:, None],
+                    axis=1)[:, 0]
+                excl = jnp.where((temps > 0) & rej & live, d_rej, -1)
                 base = (idx < n_acc[:, None]) & live[:, None] \
                     & (positions < limits[:, None])
                 is_eos = (inputs == eos) & base
@@ -424,16 +468,17 @@ class ContinuousEngine:
                 pos = pos + nv
                 done = done | jnp.any(is_eos & valid, axis=1) \
                     | (pos >= limits)
-                return (logits, caches, pos, done, rng, ids_buf), \
-                    (inputs, valid)
+                return (logits, caches, pos, done, rng, ids_buf,
+                        excl), (inputs, valid)
 
             logits, caches, pos, done, rng = carry
-            (logits, caches, pos, done, rng, ids_buf), (toks, valid) = \
-                jax.lax.scan(
-                    step, (logits, caches, pos, done, rng, ids_buf),
+            (logits, caches, pos, done, rng, ids_buf, excl), \
+                (toks, valid) = jax.lax.scan(
+                    step,
+                    (logits, caches, pos, done, rng, ids_buf, excl0),
                     None, length=S)
             return (logits, caches, pos, done, rng), ids_buf, \
-                toks, valid
+                toks, valid, excl
 
         return spec_chunk
 
@@ -643,6 +688,13 @@ class ContinuousEngine:
         self._active[slot] = req
         self._temps[slot] = req.temperature
         self._temps_dev = jnp.asarray(self._temps)
+        if getattr(self, "_excl", None) is not None:
+            # a fresh (or resumed) occupant has no pending residual
+            # exclusion; a preemption that lands between rejection and
+            # redraw drops the exclusion — the one token then draws
+            # from full p instead of the residual (bias bounded by
+            # p(d_rej) once per preemption; documented in the class)
+            self._excl[slot] = -1
         if self.speculative and self._draft_fn is None:
             # emission cap is length + REMAINING budget: for a
             # preemption-resumed request `ids` already bakes in
@@ -863,6 +915,12 @@ class ContinuousEngine:
                 if self.adaptive:
                     self._judge_speculation()
             else:
+                # adaptive fallback to plain decode drops any pending
+                # residual exclusion (the plain program draws from full
+                # p; carrying stale exclusions into a later spec probe
+                # would wrongly suppress a token)
+                if getattr(self, "_excl", None) is not None:
+                    self._excl[:] = -1
                 tokens = self._plain_advance()
                 self.stats["plain_dispatches"] += 1
                 self._plain_left -= 1
@@ -961,9 +1019,11 @@ class ContinuousEngine:
         slot is exactly its next emitted tokens (EOS included), so the
         ordinary harvest loop applies unchanged."""
         n_live = len(self._active)
-        self._carry, self._ids_buf, toks, valid = self._spec_chunk_jit(
-            self._params, self._carry, self._ids_buf, self._limits,
-            self._temps_dev)
+        self._carry, self._ids_buf, toks, valid, excl = \
+            self._spec_chunk_jit(
+                self._params, self._carry, self._ids_buf, self._limits,
+                self._temps_dev, jnp.asarray(self._excl))
+        self._excl = np.array(excl)   # copy: jax views are read-only
         toks, valid = np.asarray(toks), np.asarray(valid)
         if self.adaptive and n_live:
             # emitted tokens per slot-step vs the 1/step a plain chunk

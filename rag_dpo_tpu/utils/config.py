@@ -77,7 +77,8 @@ class LLMSection:
     quantize_int8: bool = True         # weight-only int8 (12B fits one chip)
     quantize_kv: bool = False          # int8 KV cache (2x slots per HBM)
     scheduler: str = "direct"          # direct | batch | continuous
-    speculative: bool = False          # prompt-lookup greedy acceleration
+    speculative: bool = False          # prompt-lookup speculation (lossless,
+                                       # greedy AND sampled)
     max_batch: int = 8                 # micro-batch / slot-pool width
     prefix_cache: int = 0              # APC entries (continuous only)
     prefix_block: int = 64             # APC block size (tokens)

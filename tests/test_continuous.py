@@ -945,3 +945,63 @@ def test_provider_stream_close_cancels_continuous_request():
     resp = cont.generate("base légale du traitement", temperature=0.0)
     assert resp.error is None and resp.text
     cont._driver.close()
+
+
+def test_spec_sampling_accepts_drafts_near_deterministic(gen):
+    """Speculative SAMPLING (temps > 0 accept drafts with prob p(d)):
+    at temperature 1e-4 the truncated target is a near point mass, so
+    an oracle feeding each slot its greedy continuation drives full
+    acceptance — the sampled run emits exactly the greedy chain in the
+    same compressed dispatch count as the greedy oracle test. Before
+    speculative sampling, sampled slots pinned n_acc=1 and this run
+    took ~max_new/chunk dispatches."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    prompts = [_prompt(rng, 6), _prompt(rng, 9)]
+    max_new, k, chunk = 24, 5, 2
+    L = CFG.max_seq_len
+    tab = np.ones((2, L), np.int32)
+    for r, p in enumerate(prompts):
+        raw = np.asarray(gen.generate_ids(
+            p[None], np.asarray([len(p)], np.int32),
+            SamplingConfig(temperature=0.0, eos_id=2, pad_id=1,
+                           max_new_tokens=max_new))[0], np.int32)
+        tab[r, :len(p)] = p
+        tab[r, len(p):len(p) + max_new] = raw
+    keys = jnp.asarray(np.stack([p[:4] for p in prompts]))
+    table = jnp.asarray(tab)
+
+    def oracle(ids_buf, cur):
+        m = jnp.all(ids_buf[:, None, :4] == keys[None], -1)
+        r = jnp.argmax(m, axis=1)
+        src = cur[:, None] + jnp.arange(k)[None, :]
+        return jnp.take_along_axis(
+            table[r], jnp.clip(src, 0, L - 1), axis=1)
+
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
+                           chunk=chunk, speculative=True, draft_len=k,
+                           device_draft_fn=oracle)
+    rids = [eng.submit(p, len(p), max_new, temperature=1e-4)
+            for p in prompts]
+    results = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert results[rid] == _solo(gen, p, max_new), rid
+    assert eng.stats["steps"] <= 3, eng.stats
+
+
+def test_spec_sampling_mixed_pool_keeps_greedy_parity(gen):
+    """A sampled slot next to a greedy slot: the greedy slot stays
+    bit-identical to its solo run (argmax never consumes rng), the
+    sampled slot completes with in-vocab tokens, and the engine's
+    exclusion state resets once the pool drains."""
+    rng = np.random.default_rng(33)
+    p_g, p_s = _prompt(rng, 8), _prompt(rng, 12)
+    eng = ContinuousEngine(gen, slots=2, sampling=SAMPLING,
+                           chunk=3, speculative=True, draft_len=4)
+    rid_g = eng.submit(p_g, len(p_g), 16, temperature=0.0)
+    rid_s = eng.submit(p_s, len(p_s), 16, temperature=0.9)
+    results = eng.run()
+    assert results[rid_g] == _solo(gen, p_g, 16)
+    assert len(results[rid_s]) > 0
+    assert all(0 <= t < CFG.vocab_size for t in results[rid_s])

@@ -137,3 +137,113 @@ def test_provider_top_p_plumbing():
         assert r.error is None
     finally:
         llm._driver.close()
+
+
+def _oracle_truncated_probs(logits, temp, top_k, top_p, exclude=None):
+    """Numpy first-principles oracle of the sampler's distribution:
+    softmax over the temperature-scaled kept set (top-k ∩ nucleus with
+    the first-token guard), optionally with one token excluded from
+    the kept set (the residual of speculative sampling)."""
+    logits = np.asarray(logits, np.float64)
+    v = logits.shape[-1]
+    kk = min(top_k, v)
+    order = np.argsort(-logits)[:kk]
+    scaled = logits[order] / temp
+    keep = np.ones(kk, bool)
+    if top_p < 1.0:
+        p0 = np.exp(scaled - scaled.max())
+        p0 = p0 / p0.sum()
+        before = np.cumsum(p0) - p0
+        keep = (before < top_p) | (np.arange(kk) == 0)
+    if exclude is not None:
+        keep &= order != exclude
+    out = np.zeros(v)
+    if keep.any():
+        e = np.exp(scaled[keep] - scaled[keep].max())
+        out[order[keep]] = e / e.sum()
+    return out
+
+
+def test_truncated_token_prob_matches_oracle():
+    from rag_dpo_tpu.models.generate import truncated_token_prob
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((6, 64)).astype(np.float32) * 3
+    temps = np.asarray([0.3, 0.7, 1.0, 1.3, 0.9, 0.5], np.float32)
+    tokens = rng.integers(0, 64, (6,)).astype(np.int32)
+    for top_k, top_p in [(8, 1.0), (16, 0.8), (64, 0.95)]:
+        got = np.asarray(truncated_token_prob(
+            jnp.asarray(logits), jnp.asarray(temps),
+            jnp.asarray(tokens), top_k, top_p))
+        for i in range(6):
+            want = _oracle_truncated_probs(
+                logits[i], float(temps[i]), top_k, top_p)[tokens[i]]
+            assert abs(got[i] - want) < 1e-5, (i, got[i], want)
+
+
+def test_speculative_sampling_identity_is_lossless():
+    """The rejection scheme's emitted marginal equals plain sampling
+    EXACTLY: p(v) == p(d)·1[v=d] + (1-p(d))·residual(v), where p is
+    the truncated target distribution, d any draft token, and residual
+    is the exclude-d sampler's distribution. Checked against numpy
+    oracles — no sampling noise."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        logits = rng.standard_normal(32).astype(np.float32) * 2.5
+        temp = float(rng.uniform(0.2, 1.5))
+        top_k, top_p = int(rng.choice([4, 8, 32])), \
+            float(rng.choice([1.0, 0.9, 0.6]))
+        p = _oracle_truncated_probs(logits, temp, top_k, top_p)
+        d = int(rng.integers(0, 32))
+        resid = _oracle_truncated_probs(logits, temp, top_k, top_p,
+                                        exclude=d)
+        pd = p[d]
+        lhs = p
+        onehot = np.zeros(32)
+        onehot[d] = 1.0
+        rhs = pd * onehot + (1 - pd) * resid
+        if pd >= 1.0 - 1e-12:   # can't reject a certain token
+            continue
+        np.testing.assert_allclose(lhs, rhs, atol=1e-9), (trial,)
+
+
+def test_exclude_masks_within_the_kept_set():
+    """topk_topp_sample(exclude=d) never draws d, matches the oracle
+    residual distribution, and exclude=-1 is bit-identical to no
+    exclusion (the greedy/plain paths share the program)."""
+    rng = np.random.default_rng(3)
+    logits_np = rng.standard_normal((4, 48)).astype(np.float32) * 2
+    logits = jnp.asarray(logits_np)
+    temps = jnp.full((4,), 0.8, jnp.float32)
+    # the per-row top token is always in the kept set: exclude IT
+    # (top_p=1.0 keeps all 16 top-k entries, so the kept set minus the
+    # exclusion is never empty — the guarantee is unconditional there)
+    excl = np.asarray(np.argmax(logits_np, -1), np.int32)
+    draws = np.stack([
+        np.asarray(topk_topp_sample(logits, temps, jax.random.key(s),
+                                    top_k=16, top_p=1.0,
+                                    exclude=jnp.asarray(excl)))
+        for s in range(512)])
+    assert not np.any(draws == excl[None, :])
+    # empirical vs oracle residual (row 0): total variation small
+    emp = np.bincount(draws[:, 0], minlength=48) / draws.shape[0]
+    want = _oracle_truncated_probs(logits_np[0], 0.8, 16, 1.0,
+                                   exclude=int(excl[0]))
+    assert 0.5 * np.abs(emp - want).sum() < 0.08
+    # degenerate: nucleus keeps ONLY the excluded token → everything
+    # masked → the draw falls back to the top token. Unreachable in
+    # speculative sampling (kept set {d} means p(d)=1, which never
+    # rejects) but pinned so the fallback stays deliberate.
+    peaked = _logits_peaked(1, 48, peak=11)
+    out = np.asarray(topk_topp_sample(
+        peaked, jnp.asarray([0.8], jnp.float32), jax.random.key(1),
+        top_k=16, top_p=0.5,
+        exclude=jnp.asarray([11], jnp.int32)))
+    assert out[0] == 11
+    # exclude=-1 == no exclusion, same rng stream
+    a = topk_topp_sample(logits, temps, jax.random.key(9), top_k=16,
+                         top_p=0.9)
+    bq = topk_topp_sample(logits, temps, jax.random.key(9), top_k=16,
+                          top_p=0.9,
+                          exclude=jnp.full((4,), -1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bq))
