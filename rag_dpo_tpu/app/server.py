@@ -78,6 +78,38 @@ def _attach_batcher_stats(stats: dict, system: dict) -> None:
         stats["rerank_batcher"] = batcher_stats(rb)
 
 
+def _parse_penalties(data: dict, llm) -> tuple[dict, str | None]:
+    """OpenAI-style frequency/presence penalties from a request body:
+    validated floats in [-2, 2], forwarded only when nonzero AND the
+    provider's generate() accepts them (the TPU continuous scheduler
+    does; HTTP/fake providers don't — a silent drop would misreport
+    capability, so unsupported+nonzero is a 400)."""
+    import inspect
+
+    pens: dict = {}
+    for field in ("frequency_penalty", "presence_penalty"):
+        raw = data.get(field)
+        if raw is None:
+            continue
+        try:
+            val = float(raw)
+        except (TypeError, ValueError):
+            return {}, f"{field} must be a number"
+        if not -2.0 <= val <= 2.0:
+            return {}, f"{field} must be in [-2, 2]"
+        if val != 0.0:
+            pens[field] = val
+    if pens:
+        try:
+            params = inspect.signature(llm.generate).parameters
+        except (TypeError, ValueError):
+            params = {}
+        if not all(k in params for k in pens):
+            return {}, ("this provider does not support "
+                        "frequency/presence penalties")
+    return pens, None
+
+
 def _warm_coalesced(system: dict) -> None:
     """Pre-compile the coalescing batchers' programs (choose / encode /
     rerank) when their knobs are on — a first-shape compile through the
@@ -529,6 +561,11 @@ def make_handler(system: dict):
                         return
                     if hasattr(llm, "priority"):
                         gen_kwargs["priority"] = prio
+                pens, bad = _parse_penalties(data, llm)
+                if bad:
+                    self._send(400, {"error": bad})
+                    return
+                gen_kwargs.update(pens)
                 if not data.get("stream"):
                     resp = llm.generate(prompt, **gen_kwargs)
                     self._send(200, {"text": resp.text,
@@ -630,12 +667,16 @@ def make_handler(system: dict):
                     stops = [stops]
                 stops = [s for s in (stops or [])
                          if isinstance(s, str) and s][:4]
+                pens, bad = _parse_penalties(data, llm)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
+                    return
                 model = getattr(llm, "model_name", "rag-dpo-tpu")
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
                 created = int(_time.time())
                 if not data.get("stream"):
                     resp = llm.chat(messages, temperature=temperature,
-                                    max_tokens=max_new)
+                                    max_tokens=max_new, **pens)
                     if not resp.ok:
                         self._send(502, {"error":
                                          {"message": resp.error}})
@@ -680,7 +721,7 @@ def make_handler(system: dict):
                 chunk({"role": "assistant", "content": ""})
                 stream = llm.chat_stream(messages,
                                          temperature=temperature,
-                                         max_tokens=max_new)
+                                         max_tokens=max_new, **pens)
                 # stop sequences are matched host-side on the
                 # accumulated text; withholding len(stop)-1 trailing
                 # chars keeps a match that spans two deltas intact, and

@@ -458,34 +458,51 @@ class TextGenerator:
         """_decode_chunk with PER-ROW temperatures: `temps[b] <= 0`
         rows decode greedily, others sample from the top-k at their own
         temperature — one program serves a pool mixing both
-        (serving/continuous.py). top_k/eos/pad stay static per program."""
+        (serving/continuous.py). top_k/eos/pad stay static per program.
+
+        `counts [b, V] / freqs [b] / pres [b]` carry OpenAI-style
+        frequency/presence penalties: logits' = logits − freq·count −
+        pres·1[count>0] over COMPLETION tokens (vLLM semantics), with
+        the count update riding the scan. Zero penalties are a bitwise
+        no-op (x − 0.0 ≡ x), so unpenalized pools pay only the [b, V]
+        elementwise adjustments — noise next to the weight sweep —
+        and one program serves both."""
         key = ("decode_chunk_mixed", b, n_steps, sampling.top_k,
                sampling.top_p, sampling.eos_id, sampling.pad_id)
         if key not in self._programs:
             top_k, top_p = sampling.top_k, sampling.top_p
             eos, pad = sampling.eos_id, sampling.pad_id
 
-            def sample(logits, temps, rng):
-                return topk_topp_sample(logits, temps, rng, top_k,
-                                        top_p)
+            @functools.partial(jax.jit, donate_argnums=(1, 3))
+            def decode(params, carry, temps, counts, freqs, pres):
+                rowi = jnp.arange(b)
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode(params, carry, temps):
                 def step(c, _):
-                    logits, caches, pos, done, rng = c
+                    logits, caches, pos, done, rng, counts = c
                     rng, sub = jax.random.split(rng)
-                    token = sample(logits, temps, sub)
+                    pl = logits \
+                        - freqs[:, None] * counts \
+                        - pres[:, None] * (counts > 0)
+                    token = topk_topp_sample(pl, temps, sub, top_k,
+                                             top_p)
                     token = jnp.where(done, pad, token)
+                    counts = counts.at[rowi, token].add(
+                        jnp.where(done, 0.0, 1.0))
                     done = done | (token == eos)
                     new_logits, caches = self.model.apply(
                         params, token[:, None], pos[:, None], caches,
                     )
                     return (new_logits[:, 0], caches, pos + 1, done,
-                            rng), token
+                            rng, counts), token
 
-                carry, tokens = jax.lax.scan(step, carry, None,
-                                             length=n_steps)
-                return carry, tokens.T
+                logits, caches, pos, done, rng = carry
+                (logits, caches, pos, done, rng, counts), tokens = \
+                    jax.lax.scan(
+                        step,
+                        (logits, caches, pos, done, rng, counts),
+                        None, length=n_steps)
+                return (logits, caches, pos, done, rng), tokens.T, \
+                    counts
 
             self._programs[key] = decode
         return self._programs[key]

@@ -54,8 +54,11 @@ class BaseLLMProvider(abc.ABC):
         messages: Sequence[Mapping[str, str]],
         temperature: float = 0.0,
         max_tokens: int | None = None,
+        **gen_kwargs,
     ) -> LLMResponse:
-        """Default chat = flatten messages into a generate call."""
+        """Default chat = flatten messages into a generate call.
+        Extra `gen_kwargs` (penalties, priority, timeout_s...) forward
+        to `generate` for providers that accept them."""
         system = None
         parts = []
         for m in messages:
@@ -63,8 +66,10 @@ class BaseLLMProvider(abc.ABC):
                 system = m["content"]
             else:
                 parts.append(f"{m['role']}: {m['content']}")
+        if max_tokens is not None:
+            gen_kwargs["max_tokens"] = max_tokens
         return self.generate("\n\n".join(parts), system=system,
-                             temperature=temperature)
+                             temperature=temperature, **gen_kwargs)
 
     def chat_stream(
         self,

@@ -238,7 +238,9 @@ class TPULLMProvider(BaseLLMProvider):
     def generate(self, prompt, system=None, temperature=0.0,
                  json_mode=False, max_tokens=None,
                  timeout_s: float | None = None,
-                 priority: int | None = None) -> LLMResponse:
+                 priority: int | None = None,
+                 frequency_penalty: float = 0.0,
+                 presence_penalty: float = 0.0) -> LLMResponse:
         """`timeout_s` (or the provider-wide `request_timeout_s`
         default) bounds queue wait + decode on the continuous
         scheduler; expiry cancels the request and returns the partial
@@ -266,7 +268,9 @@ class TPULLMProvider(BaseLLMProvider):
                         row, int(enc.lengths[0]), max_new,
                         temperature=temperature, deadline_s=deadline,
                         priority=(self.priority if priority is None
-                                  else int(priority)))
+                                  else int(priority)),
+                        frequency_penalty=frequency_penalty,
+                        presence_penalty=presence_penalty)
                 except DeadlineExceeded as e:
                     # partial answer + in-band error: callers that can
                     # use a truncated generation get it, the rest see
@@ -318,7 +322,9 @@ class TPULLMProvider(BaseLLMProvider):
     def generate_stream(self, prompt, system=None, temperature=0.0,
                         max_tokens=None, chunk: int = 8,
                         timeout_s: float | None = None,
-                        priority: int | None = None):
+                        priority: int | None = None,
+                        frequency_penalty: float = 0.0,
+                        presence_penalty: float = 0.0):
         """Yield text deltas as the decoder produces them. Incremental
         detokenization re-decodes the full emitted prefix each block and
         yields the string delta, so subword/multibyte joins across block
@@ -355,7 +361,9 @@ class TPULLMProvider(BaseLLMProvider):
                 deadline_s=(timeout_s if timeout_s is not None
                             else self.request_timeout_s),
                 priority=(self.priority if priority is None
-                          else int(priority)))
+                          else int(priority)),
+                frequency_penalty=frequency_penalty,
+                presence_penalty=presence_penalty)
             try:
                 for t in stream:
                     emitted.append(int(t))
@@ -452,9 +460,10 @@ class TPULLMProvider(BaseLLMProvider):
                                    cand_ids.shape[1])
 
     def chat_stream(self, messages, temperature=0.0, max_tokens=None,
-                    priority: int | None = None):
+                    priority: int | None = None, **gen_kwargs):
         """Native token-streamed chat: flatten messages the same way the
-        base `chat()` does, then ride the decoder's chunked stream."""
+        base `chat()` does, then ride the decoder's chunked stream.
+        Extra `gen_kwargs` (penalties, timeout_s) forward through."""
         system, parts = None, []
         for m in messages:
             if m["role"] == "system":
@@ -463,7 +472,7 @@ class TPULLMProvider(BaseLLMProvider):
                 parts.append(f"{m['role']}: {m['content']}")
         yield from self.generate_stream(
             "\n\n".join(parts), system=system, temperature=temperature,
-            max_tokens=max_tokens, priority=priority)
+            max_tokens=max_tokens, priority=priority, **gen_kwargs)
 
     def is_available(self) -> bool:
         return True

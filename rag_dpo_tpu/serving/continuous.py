@@ -69,6 +69,8 @@ class _Request:
     length: int
     max_new: int
     temperature: float = 0.0  # per-request; ≤0 decodes greedily
+    frequency_penalty: float = 0.0   # OpenAI-style, completion tokens
+    presence_penalty: float = 0.0    # (vLLM counting semantics)
     tokens: list[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     done: bool = False
@@ -235,6 +237,15 @@ class ContinuousEngine:
         self._phash: dict[bytes, int] = {}       # prefix bytes → eid
         self._peid = itertools.count()
         self._temps = np.zeros((self.slots,), np.float32)
+        # OpenAI-style per-slot penalties + completion-token counts
+        # (freq·count + pres·1[count>0] subtracted from the logits
+        # before every draw; zero penalties are a bitwise no-op so one
+        # program serves penalized and plain traffic)
+        self._fp = np.zeros((self.slots,), np.float32)
+        self._pp = np.zeros((self.slots,), np.float32)
+        self._fp_dev = None
+        self._pp_dev = None
+        self._counts = None            # [slots, V] f32, lazily built
         # device mirror of _temps, refreshed only on admission: an
         # upload per DISPATCH costs a full tunnel round trip (~30 ms,
         # measured as ~40% overhead on a 190 ms batch-8 dispatch)
@@ -341,12 +352,14 @@ class ContinuousEngine:
         top_p = self.sampling.top_p
         model = self.gen.model
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def verify(params, carry, drafts, temps):
+        @functools.partial(jax.jit, donate_argnums=(1, 4))
+        def verify(params, carry, drafts, temps, counts, freqs, pres):
             logits, caches, pos, done, rng = carry
             live = ~done
             rng, sub = jax.random.split(rng)
-            t1 = topk_topp_sample(logits, temps, sub, top_k, top_p)
+            pl = logits - freqs[:, None] * counts \
+                - pres[:, None] * (counts > 0)
+            t1 = topk_topp_sample(pl, temps, sub, top_k, top_p)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
             positions = pos[:, None] + jnp.arange(1 + k)[None, :]
             wmask = live[:, None] & (positions < cfg.max_seq_len)
@@ -355,15 +368,23 @@ class ContinuousEngine:
                                      attn_mask=None, write_mask=wmask)
             g = jnp.argmax(la, -1).astype(jnp.int32)
             ok = inputs[:, 1:] == g[:, :-1]
+            # penalized rows can't verify drafts in parallel (their
+            # target depends on the run's own earlier tokens): n_acc=1
+            pen = (freqs > 0) | (pres > 0)
             n_acc = 1 + jnp.where(
-                temps > 0, 0,
+                (temps > 0) | pen, 0,
                 jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
                         axis=1))
             n_acc = jnp.where(live, n_acc, 0)
+            emitted = jnp.arange(1 + k)[None, :] < n_acc[:, None]
+            counts = counts.at[
+                jnp.arange(inputs.shape[0])[:, None], inputs].add(
+                emitted.astype(jnp.float32))
             new_logits = jnp.take_along_axis(
                 la, jnp.clip(n_acc - 1, 0)[:, None, None], axis=1)[:, 0]
             logits = jnp.where(live[:, None], new_logits, logits)
-            return (logits, caches, pos + n_acc, done, rng), n_acc, t1
+            return (logits, caches, pos + n_acc, done, rng), n_acc, \
+                t1, counts
 
         return verify
 
@@ -390,21 +411,30 @@ class ContinuousEngine:
         draft_src = self._device_draft_fn or (
             lambda buf, cur: prompt_lookup_draft(buf, cur, k, n, pad))
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def spec_chunk(params, carry, ids_buf, limits, temps, excl0):
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 6))
+        def spec_chunk(params, carry, ids_buf, limits, temps, excl0,
+                       counts0, freqs, pres):
             L = ids_buf.shape[1]
             idx = jnp.arange(1 + k)[None, :]
             rowi = jnp.arange(b)
+            # a penalized slot's target distribution depends on the
+            # run's OWN earlier tokens, so parallel draft verification
+            # is unsound for it — it decodes sequentially (n_acc=1)
+            # while unpenalized neighbors keep speculating
+            pen = (freqs > 0) | (pres > 0)
 
             def step(c, _):
-                logits, caches, pos, done, rng, ids_buf, excl = c
+                logits, caches, pos, done, rng, ids_buf, excl, \
+                    counts = c
                 live = ~done
                 rng, sub = jax.random.split(rng)
                 # `excl` carries the rejected draft token of the last
                 # step's speculative-sampling rejection (-1 = none):
                 # this draw IS the residual draw — the rejected token's
                 # mass removed from the kept set, rest renormalized
-                t1 = topk_topp_sample(logits, temps, sub, top_k,
+                pl = logits - freqs[:, None] * counts \
+                    - pres[:, None] * (counts > 0)
+                t1 = topk_topp_sample(pl, temps, sub, top_k,
                                       top_p, exclude=excl)
                 # write t1 at pos so the tail n-gram includes it
                 cur_c = jnp.clip(pos, 0, L - 1)
@@ -437,15 +467,17 @@ class ContinuousEngine:
                 ).reshape(b, k)
                 ok_samp = u < p_draft
                 ok = jnp.where((temps > 0)[:, None], ok_samp,
-                               ok_greedy)
+                               ok_greedy) & ~pen[:, None]
                 n_acc = 1 + jnp.sum(
                     jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
-                # first rejected draft (if any) → excluded next draw
+                # first rejected draft (if any) → excluded next draw;
+                # penalized rows never speculate, so no residual state
                 rej = n_acc <= k
                 d_rej = jnp.take_along_axis(
                     drafts, jnp.clip(n_acc - 1, 0, k - 1)[:, None],
                     axis=1)[:, 0]
-                excl = jnp.where((temps > 0) & rej & live, d_rej, -1)
+                excl = jnp.where((temps > 0) & rej & live & ~pen,
+                                 d_rej, -1)
                 base = (idx < n_acc[:, None]) & live[:, None] \
                     & (positions < limits[:, None])
                 is_eos = (inputs == eos) & base
@@ -465,20 +497,23 @@ class ContinuousEngine:
                     axis=1)[:, 0]
                 keep = live[:, None] & (nv > 0)[:, None]
                 logits = jnp.where(keep, new_logits, logits)
+                counts = counts.at[rowi[:, None], inputs].add(
+                    valid.astype(jnp.float32))
                 pos = pos + nv
                 done = done | jnp.any(is_eos & valid, axis=1) \
                     | (pos >= limits)
                 return (logits, caches, pos, done, rng, ids_buf,
-                        excl), (inputs, valid)
+                        excl, counts), (inputs, valid)
 
             logits, caches, pos, done, rng = carry
-            (logits, caches, pos, done, rng, ids_buf, excl), \
+            (logits, caches, pos, done, rng, ids_buf, excl, counts), \
                 (toks, valid) = jax.lax.scan(
                     step,
-                    (logits, caches, pos, done, rng, ids_buf, excl0),
+                    (logits, caches, pos, done, rng, ids_buf, excl0,
+                     counts0),
                     None, length=S)
             return (logits, caches, pos, done, rng), ids_buf, \
-                toks, valid, excl
+                toks, valid, excl, counts
 
         return spec_chunk
 
@@ -536,13 +571,20 @@ class ContinuousEngine:
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None,
                temperature: float | None = None,
-               priority: int = 0) -> int:
+               priority: int = 0,
+               frequency_penalty: float = 0.0,
+               presence_penalty: float = 0.0) -> int:
         """Queue a request; returns its id. `on_token(rid, token_id)`
         fires per decoded token (streaming). `temperature` overrides
         the engine default for THIS request (≤0 = greedy). `priority`
         orders admission (lower first; ties FIFO — see __init__ for
-        aging/preemption). Admission happens at the next `step()` if a
-        slot is free."""
+        aging/preemption). `frequency_penalty`/`presence_penalty`
+        (OpenAI semantics over completion tokens) penalize repeats;
+        a penalized slot decodes sequentially in spec mode (the
+        penalty makes the target distribution depend on the run's own
+        earlier tokens, so parallel draft verification would be
+        unsound — neighbors keep speculating). Admission happens at
+        the next `step()` if a slot is free."""
         from ..tokenize.base import bucket_length
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
@@ -562,6 +604,8 @@ class ContinuousEngine:
             else float(temperature)
         req = _Request(rid=next(self._rid), ids=ids, length=int(length),
                        max_new=int(max_new), temperature=temp,
+                       frequency_penalty=float(frequency_penalty),
+                       presence_penalty=float(presence_penalty),
                        on_token=on_token, priority=int(priority),
                        submit_step=self.stats["steps"])
         self._queue.append(req)
@@ -688,6 +732,20 @@ class ContinuousEngine:
         self._active[slot] = req
         self._temps[slot] = req.temperature
         self._temps_dev = jnp.asarray(self._temps)
+        self._fp[slot] = req.frequency_penalty
+        self._pp[slot] = req.presence_penalty
+        self._fp_dev = jnp.asarray(self._fp)
+        self._pp_dev = jnp.asarray(self._pp)
+        # completion-token counts: zero for a fresh request; a
+        # preemption-resumed one rebuilds from the tokens already baked
+        # into ids (penalty state survives eviction exactly)
+        row = np.zeros((self.cfg.vocab_size,), np.float32)
+        if req.tokens and (req.frequency_penalty
+                           or req.presence_penalty):
+            np.add.at(row, np.asarray(req.tokens, np.int64), 1.0)
+        counts = self._counts_dev()   # builds the setter on first use
+        self._counts = self._counts_set_jit(
+            counts, jnp.int32(slot), jnp.asarray(row))
         if getattr(self, "_excl", None) is not None:
             # a fresh (or resumed) occupant has no pending residual
             # exclusion; a preemption that lands between rejection and
@@ -973,12 +1031,25 @@ class ContinuousEngine:
         self.stats["tokens"] += emitted
         return emitted
 
+    def _counts_dev(self):
+        """Lazy [slots, V] completion-token count matrix (f32 — 8 MB
+        at V=131k/16 slots) + the jitted per-row setter."""
+        if self._counts is None:
+            self._counts = jnp.zeros(
+                (self.slots, self.cfg.vocab_size), jnp.float32)
+            self._counts_set_jit = jax.jit(
+                lambda c, slot, row: jax.lax.dynamic_update_index_in_dim(
+                    c, row, slot, axis=0),
+                donate_argnums=(0,))
+        return self._counts
+
     def _plain_advance(self):
         """One plain chunked-decode dispatch over the pool."""
         decode = self.gen._decode_chunk_mixed(
             self.slots, self.chunk, self.sampling)
-        self._carry, toks = decode(self._params, self._carry,
-                                   self._temps_dev)
+        self._carry, toks, self._counts = decode(
+            self._params, self._carry, self._temps_dev,
+            self._counts_dev(), self._fp_dev, self._pp_dev)
         return np.asarray(toks)                   # [slots, chunk]
 
     def _judge_speculation(self):
@@ -1019,10 +1090,11 @@ class ContinuousEngine:
         slot is exactly its next emitted tokens (EOS included), so the
         ordinary harvest loop applies unchanged."""
         n_live = len(self._active)
-        self._carry, self._ids_buf, toks, valid, excl = \
+        self._carry, self._ids_buf, toks, valid, excl, self._counts = \
             self._spec_chunk_jit(
                 self._params, self._carry, self._ids_buf, self._limits,
-                self._temps_dev, jnp.asarray(self._excl))
+                self._temps_dev, jnp.asarray(self._excl),
+                self._counts_dev(), self._fp_dev, self._pp_dev)
         self._excl = np.array(excl)   # copy: jax views are read-only
         toks, valid = np.asarray(toks), np.asarray(valid)
         if self.adaptive and n_live:
@@ -1058,9 +1130,10 @@ class ContinuousEngine:
                 np.asarray(req.tokens[req.consumed:] + [int(t1g[slot])],
                            np.int32)])
             drafts[slot] = draft(hist, k, n, pad)
-        self._carry, n_acc, t1 = self._verify_jit(
+        self._carry, n_acc, t1, self._counts = self._verify_jit(
             self._params, self._carry, jnp.asarray(drafts),
-            self._temps_dev)
+            self._temps_dev, self._counts_dev(), self._fp_dev,
+            self._pp_dev)
         n_acc, t1 = np.asarray(n_acc), np.asarray(t1)
         return {slot: [int(t1[slot])]
                 + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]
@@ -1171,12 +1244,15 @@ class ContinuousDriver:
         self._thread.start()
 
     def _submit(self, prompt_ids, length, max_new, on_token, temperature,
-                deadline_s=None, priority=0):
+                deadline_s=None, priority=0,
+                frequency_penalty=0.0, presence_penalty=0.0):
         import threading
 
         evt = threading.Event()
         box: dict = {}
-        ctl: dict = {"rid": None, "cancelled": False}
+        ctl: dict = {"rid": None, "cancelled": False,
+                     "penalties": (float(frequency_penalty),
+                                   float(presence_penalty))}
         if deadline_s is not None:
             if not deadline_s > 0:          # rejects 0, <0 AND nan
                 raise ValueError(
@@ -1212,16 +1288,20 @@ class ContinuousDriver:
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token=None, temperature: float | None = None,
                deadline_s: float | None = None,
-               priority: int = 0) -> GenerationHandle:
+               priority: int = 0,
+               frequency_penalty: float = 0.0,
+               presence_penalty: float = 0.0) -> GenerationHandle:
         """Non-blocking submit; the returned handle can wait for or
         cancel the request (`generate()` is `submit().result()`).
         `deadline_s` bounds queue wait + decode together: an expired
         request is cancelled on the decode thread and its `result()`
         raises `DeadlineExceeded` carrying the partial tokens.
-        `priority` orders pool admission (lower first, ties FIFO)."""
+        `priority` orders pool admission (lower first, ties FIFO);
+        the penalties are OpenAI-style over completion tokens."""
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
                                      on_token, temperature, deadline_s,
-                                     priority)
+                                     priority, frequency_penalty,
+                                     presence_penalty)
         return GenerationHandle(self, evt, box, ctl)
 
     @staticmethod
@@ -1233,20 +1313,25 @@ class ContinuousDriver:
     def generate(self, prompt_ids, length: int, max_new: int,
                  on_token=None, temperature: float | None = None,
                  deadline_s: float | None = None,
-                 priority: int = 0) -> list[int]:
+                 priority: int = 0,
+                 frequency_penalty: float = 0.0,
+                 presence_penalty: float = 0.0) -> list[int]:
         """Block until this request completes; returns its tokens.
         With `deadline_s`, raises `DeadlineExceeded` (partial tokens on
         the exception) if the budget expires first."""
         evt, box, _ = self._submit(prompt_ids, length, max_new,
                                    on_token, temperature, deadline_s,
-                                   priority)
+                                   priority, frequency_penalty,
+                                   presence_penalty)
         evt.wait()
         return self._result(box)
 
     def generate_stream(self, prompt_ids, length: int, max_new: int,
                         temperature: float | None = None,
                         deadline_s: float | None = None,
-                        priority: int = 0):
+                        priority: int = 0,
+                        frequency_penalty: float = 0.0,
+                        presence_penalty: float = 0.0):
         """Yield this request's token ids as the pool decodes them.
 
         The engine's `on_token` fires on the driver thread; a queue
@@ -1266,7 +1351,9 @@ class ContinuousDriver:
         q: _queue.Queue = _queue.Queue()
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
                                      lambda _rid, t: q.put(t),
-                                     temperature, deadline_s, priority)
+                                     temperature, deadline_s, priority,
+                                     frequency_penalty,
+                                     presence_penalty)
 
         def _iter():
             try:
@@ -1346,10 +1433,13 @@ class ContinuousDriver:
                     evt.set()
                     continue
                 try:
+                    fp, pp = ctl.get("penalties", (0.0, 0.0))
                     rid = self.engine.submit(ids, length, max_new,
                                              on_token=on_token,
                                              temperature=temp,
-                                             priority=prio)
+                                             priority=prio,
+                                             frequency_penalty=fp,
+                                             presence_penalty=pp)
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)
                     if "deadline" in ctl:

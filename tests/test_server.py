@@ -573,3 +573,52 @@ def test_warm_coalesced_precompiles_all_batchers(tmp_path_factory):
     assert system["embedder"]._query_batcher.stats.n_device_calls >= 1
     rr = system["pipe"].reranker
     assert rr._pair_batcher.stats.n_device_calls >= 1
+
+
+def test_penalties_over_http(tmp_path_factory):
+    """/generate and /v1/chat/completions accept OpenAI-style
+    frequency/presence penalties on the continuous TPU provider;
+    a provider without penalty support 400s instead of silently
+    dropping them; validation rejects out-of-range values."""
+    import os
+    import threading as th
+
+    from rag_dpo_tpu.providers.factory import create_tpu_llm
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("pen"))
+    system = build_system(agent_too=False)
+    llm = create_tpu_llm(arch="tiny", quantize_int8=False,
+                         scheduler="continuous", max_batch=2)
+    system["llm"] = llm
+    system["stream_llm"] = llm
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    code, data = _post(url, "/generate",
+                       {"prompt": "Bonjour", "max_tokens": 8,
+                        "frequency_penalty": 0.5,
+                        "presence_penalty": 1.0})
+    assert code == 200 and data["text"]
+    code, data = _post(url, "/generate",
+                       {"prompt": "x", "frequency_penalty": 3.0})
+    assert code == 400 and "[-2, 2]" in data["error"]
+    code, data = _post(url, "/v1/chat/completions",
+                       {"messages": [{"role": "user",
+                                      "content": "Bonjour"}],
+                        "max_tokens": 8, "presence_penalty": 0.5})
+    assert code == 200
+    assert data["choices"][0]["message"]["content"]
+    srv.shutdown()
+    llm._driver.close()
+
+    # a provider whose generate() has no penalty params: nonzero
+    # penalties are rejected, never silently dropped
+    from rag_dpo_tpu.app.server import _parse_penalties
+    from rag_dpo_tpu.providers import FakeLLMProvider
+
+    pens, bad = _parse_penalties({"presence_penalty": 0.5},
+                                 FakeLLMProvider())
+    assert bad and "support" in bad
+    pens, bad = _parse_penalties({"presence_penalty": 0.0},
+                                 FakeLLMProvider())
+    assert not bad and pens == {}   # zero = no-op, allowed anywhere
