@@ -66,8 +66,6 @@ def build_demo_stack(llm=None, agent: bool = False, use_reranker=True):
     from ..retrieval.bm25 import (
         build_bm25_stats, build_ell_corpus, tokenize_corpus,
     )
-    from ..retrieval.reranker import CrossEncoderReranker
-
     llm = llm or FakeLLMProvider()
     embedder = Embedder(EmbedderConfig(
         model=BgeM3Config(
@@ -100,11 +98,11 @@ def build_demo_stack(llm=None, agent: bool = False, use_reranker=True):
         for m in metas
     ])
 
-    from ..rag.topics import TopicMatcher
+    from ..retrieval.reranker import default_reranker
 
-    reranker = CrossEncoderReranker(
+    reranker = default_reranker(
+        embedder,
         model_config=EncoderConfig.tiny(use_flash_attention=False),
-        topic_matcher=TopicMatcher(embedder),
     ) if use_reranker else None
 
     ctx = {"index": index, "embedder": embedder, "bm25_stats": stats,

@@ -121,9 +121,14 @@ def _warm_coalesced(system: dict) -> None:
 
     from ..serving.batcher import find_choose_batcher
 
-    llm = system.get("llm")
-    if find_choose_batcher(system) is not None \
-            and hasattr(llm, "warm_choose"):
+    # warm the provider that OWNS the choose batcher (mirrors
+    # find_choose_batcher's llm→stream_llm fallback — review finding:
+    # warming system['llm'] while the batcher lives on stream_llm left
+    # the programs cold with no warning)
+    llm = next((c for c in (system.get("llm"), system.get("stream_llm"))
+                if getattr(getattr(c, "generator", None),
+                           "_choose_batcher", None) is not None), None)
+    if llm is not None and hasattr(llm, "warm_choose"):
         from ..rag.intent import CHOOSE_PROMPT, VALID_INTENTS
 
         t0 = _time.time()
@@ -142,23 +147,41 @@ def _warm_coalesced(system: dict) -> None:
                             list(VALID_INTENTS))
         print(f"warm: compiled constrained-choice programs in "
               f"{_time.time() - t0:.1f}s")
+    # short + long texts: production queries land in different SEQ
+    # buckets, and a live coalesce can pad the BATCH up to the pow2
+    # above the largest bucket ≤ max_batch (review finding: warming one
+    # short text at small n left the very shapes live traffic hits cold)
+    long_q = ("quelles obligations de sécurité et de documentation "
+              "s'appliquent au responsable de traitement qui déploie "
+              "la vidéosurveillance et la géolocalisation " * 3)
     embedder = system.get("embedder")
     qb = getattr(embedder, "_query_batcher", None)
     if qb is not None:
         t0 = _time.time()
-        for n in getattr(embedder.config, "batch_buckets", (1, 8, 64)):
-            if n <= qb.max_batch:
-                embedder.embed_queries(
-                    ["registre des traitements"] * n)
+        buckets = [n for n in
+                   getattr(embedder.config, "batch_buckets", (1, 8, 64))
+                   if n <= qb.max_batch]
+        top = 1 << (qb.max_batch - 1).bit_length()
+        if top not in buckets:
+            buckets.append(min(top, qb.max_batch))
+        for n in buckets:
+            for text in ("registre des traitements", long_q):
+                embedder.embed_queries([text] * n)
         print(f"warm: compiled coalesced-encode programs in "
               f"{_time.time() - t0:.1f}s")
     rr = getattr(system.get("pipe"), "reranker", None)
     rb = getattr(rr, "_pair_batcher", None)
     if rb is not None:
+        # real rerank pairs are question + passage CHUNKS (hundreds of
+        # tokens → the 256/512 seq buckets), not one short line
         t0 = _time.time()
-        rr.score_pairs([("question type",
-                         "passage sur le registre des traitements")]
-                       * rb.max_batch)
+        long_passage = " ".join(["le registre des activités de "
+                                 "traitement recense les finalités, "
+                                 "catégories de données et durées de "
+                                 "conservation"] * 12)
+        for passage in ("passage court", long_passage):
+            rr.score_pairs([("question type", passage)]
+                           * rb.max_batch)
         print(f"warm: compiled coalesced-rerank programs in "
               f"{_time.time() - t0:.1f}s")
 

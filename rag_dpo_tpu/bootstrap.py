@@ -206,16 +206,10 @@ def build_stack(
     # surfaces when rerank_batch is on
     reranker = None
     if r.use_reranker:
-        from .rag.topics import TopicMatcher
-        from .retrieval.reranker import CrossEncoderReranker
+        from .retrieval.reranker import default_reranker
 
-        # topic matcher on by default, like the reference
-        # (`src/rag/pipeline.py:156-160`)
-        reranker = CrossEncoderReranker(
-            topic_matcher=TopicMatcher(embedder))
-        if r.rerank_batch > 0:
-            reranker.enable_pair_batching(
-                max_batch=int(r.rerank_batch))
+        reranker = default_reranker(embedder,
+                                    rerank_batch=r.rerank_batch)
     pipeline = create_pipeline(
         index, embedder, llm,
         bm25_stats=bm25_stats, summary_index=summary_index, texts=texts,

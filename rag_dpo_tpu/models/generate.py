@@ -70,6 +70,24 @@ def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float,
                      idxs[:, 0]).astype(jnp.int32)
 
 
+def apply_penalties(logits, counts, freqs, pres):
+    """OpenAI-style logit adjustment: logits − freq·count −
+    pres·1[count>0] (counts over completion tokens). Zero penalties
+    are a bitwise no-op (x − 0.0 ≡ x), so one program serves penalized
+    and plain traffic. Shared by the plain chunked, scanned
+    speculative, and host-verify programs — one fix site."""
+    return logits - freqs[:, None] * counts \
+        - pres[:, None] * (counts > 0)
+
+
+def penalized_rows(freqs, pres):
+    """Rows whose target distribution depends on the run's own earlier
+    tokens — parallel draft verification is unsound for them, so the
+    speculative paths pin n_acc=1. NEGATIVE penalties count too (they
+    reshape the distribution just as much as positive ones)."""
+    return (freqs != 0) | (pres != 0)
+
+
 def truncated_token_prob(logits, temps, tokens, top_k: int,
                          top_p: float):
     """Probability `topk_topp_sample` assigns to `tokens` [B] under
@@ -480,9 +498,7 @@ class TextGenerator:
                 def step(c, _):
                     logits, caches, pos, done, rng, counts = c
                     rng, sub = jax.random.split(rng)
-                    pl = logits \
-                        - freqs[:, None] * counts \
-                        - pres[:, None] * (counts > 0)
+                    pl = apply_penalties(logits, counts, freqs, pres)
                     token = topk_topp_sample(pl, temps, sub, top_k,
                                              top_p)
                     token = jnp.where(done, pad, token)

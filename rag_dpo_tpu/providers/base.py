@@ -76,16 +76,18 @@ class BaseLLMProvider(abc.ABC):
         messages: Sequence[Mapping[str, str]],
         temperature: float = 0.0,
         max_tokens: int | None = None,
+        **gen_kwargs,
     ):
         """Yield text deltas for a chat turn. Providers with a native
         token stream override this (TPULLMProvider wires the decoder's
         chunked decode; an Ollama-style HTTP backend would forward its
         SSE deltas). The default falls back to ONE delta carrying the
         complete `chat()` answer, so every provider is streamable.
+        Extra `gen_kwargs` forward through `chat()` to `generate()`.
         Errors raise (callers convert to in-band per the degradation
         ladder)."""
         resp = self.chat(messages, temperature=temperature,
-                         max_tokens=max_tokens)
+                         max_tokens=max_tokens, **gen_kwargs)
         if resp.error:
             raise RuntimeError(resp.error)
         if resp.text:

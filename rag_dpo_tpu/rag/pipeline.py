@@ -514,14 +514,11 @@ def create_pipeline(
             # index built with colbert vectors (CorpusIndexer with_colbert)
             reranker = MaxSimReranker(index, embedder)
         else:
-            # topic matcher ON by default like the reference
-            # (`src/rag/pipeline.py:156-160` builds TopicMatcher
-            # whenever an embedding provider exists): intent topics
-            # boost matching-tag chunks ≤ +0.15 at rerank
-            from .topics import TopicMatcher
+            # cross-encoder + topic matcher, the reference's default
+            # wiring — ONE construction site (default_reranker)
+            from ..retrieval.reranker import default_reranker
 
-            reranker = CrossEncoderReranker(
-                topic_matcher=TopicMatcher(embedder))
+            reranker = default_reranker(embedder)
     return RAGPipeline(
         retriever=retriever,
         generator=Generator(llm, temperature=generation_temperature),

@@ -208,6 +208,25 @@ class CrossEncoderReranker:
             return list(chunks[:top_k])
 
 
+def default_reranker(embedder, model_config=None,
+                     rerank_batch: int = 0) -> "CrossEncoderReranker":
+    """THE default production reranker: cross-encoder + topic matcher,
+    like the reference (`src/rag/pipeline.py:156-160` builds
+    TopicMatcher whenever an embedding provider exists;
+    `src/rag/reranker.py:168-180` applies the ≤+0.15 tag boost).
+    One construction site shared by create_pipeline, bootstrap, and
+    the demo stack so default wiring can't drift (review finding).
+    `rerank_batch` > 0 coalesces concurrent pair-scoring."""
+    from ..rag.topics import TopicMatcher
+
+    rr = CrossEncoderReranker(
+        model_config=model_config,
+        topic_matcher=TopicMatcher(embedder))
+    if rerank_batch > 0:
+        rr.enable_pair_batching(max_batch=int(rerank_batch))
+    return rr
+
+
 class MaxSimReranker:
     """Late-interaction rerank over stored ColBERT vectors."""
 

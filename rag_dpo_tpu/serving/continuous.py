@@ -59,6 +59,7 @@ import numpy as np
 
 from ..models.decoder import DecoderModel
 from ..models.generate import (SamplingConfig, TextGenerator,
+                               apply_penalties, penalized_rows,
                                topk_topp_sample)
 
 
@@ -357,8 +358,7 @@ class ContinuousEngine:
             logits, caches, pos, done, rng = carry
             live = ~done
             rng, sub = jax.random.split(rng)
-            pl = logits - freqs[:, None] * counts \
-                - pres[:, None] * (counts > 0)
+            pl = apply_penalties(logits, counts, freqs, pres)
             t1 = topk_topp_sample(pl, temps, sub, top_k, top_p)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
             positions = pos[:, None] + jnp.arange(1 + k)[None, :]
@@ -370,7 +370,8 @@ class ContinuousEngine:
             ok = inputs[:, 1:] == g[:, :-1]
             # penalized rows can't verify drafts in parallel (their
             # target depends on the run's own earlier tokens): n_acc=1
-            pen = (freqs > 0) | (pres > 0)
+            # — negative penalties included (review finding)
+            pen = penalized_rows(freqs, pres)
             n_acc = 1 + jnp.where(
                 (temps > 0) | pen, 0,
                 jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
@@ -420,8 +421,10 @@ class ContinuousEngine:
             # a penalized slot's target distribution depends on the
             # run's OWN earlier tokens, so parallel draft verification
             # is unsound for it — it decodes sequentially (n_acc=1)
-            # while unpenalized neighbors keep speculating
-            pen = (freqs > 0) | (pres > 0)
+            # while unpenalized neighbors keep speculating. Negative
+            # penalties count too (review finding: they reshape the
+            # distribution just as much)
+            pen = penalized_rows(freqs, pres)
 
             def step(c, _):
                 logits, caches, pos, done, rng, ids_buf, excl, \
@@ -432,8 +435,7 @@ class ContinuousEngine:
                 # step's speculative-sampling rejection (-1 = none):
                 # this draw IS the residual draw — the rejected token's
                 # mass removed from the kept set, rest renormalized
-                pl = logits - freqs[:, None] * counts \
-                    - pres[:, None] * (counts > 0)
+                pl = apply_penalties(logits, counts, freqs, pres)
                 t1 = topk_topp_sample(pl, temps, sub, top_k,
                                       top_p, exclude=excl)
                 # write t1 at pos so the tail n-gram includes it
@@ -739,13 +741,21 @@ class ContinuousEngine:
         # completion-token counts: zero for a fresh request; a
         # preemption-resumed one rebuilds from the tokens already baked
         # into ids (penalty state survives eviction exactly)
-        row = np.zeros((self.cfg.vocab_size,), np.float32)
+        counts = self._counts_dev()   # builds the setters on first use
         if req.tokens and (req.frequency_penalty
                            or req.presence_penalty):
+            # penalized preemption-resume: rebuild the row from the
+            # tokens already emitted so penalty state survives eviction
+            row = np.zeros((self.cfg.vocab_size,), np.float32)
             np.add.at(row, np.asarray(req.tokens, np.int64), 1.0)
-        counts = self._counts_dev()   # builds the setter on first use
-        self._counts = self._counts_set_jit(
-            counts, jnp.int32(slot), jnp.asarray(row))
+            self._counts = self._counts_set_jit(
+                counts, jnp.int32(slot), jnp.asarray(row))
+        else:
+            # the common case: zero the slot in-place on device — no
+            # [V]-sized host→device upload per admission (review
+            # finding: ~0.5 MB over the ~28 ms-RTT tunnel, every time)
+            self._counts = self._counts_zero_jit(counts,
+                                                 jnp.int32(slot))
         if getattr(self, "_excl", None) is not None:
             # a fresh (or resumed) occupant has no pending residual
             # exclusion; a preemption that lands between rejection and
@@ -1040,6 +1050,10 @@ class ContinuousEngine:
             self._counts_set_jit = jax.jit(
                 lambda c, slot, row: jax.lax.dynamic_update_index_in_dim(
                     c, row, slot, axis=0),
+                donate_argnums=(0,))
+            self._counts_zero_jit = jax.jit(
+                lambda c, slot: jax.lax.dynamic_update_index_in_dim(
+                    c, jnp.zeros((c.shape[1],), c.dtype), slot, axis=0),
                 donate_argnums=(0,))
         return self._counts
 

@@ -141,3 +141,24 @@ def test_penalty_counts_survive_preemption(gen):
     toks = results[rl]
     assert len(toks) > 10
     assert len(set(toks)) == len(toks), toks
+
+
+def test_negative_penalties_gate_speculation_too(gen):
+    """NEGATIVE penalties reshape the target distribution just as much
+    as positive ones (review finding: the (freqs > 0) gate let them
+    escape and accepted drafts followed the UNPENALIZED target). A
+    greedy request with freq=-1.0 under speculation must emit exactly
+    the sequential penalized chain — n_acc stays 1 for that slot."""
+    rng = np.random.default_rng(10)
+    p = _prompt(rng, 9)
+    # sequential oracle: plain engine, same penalty
+    eng_plain = ContinuousEngine(gen, slots=1, sampling=SAMPLING,
+                                 chunk=4)
+    rid = eng_plain.submit(p, len(p), 16, frequency_penalty=-1.0)
+    want = eng_plain.run()[rid]
+    # speculative engine must match it bit for bit
+    eng_spec = ContinuousEngine(gen, slots=1, sampling=SAMPLING,
+                                chunk=3, speculative=True, draft_len=4)
+    rid = eng_spec.submit(p, len(p), 16, frequency_penalty=-1.0)
+    got = eng_spec.run()[rid]
+    assert got == want, (got, want)
