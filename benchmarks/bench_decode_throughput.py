@@ -55,7 +55,8 @@ def measure(cfg, batch, params):
     logits, caches = gen._prefill(batch, PROMPT)(
         params, jnp.asarray(ids), jnp.asarray(lengths))
     carry = (logits, caches, jnp.asarray(lengths),
-             jnp.zeros((batch,), bool), jax.random.key(0))
+             jnp.zeros((batch,), bool),
+             jnp.zeros((batch,), jnp.uint32))
     prog = gen._decode_chunk(batch, CHUNK, sampling)
     carry, toks = prog(params, carry)     # compile + warm
     np.asarray(toks)

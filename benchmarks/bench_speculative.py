@@ -93,7 +93,8 @@ def main():
     CH = 16
     decode = gen._decode_chunk(batch, CH, sampling)
     carry = (first_logits, caches, jnp.asarray(lengths),
-             jnp.zeros((batch,), bool), jax.random.key(0))
+             jnp.zeros((batch,), bool),
+             jnp.zeros((batch,), jnp.uint32))
     carry2, _ = decode(params, carry)                       # compile
     jax.block_until_ready(carry2[0])
     t1 = time_call(lambda: jax.block_until_ready(

@@ -110,6 +110,30 @@ def _parse_penalties(data: dict, llm) -> tuple[dict, str | None]:
     return pens, None
 
 
+def _parse_seed(data: dict, llm) -> tuple[dict, str | None]:
+    """OpenAI-style `seed` from a request body: same (prompt, params,
+    seed) reproduces the same sampled generation (the TPU decode
+    programs key every draw on seed + position). Forwarded only when
+    the provider's generate() accepts it — unsupported+set is a 400,
+    not a silent drop (same capability contract as the penalties)."""
+    import inspect
+
+    raw = data.get("seed")
+    if raw is None:
+        return {}, None
+    try:
+        val = int(raw)
+    except (TypeError, ValueError):
+        return {}, "seed must be an integer"
+    try:
+        params = inspect.signature(llm.generate).parameters
+    except (TypeError, ValueError):
+        params = {}
+    if "seed" not in params:
+        return {}, "this provider does not support seed"
+    return {"seed": val}, None
+
+
 def _warm_coalesced(system: dict) -> None:
     """Pre-compile the coalescing batchers' programs (choose / encode /
     rerank) when their knobs are on — a first-shape compile through the
@@ -589,6 +613,11 @@ def make_handler(system: dict):
                     self._send(400, {"error": bad})
                     return
                 gen_kwargs.update(pens)
+                sd, bad = _parse_seed(data, llm)
+                if bad:
+                    self._send(400, {"error": bad})
+                    return
+                gen_kwargs.update(sd)
                 if not data.get("stream"):
                     resp = llm.generate(prompt, **gen_kwargs)
                     self._send(200, {"text": resp.text,
@@ -694,6 +723,11 @@ def make_handler(system: dict):
                 if bad:
                     self._send(400, {"error": {"message": bad}})
                     return
+                sd, bad = _parse_seed(data, llm)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
+                    return
+                pens.update(sd)    # rides the same **kwargs forward
                 model = getattr(llm, "model_name", "rag-dpo-tpu")
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
                 created = int(_time.time())

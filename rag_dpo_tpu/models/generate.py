@@ -30,11 +30,54 @@ class SamplingConfig:
     pad_id: int = 1
 
 
+def mix_seed(a: int, b: int) -> int:
+    """Deterministic 32-bit mix (golden-ratio / Murmur odd constants,
+    each a bijection mod 2³²): the default per-row / per-request
+    sampling seed when the caller doesn't pass one — distinct rows and
+    distinct base seeds land on distinct streams without any shared
+    rng state to thread or lock."""
+    return ((a * 0x9E3779B9) ^ (b * 0x85EBCA6B)) & 0xFFFFFFFF
+
+
+def default_row_seeds(rng_seed: int, b: int) -> np.ndarray:
+    """Per-row seeds for a batched decode given one call-level seed:
+    co-batched rows sample INDEPENDENT streams (an identical prompt
+    twice in one batch draws two different generations) while the call
+    stays reproducible from `rng_seed` alone."""
+    return np.asarray([mix_seed(rng_seed, r) for r in range(b)],
+                      np.uint32)
+
+
+def step_keys(seeds, pos, tag: int):
+    """Per-row draw keys for POSITION-KEYED sampling: key_i =
+    fold_in(fold_in(key(seeds[i]), pos[i]), tag).
+
+    Every decode program family (direct, chunked, mixed pool, the
+    speculative verify and scanned-spec paths) derives its draws this
+    way, which makes a sampled stream a pure function of
+    (seed, position): independent of batch neighbors, of chunk
+    boundaries, of WHEN a request joined the continuous pool, and of
+    scheduler mode switches — and bit-reproducible across recompute
+    preemption (the resumed slot re-derives the same keys at the same
+    positions). `tag` separates multiple draws at one position
+    (0 = the token draw, 1 = speculative-sampling accept uniforms)."""
+    def one(s, p):
+        return jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(s), p), tag)
+    return jax.vmap(one)(seeds, pos)
+
+
 def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float,
                      exclude=None):
     """Top-k then nucleus draw with PER-ROW temperature; rows with
     temps ≤ 0 return the argmax (bit-identical to greedy decode, so
     greedy and sampled requests share one program). logits [B, V].
+
+    `rng` is either ONE key (the whole batch draws from one stream —
+    the legacy scalar form) or a [B] key ARRAY (position-keyed
+    sampling: row i's draw depends only on its own key — see
+    `step_keys`). Both use the same gumbel-argmax scheme
+    `jax.random.categorical` implements.
 
     Nucleus rule: keep the smallest prefix of the (descending) top-k
     whose mass reaches `top_p` — a token stays iff the mass BEFORE it
@@ -64,7 +107,14 @@ def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float,
         scaled = jnp.where(keep, scaled, -jnp.inf)
     if exclude is not None:
         scaled = jnp.where(idxs == exclude[:, None], -jnp.inf, scaled)
-    choice = jax.random.categorical(rng, scaled, axis=-1)
+    if jnp.ndim(rng) >= 1:
+        # batched per-row keys: per-row gumbel noise, same argmax
+        # scheme as categorical — masked (-inf) entries stay unpicked
+        # because gumbel noise is finite
+        g = jax.vmap(lambda k: jax.random.gumbel(k, (kk,)))(rng)
+        choice = jnp.argmax(scaled + g, axis=-1)
+    else:
+        choice = jax.random.categorical(rng, scaled, axis=-1)
     drawn = jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
     return jnp.where(temps > 0, drawn,
                      idxs[:, 0]).astype(jnp.int32)
@@ -403,28 +453,29 @@ class TextGenerator:
             eos = sampling.eos_id
             pad = sampling.pad_id
 
-            def sample(logits, rng):
+            def sample(logits, seeds, pos):
                 if temp <= 0:
                     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 temps = jnp.full((logits.shape[0],), temp, jnp.float32)
-                return topk_topp_sample(logits, temps, rng, top_k, top_p)
+                return topk_topp_sample(logits, temps,
+                                        step_keys(seeds, pos, 0),
+                                        top_k, top_p)
 
             @functools.partial(jax.jit, donate_argnums=(2,))
-            def decode(params, first_logits, caches, lengths, rng):
+            def decode(params, first_logits, caches, lengths, seeds):
                 def step(carry, _):
-                    logits, caches, pos, done, rng = carry
-                    rng, sub = jax.random.split(rng)
-                    token = sample(logits, sub)
+                    logits, caches, pos, done, seeds = carry
+                    token = sample(logits, seeds, pos)
                     token = jnp.where(done, pad, token)
                     done = done | (token == eos)
                     new_logits, caches = self.model.apply(
                         params, token[:, None], pos[:, None], caches,
                     )
                     return (new_logits[:, 0], caches, pos + 1, done,
-                            rng), token
+                            seeds), token
 
                 init = (first_logits, caches, lengths,
-                        jnp.zeros((first_logits.shape[0],), bool), rng)
+                        jnp.zeros((first_logits.shape[0],), bool), seeds)
                 _, tokens = jax.lax.scan(step, init, None,
                                          length=n_steps)
                 return tokens.T  # [B, n_steps]
@@ -444,25 +495,26 @@ class TextGenerator:
             top_p = sampling.top_p
             eos, pad = sampling.eos_id, sampling.pad_id
 
-            def sample(logits, rng):
+            def sample(logits, seeds, pos):
                 if temp <= 0:
                     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 temps = jnp.full((logits.shape[0],), temp, jnp.float32)
-                return topk_topp_sample(logits, temps, rng, top_k, top_p)
+                return topk_topp_sample(logits, temps,
+                                        step_keys(seeds, pos, 0),
+                                        top_k, top_p)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode(params, carry):
                 def step(c, _):
-                    logits, caches, pos, done, rng = c
-                    rng, sub = jax.random.split(rng)
-                    token = sample(logits, sub)
+                    logits, caches, pos, done, seeds = c
+                    token = sample(logits, seeds, pos)
                     token = jnp.where(done, pad, token)
                     done = done | (token == eos)
                     new_logits, caches = self.model.apply(
                         params, token[:, None], pos[:, None], caches,
                     )
                     return (new_logits[:, 0], caches, pos + 1, done,
-                            rng), token
+                            seeds), token
 
                 carry, tokens = jax.lax.scan(step, carry, None,
                                              length=n_steps)
@@ -496,11 +548,11 @@ class TextGenerator:
                 rowi = jnp.arange(b)
 
                 def step(c, _):
-                    logits, caches, pos, done, rng, counts = c
-                    rng, sub = jax.random.split(rng)
+                    logits, caches, pos, done, seeds, counts = c
                     pl = apply_penalties(logits, counts, freqs, pres)
-                    token = topk_topp_sample(pl, temps, sub, top_k,
-                                             top_p)
+                    token = topk_topp_sample(pl, temps,
+                                             step_keys(seeds, pos, 0),
+                                             top_k, top_p)
                     token = jnp.where(done, pad, token)
                     counts = counts.at[rowi, token].add(
                         jnp.where(done, 0.0, 1.0))
@@ -509,15 +561,15 @@ class TextGenerator:
                         params, token[:, None], pos[:, None], caches,
                     )
                     return (new_logits[:, 0], caches, pos + 1, done,
-                            rng, counts), token
+                            seeds, counts), token
 
-                logits, caches, pos, done, rng = carry
-                (logits, caches, pos, done, rng, counts), tokens = \
+                logits, caches, pos, done, seeds = carry
+                (logits, caches, pos, done, seeds, counts), tokens = \
                     jax.lax.scan(
                         step,
-                        (logits, caches, pos, done, rng, counts),
+                        (logits, caches, pos, done, seeds, counts),
                         None, length=n_steps)
-                return (logits, caches, pos, done, rng), tokens.T, \
+                return (logits, caches, pos, done, seeds), tokens.T, \
                     counts
 
             self._programs[key] = decode
@@ -527,19 +579,24 @@ class TextGenerator:
     def generate_stream(self, input_ids: np.ndarray,
                         lengths: np.ndarray,
                         sampling: SamplingConfig | None = None,
-                        rng_seed: int = 0, chunk: int = 8):
+                        rng_seed: int = 0, chunk: int = 8,
+                        rng_seeds=None):
         """Yield [B, ≤chunk] token blocks as they decode. Greedy streams
-        are bit-identical to generate_ids; stops early once every row
-        has emitted EOS."""
+        are bit-identical to generate_ids; sampled streams are too
+        (position-keyed draws make chunking invisible); stops early
+        once every row has emitted EOS. `rng_seeds` [B] pins per-row
+        sampling seeds (else they derive from `rng_seed` + row)."""
         sampling = sampling or SamplingConfig()
         params = self.load()
         b, s = input_ids.shape
         assert s + sampling.max_new_tokens <= self.config.max_seq_len
         assert int(np.max(lengths)) <= s, "lengths exceed prompt width"
+        seeds = default_row_seeds(rng_seed, b) if rng_seeds is None \
+            else np.asarray(rng_seeds).astype(np.uint32)
         first_logits, caches = self._prefill(b, s)(
             params, jnp.asarray(input_ids), jnp.asarray(lengths))
         carry = (first_logits, caches, jnp.asarray(lengths),
-                 jnp.zeros((b,), bool), jax.random.key(rng_seed))
+                 jnp.zeros((b,), bool), jnp.asarray(seeds))
         emitted = 0
         while emitted < sampling.max_new_tokens:
             n = min(chunk, sampling.max_new_tokens - emitted)
@@ -553,9 +610,13 @@ class TextGenerator:
 
     def generate_ids(self, input_ids: np.ndarray, lengths: np.ndarray,
                      sampling: SamplingConfig | None = None,
-                     rng_seed: int = 0) -> np.ndarray:
+                     rng_seed: int = 0, rng_seeds=None) -> np.ndarray:
         """[B, S] padded prompts → [B, max_new_tokens] generated ids
-        (pad_id after each row's EOS)."""
+        (pad_id after each row's EOS). Sampled rows draw position-keyed
+        per-row streams: `rng_seeds` [B] pins them per request (the
+        serving layer threads per-request seeds through here), else
+        they derive from `rng_seed` + row index — co-batched identical
+        prompts sample independently either way."""
         sampling = sampling or SamplingConfig()
         params = self.load()
         b, s = input_ids.shape
@@ -569,8 +630,10 @@ class TextGenerator:
         assert int(np.max(lengths)) <= s, "lengths exceed prompt width"
         first_logits, caches = self._prefill(b, s)(
             params, jnp.asarray(input_ids), jnp.asarray(lengths))
+        seeds = default_row_seeds(rng_seed, b) if rng_seeds is None \
+            else np.asarray(rng_seeds).astype(np.uint32)
         tokens = self._decode(b, sampling.max_new_tokens, sampling)(
             params, first_logits, caches, jnp.asarray(lengths),
-            jax.random.key(rng_seed),
+            jnp.asarray(seeds),
         )
         return np.asarray(tokens)

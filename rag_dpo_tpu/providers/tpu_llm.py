@@ -83,11 +83,12 @@ class TPULLMProvider(BaseLLMProvider):
         # engine bounding how long it can be deferred.
         self.priority = int(priority)
         self.model_name = model_name
-        # per-batch sampling seed: a server-side counter threaded into
-        # each batched decode so identical prompts sampled at
-        # temperature>0 are independent across calls instead of
-        # replaying rng_seed=0 forever (advisor round-2). Only bumped
-        # per device call, so it never fragments batching keys.
+        # per-REQUEST sampling seed: a server-side counter (or the
+        # caller's OpenAI-style `seed`) threaded into each decode so
+        # identical prompts sampled at temperature>0 are independent
+        # across calls AND across co-batched rows instead of replaying
+        # rng_seed=0 forever (advisor round-2). Seeds ride the row
+        # data, never the batching key, so they don't fragment batches.
         self._seed_counter = 0
         self._seed_lock = threading.Lock()
         # coalesce concurrent choose() calls into one batched scoring
@@ -154,14 +155,16 @@ class TPULLMProvider(BaseLLMProvider):
 
     # ------------------------------------------------- batched decode path
     def _generate_batched(self, stacked, key):
-        """MicroBatcher fn: rows = [q, S+1] (ids ‖ length column).
+        """MicroBatcher fn: rows = [q, S+2] (ids ‖ length ‖ seed).
         Generation is row-independent (per-row attention, greedy/per-row
-        sampling), so padding the collected batch to a power of two with
-        copies of row 0 changes nothing for real rows while keeping the
-        set of compiled (b, s) programs bounded."""
+        sampling, position-keyed per-row seeds), so padding the
+        collected batch to a power of two with copies of row 0 changes
+        nothing for real rows while keeping the set of compiled (b, s)
+        programs bounded."""
         _, max_new, temp = key
-        ids = np.ascontiguousarray(stacked[:, :-1], dtype=np.int32)
-        lengths = np.ascontiguousarray(stacked[:, -1], dtype=np.int32)
+        ids = np.ascontiguousarray(stacked[:, :-2], dtype=np.int32)
+        lengths = np.ascontiguousarray(stacked[:, -2], dtype=np.int32)
+        seeds = stacked[:, -1].astype(np.uint32)
         q = ids.shape[0]
         b = 1
         while b < q:
@@ -171,13 +174,15 @@ class TPULLMProvider(BaseLLMProvider):
             ids = np.concatenate([ids, pad], axis=0)
             lengths = np.concatenate(
                 [lengths, np.repeat(lengths[:1], b - q)], axis=0)
+            seeds = np.concatenate(
+                [seeds, np.repeat(seeds[:1], b - q)], axis=0)
         sampling = SamplingConfig(
             top_p=self.top_p,
             temperature=temp, max_new_tokens=max_new,
             eos_id=self.tokenizer.sep_id, pad_id=self.tokenizer.pad_id,
         )
         tokens = self.generator.generate_ids(
-            ids, lengths, sampling, rng_seed=self._next_seed(temp))
+            ids, lengths, sampling, rng_seeds=seeds)
         return (tokens[:q],)
 
     def _next_seed(self, temperature: float) -> int:
@@ -188,6 +193,14 @@ class TPULLMProvider(BaseLLMProvider):
         with self._seed_lock:
             self._seed_counter += 1
             return self._seed_counter
+
+    def _row_seed(self, temperature: float, seed: int | None) -> int:
+        """THIS request's sampling seed: the caller's (OpenAI `seed`
+        semantics) or a fresh server-side counter value — draws are
+        position-keyed off it, so the value alone pins the stream."""
+        if seed is not None:
+            return int(seed) & 0xFFFFFFFF
+        return self._next_seed(temperature)
 
     def load_converted(self, state_dict):
         self.generator.load_converted(state_dict)
@@ -240,13 +253,20 @@ class TPULLMProvider(BaseLLMProvider):
                  timeout_s: float | None = None,
                  priority: int | None = None,
                  frequency_penalty: float = 0.0,
-                 presence_penalty: float = 0.0) -> LLMResponse:
+                 presence_penalty: float = 0.0,
+                 seed: int | None = None) -> LLMResponse:
         """`timeout_s` (or the provider-wide `request_timeout_s`
         default) bounds queue wait + decode on the continuous
         scheduler; expiry cancels the request and returns the partial
         text with `error` set — in-band, like every other provider
         failure. Ignored on the direct/batch schedulers (their decode
-        time is already bounded by max_tokens; there is no queue)."""
+        time is already bounded by max_tokens; there is no queue).
+
+        `seed` pins the sampling stream (OpenAI semantics): the same
+        (prompt, params, seed) reproduces the same sampled generation
+        on EVERY scheduler — draws are position-keyed, so continuous-
+        pool neighbors, micro-batch composition, and chunking never
+        perturb it. None samples a fresh independent stream per call."""
         t0 = time.time()
         try:
             text = f"{system}\n\n{prompt}" if system else prompt
@@ -270,7 +290,8 @@ class TPULLMProvider(BaseLLMProvider):
                         priority=(self.priority if priority is None
                                   else int(priority)),
                         frequency_penalty=frequency_penalty,
-                        presence_penalty=presence_penalty)
+                        presence_penalty=presence_penalty,
+                        seed=seed)
                 except DeadlineExceeded as e:
                     # partial answer + in-band error: callers that can
                     # use a truncated generation get it, the rest see
@@ -294,13 +315,19 @@ class TPULLMProvider(BaseLLMProvider):
                 self.spec_stats["tokens"] += st.tokens
                 return LLMResponse(self._decode_text(tokens[0]),
                                    self.model_name, time.time() - t0)
+            row_seed = self._row_seed(temperature, seed)
             if self._batcher is not None:
+                # the per-request seed rides the row DATA (last column),
+                # not the batching key — seeds never fragment batches,
+                # and each co-batched row samples its own stream
                 rows = np.concatenate(
                     [np.asarray(enc.input_ids, np.int32),
-                     np.asarray(enc.lengths, np.int32)[:, None]], axis=1)
+                     np.asarray(enc.lengths, np.int32)[:, None],
+                     np.full((len(enc.lengths), 1), row_seed,
+                             np.uint32).astype(np.int32)], axis=1)
                 (tokens,) = self._batcher(
                     rows,
-                    key=(rows.shape[1] - 1, max_new, float(temperature)),
+                    key=(rows.shape[1] - 2, max_new, float(temperature)),
                 )
             else:
                 sampling = SamplingConfig(
@@ -312,7 +339,8 @@ class TPULLMProvider(BaseLLMProvider):
                 )
                 tokens = self.generator.generate_ids(
                     enc.input_ids, enc.lengths, sampling,
-                    rng_seed=self._next_seed(temperature))
+                    rng_seeds=np.full((len(enc.lengths),), row_seed,
+                                      np.uint32))
             return LLMResponse(self._decode_text(tokens[0]),
                                self.model_name, time.time() - t0)
         except Exception as e:
@@ -324,7 +352,8 @@ class TPULLMProvider(BaseLLMProvider):
                         timeout_s: float | None = None,
                         priority: int | None = None,
                         frequency_penalty: float = 0.0,
-                        presence_penalty: float = 0.0):
+                        presence_penalty: float = 0.0,
+                        seed: int | None = None):
         """Yield text deltas as the decoder produces them. Incremental
         detokenization re-decodes the full emitted prefix each block and
         yields the string delta, so subword/multibyte joins across block
@@ -363,7 +392,8 @@ class TPULLMProvider(BaseLLMProvider):
                 priority=(self.priority if priority is None
                           else int(priority)),
                 frequency_penalty=frequency_penalty,
-                presence_penalty=presence_penalty)
+                presence_penalty=presence_penalty,
+                seed=seed)
             try:
                 for t in stream:
                     emitted.append(int(t))
@@ -383,7 +413,10 @@ class TPULLMProvider(BaseLLMProvider):
         )
         for block in self.generator.generate_stream(
                 np.asarray(enc.input_ids), np.asarray(enc.lengths),
-                sampling, rng_seed=self._next_seed(temperature),
+                sampling,
+                rng_seeds=np.full((len(enc.lengths),),
+                                  self._row_seed(temperature, seed),
+                                  np.uint32),
                 chunk=chunk):
             emitted.extend(int(t) for t in block[0])
             full = self._decode_text(emitted)

@@ -23,12 +23,15 @@ engine, built TPU-natively on static shapes:
   the slot immediately and the next queued request joins at the next
   chunk boundary — a short answer never waits for a long neighbor.
 
-Correctness guarantees (tests/test_continuous.py): a request's output
-is identical to its solo `generate_ids` run regardless of when it
-joins, what shares the pool, or how often its slot was reused — cache
-isolation comes from the overwrite-on-insert plus the causal mask
+Correctness guarantees (tests/test_continuous.py, test_seeds.py): a
+request's output is identical to its solo `generate_ids` run
+regardless of when it joins, what shares the pool, or how often its
+slot was reused — for greedy AND sampled requests. Cache isolation
+comes from the overwrite-on-insert plus the causal mask
 (`key_pos <= q_pos` hides any stale rows beyond the new occupant's
-length).
+length); sampling isolation comes from position-keyed draws (every
+draw is keyed by the request's own seed and position —
+models/generate.py `step_keys` — no shared rng stream exists).
 
 `prefix_cache=N` adds automatic prefix caching (the vLLM APC idea,
 static-shape TPU form): admissions store their prompt's block-aligned
@@ -39,10 +42,12 @@ rows are exactly reusable; RAG serving shares the per-intent system
 prompt across every request, multi-turn chat shares the whole history.
 
 Sampling is per request: each submit may carry its own temperature
-(≤0 = greedy) — the decode program takes a per-row temperature vector,
-so greedy and sampled requests share the pool. top_k / eos / pad stay
-static per engine, and prompts bucket to `prompt_buckets` lengths so
-the program count stays bounded.
+(≤0 = greedy) and its own `seed` (OpenAI `seed` semantics — same
+prompt + params + seed reproduces the same generation exactly) — the
+decode program takes per-row temperature and seed vectors, so greedy
+and sampled requests share the pool. top_k / eos / pad stay static per
+engine, and prompts bucket to `prompt_buckets` lengths so the program
+count stays bounded.
 """
 
 from __future__ import annotations
@@ -59,7 +64,8 @@ import numpy as np
 
 from ..models.decoder import DecoderModel
 from ..models.generate import (SamplingConfig, TextGenerator,
-                               apply_penalties, penalized_rows,
+                               apply_penalties, mix_seed,
+                               penalized_rows, step_keys,
                                topk_topp_sample)
 
 
@@ -72,6 +78,12 @@ class _Request:
     temperature: float = 0.0  # per-request; ≤0 decodes greedily
     frequency_penalty: float = 0.0   # OpenAI-style, completion tokens
     presence_penalty: float = 0.0    # (vLLM counting semantics)
+    seed: int = 0             # sampling seed: draws are position-keyed
+    #                           off this (models/generate.py step_keys),
+    #                           so a sampled request is a pure function
+    #                           of (prompt, params, seed) — independent
+    #                           of pool neighbors, join time, and
+    #                           preemption
     tokens: list[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     done: bool = False
@@ -298,12 +310,21 @@ class ContinuousEngine:
         logits1, _ = generator._prefill(1, 8)(
             self._params, probe_ids, jnp.ones((1,), jnp.int32))
         b = self.slots
+        # carry[4]: PER-SLOT sampling seeds (uint32). Draws everywhere
+        # are position-keyed off them (models/generate.py step_keys):
+        # key = fold_in(fold_in(key(seed), pos), tag) — no shared rng
+        # stream rides the carry, so a sampled request's tokens are a
+        # pure function of (prompt, sampling params, seed), whatever
+        # shares the pool and whenever it joined. `rng_seed` only
+        # salts the DEFAULT per-request seed (mix_seed(rng_seed, rid))
+        # for submits that don't pin one.
+        self._base_seed = int(rng_seed)
         self._carry = (
             jnp.zeros((b,) + logits1.shape[1:], logits1.dtype),
             DecoderModel.init_cache(self.cfg, b),
             jnp.zeros((b,), jnp.int32),
             jnp.ones((b,), bool),                 # done=True → slot free
-            jax.random.key(rng_seed),
+            jnp.zeros((b,), jnp.uint32),
         )
         # donate the pool carry through every program that replaces it:
         # the carry holds the full [slots, max_seq] KV tree (2 GB at
@@ -316,20 +337,21 @@ class ContinuousEngine:
 
     # ---------------------------------------------------------- jit bits
     @staticmethod
-    def _insert_fn(carry, slot, logits1, caches1, length1):
-        logits, caches, pos, done, rng = carry
+    def _insert_fn(carry, slot, logits1, caches1, length1, seed1):
+        logits, caches, pos, done, seeds = carry
         upd = lambda full, one: jax.lax.dynamic_update_index_in_dim(
             full, one[0], slot, axis=0)
         logits = upd(logits, logits1)
         caches = jax.tree.map(upd, caches, caches1)
         pos = pos.at[slot].set(length1)
         done = done.at[slot].set(False)
-        return (logits, caches, pos, done, rng)
+        seeds = seeds.at[slot].set(seed1)
+        return (logits, caches, pos, done, seeds)
 
     @staticmethod
     def _release_fn(carry, slot):
-        logits, caches, pos, done, rng = carry
-        return (logits, caches, pos, done.at[slot].set(True), rng)
+        logits, caches, pos, done, seeds = carry
+        return (logits, caches, pos, done.at[slot].set(True), seeds)
 
     @staticmethod
     def _insert_hist_fn(ids_buf, limits, slot, ids_row, limit):
@@ -355,11 +377,11 @@ class ContinuousEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 4))
         def verify(params, carry, drafts, temps, counts, freqs, pres):
-            logits, caches, pos, done, rng = carry
+            logits, caches, pos, done, seeds = carry
             live = ~done
-            rng, sub = jax.random.split(rng)
             pl = apply_penalties(logits, counts, freqs, pres)
-            t1 = topk_topp_sample(pl, temps, sub, top_k, top_p)
+            t1 = topk_topp_sample(pl, temps, step_keys(seeds, pos, 0),
+                                  top_k, top_p)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
             positions = pos[:, None] + jnp.arange(1 + k)[None, :]
             wmask = live[:, None] & (positions < cfg.max_seq_len)
@@ -384,7 +406,7 @@ class ContinuousEngine:
             new_logits = jnp.take_along_axis(
                 la, jnp.clip(n_acc - 1, 0)[:, None, None], axis=1)[:, 0]
             logits = jnp.where(live[:, None], new_logits, logits)
-            return (logits, caches, pos + n_acc, done, rng), n_acc, \
+            return (logits, caches, pos + n_acc, done, seeds), n_acc, \
                 t1, counts
 
         return verify
@@ -427,16 +449,16 @@ class ContinuousEngine:
             pen = penalized_rows(freqs, pres)
 
             def step(c, _):
-                logits, caches, pos, done, rng, ids_buf, excl, \
+                logits, caches, pos, done, seeds, ids_buf, excl, \
                     counts = c
                 live = ~done
-                rng, sub = jax.random.split(rng)
                 # `excl` carries the rejected draft token of the last
                 # step's speculative-sampling rejection (-1 = none):
                 # this draw IS the residual draw — the rejected token's
                 # mass removed from the kept set, rest renormalized
                 pl = apply_penalties(logits, counts, freqs, pres)
-                t1 = topk_topp_sample(pl, temps, sub, top_k,
+                t1 = topk_topp_sample(pl, temps,
+                                      step_keys(seeds, pos, 0), top_k,
                                       top_p, exclude=excl)
                 # write t1 at pos so the tail n-gram includes it
                 cur_c = jnp.clip(pos, 0, L - 1)
@@ -460,8 +482,8 @@ class ContinuousEngine:
                 # first rejection's token is excluded from the next
                 # t1 draw (residual) — emitted marginals equal plain
                 # sampling exactly (unit identity in tests)
-                rng, sub_u = jax.random.split(rng)
-                u = jax.random.uniform(sub_u, (b, k))
+                u = jax.vmap(lambda kk_: jax.random.uniform(kk_, (k,)))(
+                    step_keys(seeds, pos, 1))
                 p_draft = truncated_token_prob(
                     la[:, :-1].reshape(b * k, -1),
                     jnp.repeat(temps, k),
@@ -504,17 +526,17 @@ class ContinuousEngine:
                 pos = pos + nv
                 done = done | jnp.any(is_eos & valid, axis=1) \
                     | (pos >= limits)
-                return (logits, caches, pos, done, rng, ids_buf,
+                return (logits, caches, pos, done, seeds, ids_buf,
                         excl, counts), (inputs, valid)
 
-            logits, caches, pos, done, rng = carry
-            (logits, caches, pos, done, rng, ids_buf, excl, counts), \
+            logits, caches, pos, done, seeds = carry
+            (logits, caches, pos, done, seeds, ids_buf, excl, counts), \
                 (toks, valid) = jax.lax.scan(
                     step,
-                    (logits, caches, pos, done, rng, ids_buf, excl0,
+                    (logits, caches, pos, done, seeds, ids_buf, excl0,
                      counts0),
                     None, length=S)
-            return (logits, caches, pos, done, rng), ids_buf, \
+            return (logits, caches, pos, done, seeds), ids_buf, \
                 toks, valid, excl, counts
 
         return spec_chunk
@@ -575,7 +597,8 @@ class ContinuousEngine:
                temperature: float | None = None,
                priority: int = 0,
                frequency_penalty: float = 0.0,
-               presence_penalty: float = 0.0) -> int:
+               presence_penalty: float = 0.0,
+               seed: int | None = None) -> int:
         """Queue a request; returns its id. `on_token(rid, token_id)`
         fires per decoded token (streaming). `temperature` overrides
         the engine default for THIS request (≤0 = greedy). `priority`
@@ -585,8 +608,13 @@ class ContinuousEngine:
         a penalized slot decodes sequentially in spec mode (the
         penalty makes the target distribution depend on the run's own
         earlier tokens, so parallel draft verification would be
-        unsound — neighbors keep speculating). Admission happens at
-        the next `step()` if a slot is free."""
+        unsound — neighbors keep speculating). `seed` pins THIS
+        request's sampling stream (OpenAI `seed` semantics): draws are
+        position-keyed off it, so the same (prompt, params, seed)
+        reproduces the same tokens whatever shares the pool; None
+        derives a fresh deterministic seed from the engine's base seed
+        and the request id. Admission happens at the next `step()` if
+        a slot is free."""
         from ..tokenize.base import bucket_length
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
@@ -604,10 +632,14 @@ class ContinuousEngine:
         ids = padded
         temp = self.sampling.temperature if temperature is None \
             else float(temperature)
-        req = _Request(rid=next(self._rid), ids=ids, length=int(length),
+        rid = next(self._rid)
+        req = _Request(rid=rid, ids=ids, length=int(length),
                        max_new=int(max_new), temperature=temp,
                        frequency_penalty=float(frequency_penalty),
                        presence_penalty=float(presence_penalty),
+                       seed=(mix_seed(self._base_seed, rid)
+                             if seed is None
+                             else int(seed) & 0xFFFFFFFF),
                        on_token=on_token, priority=int(priority),
                        submit_step=self.stats["steps"])
         self._queue.append(req)
@@ -670,9 +702,13 @@ class ContinuousEngine:
         overwritten by the next occupant, the same scatter-then-attend
         invariant as cancel/EOS release — and the victim re-queues.
         On re-admission it re-prefills prompt + everything already
-        emitted, so greedy decoding resumes bit-identically to an
-        uninterrupted run (prefill-then-decode ≡ decode chain, the
-        engine's core parity property). `tokens` stays CUMULATIVE
+        emitted, so decoding resumes bit-identically to an
+        uninterrupted run — greedy via prefill-then-decode ≡ decode
+        chain (the engine's core parity property), SAMPLED via
+        position-keyed draws (the resumed slot re-derives the same
+        keys at the same positions from its unchanged seed; only a
+        pending speculative-sampling exclusion is dropped, see
+        `_activate`). `tokens` stays CUMULATIVE
         (`consumed` marks what `ids` now bakes in), so harvest,
         budget checks and driver bookkeeping are untouched."""
         from ..tokenize.base import bucket_length
@@ -729,7 +765,7 @@ class ContinuousEngine:
         mark the slot live for the next decode dispatch."""
         self._carry = self._insert_jit(
             self._carry, jnp.int32(slot), logits1, caches1,
-            jnp.int32(req.length))
+            jnp.int32(req.length), jnp.uint32(req.seed))
         req.slot = slot
         self._active[slot] = req
         self._temps[slot] = req.temperature
@@ -1259,12 +1295,14 @@ class ContinuousDriver:
 
     def _submit(self, prompt_ids, length, max_new, on_token, temperature,
                 deadline_s=None, priority=0,
-                frequency_penalty=0.0, presence_penalty=0.0):
+                frequency_penalty=0.0, presence_penalty=0.0,
+                seed=None):
         import threading
 
         evt = threading.Event()
         box: dict = {}
         ctl: dict = {"rid": None, "cancelled": False,
+                     "seed": seed,
                      "penalties": (float(frequency_penalty),
                                    float(presence_penalty))}
         if deadline_s is not None:
@@ -1304,7 +1342,8 @@ class ContinuousDriver:
                deadline_s: float | None = None,
                priority: int = 0,
                frequency_penalty: float = 0.0,
-               presence_penalty: float = 0.0) -> GenerationHandle:
+               presence_penalty: float = 0.0,
+               seed: int | None = None) -> GenerationHandle:
         """Non-blocking submit; the returned handle can wait for or
         cancel the request (`generate()` is `submit().result()`).
         `deadline_s` bounds queue wait + decode together: an expired
@@ -1315,7 +1354,7 @@ class ContinuousDriver:
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
                                      on_token, temperature, deadline_s,
                                      priority, frequency_penalty,
-                                     presence_penalty)
+                                     presence_penalty, seed)
         return GenerationHandle(self, evt, box, ctl)
 
     @staticmethod
@@ -1329,14 +1368,15 @@ class ContinuousDriver:
                  deadline_s: float | None = None,
                  priority: int = 0,
                  frequency_penalty: float = 0.0,
-                 presence_penalty: float = 0.0) -> list[int]:
+                 presence_penalty: float = 0.0,
+                 seed: int | None = None) -> list[int]:
         """Block until this request completes; returns its tokens.
         With `deadline_s`, raises `DeadlineExceeded` (partial tokens on
         the exception) if the budget expires first."""
         evt, box, _ = self._submit(prompt_ids, length, max_new,
                                    on_token, temperature, deadline_s,
                                    priority, frequency_penalty,
-                                   presence_penalty)
+                                   presence_penalty, seed)
         evt.wait()
         return self._result(box)
 
@@ -1345,7 +1385,8 @@ class ContinuousDriver:
                         deadline_s: float | None = None,
                         priority: int = 0,
                         frequency_penalty: float = 0.0,
-                        presence_penalty: float = 0.0):
+                        presence_penalty: float = 0.0,
+                        seed: int | None = None):
         """Yield this request's token ids as the pool decodes them.
 
         The engine's `on_token` fires on the driver thread; a queue
@@ -1367,7 +1408,7 @@ class ContinuousDriver:
                                      lambda _rid, t: q.put(t),
                                      temperature, deadline_s, priority,
                                      frequency_penalty,
-                                     presence_penalty)
+                                     presence_penalty, seed)
 
         def _iter():
             try:
@@ -1453,7 +1494,8 @@ class ContinuousDriver:
                                              temperature=temp,
                                              priority=prio,
                                              frequency_penalty=fp,
-                                             presence_penalty=pp)
+                                             presence_penalty=pp,
+                                             seed=ctl.get("seed"))
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)
                     if "deadline" in ctl:

@@ -91,9 +91,9 @@ def test_sampled_decodes_get_fresh_seeds():
     seen = []
     real = llm.generator.generate_ids
 
-    def spy(ids, lengths, sampling, rng_seed=0):
-        seen.append(rng_seed)
-        return real(ids, lengths, sampling, rng_seed=rng_seed)
+    def spy(ids, lengths, sampling, rng_seeds=None):
+        seen.append(tuple(int(s) for s in rng_seeds))
+        return real(ids, lengths, sampling, rng_seeds=rng_seeds)
 
     llm.generator.generate_ids = spy
     llm.generate("bonjour", temperature=0.8)
@@ -102,7 +102,7 @@ def test_sampled_decodes_get_fresh_seeds():
     llm.generate("bonjour", temperature=0.0)
     assert len(seen) == 4
     assert seen[0] != seen[1], "sampled calls must not share a seed"
-    assert seen[2] == seen[3] == 0, "greedy keeps the stable seed"
+    assert seen[2] == seen[3] == (0,), "greedy keeps the stable seed"
 
 
 def test_batched_sampled_decodes_get_fresh_seeds():
@@ -118,9 +118,9 @@ def test_batched_sampled_decodes_get_fresh_seeds():
     seen = []
     real = llm.generator.generate_ids
 
-    def spy(ids, lengths, sampling, rng_seed=0):
-        seen.append(rng_seed)
-        return real(ids, lengths, sampling, rng_seed=rng_seed)
+    def spy(ids, lengths, sampling, rng_seeds=None):
+        seen.append(tuple(int(s) for s in rng_seeds))
+        return real(ids, lengths, sampling, rng_seeds=rng_seeds)
 
     llm.generator.generate_ids = spy
     llm.generate("bonjour", temperature=0.7)

@@ -114,7 +114,7 @@ def test_requantization_is_stable_for_untouched_positions(gen):
                                          jnp.asarray(lens))
     snap = jax.tree.map(np.asarray, caches)
     carry = (logits, caches, jnp.asarray(lens),
-             jnp.zeros((1,), bool), jax.random.key(0))
+             jnp.zeros((1,), bool), jnp.zeros((1,), jnp.uint32))
     carry, _ = gen._decode_chunk(1, 40, SAMPLING)(params, carry)
     after = jax.tree.map(np.asarray, carry[1])
     for s_layer, a_layer in zip(snap, after):
