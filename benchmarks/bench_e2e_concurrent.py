@@ -136,22 +136,40 @@ def main():
     lats, lock = [], threading.Lock()
     work = [q for _ in range(4) for q in QUESTIONS]  # 2 queries/worker
 
-    def worker(wid):
-        for j, q in enumerate(work):
-            if j % SLOTS == wid:
-                dt, _ = ask(q)
-                with lock:
-                    lats.append(dt)
+    def run_workers(fn, lat_list):
+        """SLOTS threads share `work`; a failed query is COUNTED as
+        failed instead of silently inflating qpm (an OOM'd worker
+        thread once died mid-arm and the arm still reported all 32
+        queries done)."""
+        fails = []
 
-    t0 = time.time()
-    threads = [threading.Thread(target=worker, args=(w,))
-               for w in range(SLOTS)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    conc_wall = time.time() - t0
-    conc = {"wall_s": round(conc_wall, 2), "queries": len(work),
-            "workers": SLOTS,
-            "qpm": round(60 * len(work) / conc_wall, 1),
+        def _w(wid):
+            for j, q in enumerate(work):
+                if j % SLOTS == wid:
+                    try:
+                        dt = fn(q)
+                    except Exception as exc:  # noqa: BLE001
+                        with lock:
+                            fails.append(repr(exc)[:200])
+                        continue
+                    with lock:
+                        lat_list.append(dt)
+
+        threads = [threading.Thread(target=_w, args=(w,))
+                   for w in range(SLOTS)]
+        t0 = time.time()
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        wall = time.time() - t0
+        if fails:
+            print(f"FAILED {len(fails)} queries; first: {fails[0]}",
+                  flush=True)
+        return wall, fails
+
+    conc_wall, conc_fails = run_workers(lambda q: ask(q)[0], lats)
+    conc = {"wall_s": round(conc_wall, 2), "queries": len(lats),
+            "failed": len(conc_fails), "workers": SLOTS,
+            "qpm": round(60 * len(lats) / conc_wall, 1),
             "mean_latency_s": round(float(np.mean(lats)), 2),
             "p95_latency_s": round(float(np.quantile(lats, 0.95)), 2),
             "prefix_hits": eng.stats["prefix_hits"] - h0,
@@ -182,22 +200,10 @@ def main():
     f_lats = []
     tk0 = eng.stats["tokens"]
 
-    def fast_worker(wid):
-        for j, q in enumerate(work):
-            if j % SLOTS == wid:
-                dt = ask_fast(q)
-                with lock:
-                    f_lats.append(dt)
-
-    t0 = time.time()
-    threads = [threading.Thread(target=fast_worker, args=(w,))
-               for w in range(SLOTS)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    fast_wall = time.time() - t0
-    conc_fast = {"wall_s": round(fast_wall, 2), "queries": len(work),
-                 "workers": SLOTS,
-                 "qpm": round(60 * len(work) / fast_wall, 1),
+    fast_wall, fast_fails = run_workers(ask_fast, f_lats)
+    conc_fast = {"wall_s": round(fast_wall, 2), "queries": len(f_lats),
+                 "failed": len(fast_fails), "workers": SLOTS,
+                 "qpm": round(60 * len(f_lats) / fast_wall, 1),
                  "mean_latency_s": round(float(np.mean(f_lats)), 2),
                  "p95_latency_s": round(
                      float(np.quantile(f_lats, 0.95)), 2),
@@ -231,23 +237,12 @@ def main():
                  "mean_latency_s": round(float(np.mean(ag_lat)), 2)}
     print("agent sequential:", agent_seq, flush=True)
 
-    ag_lats, t0 = [], time.time()
-
-    def agent_worker(wid):
-        for j, q in enumerate(work):
-            if j % SLOTS == wid:
-                dt = ask_agent(q)
-                with lock:
-                    ag_lats.append(dt)
-
-    threads = [threading.Thread(target=agent_worker, args=(w,))
-               for w in range(SLOTS)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    ag_conc_wall = time.time() - t0
-    agent_conc = {"wall_s": round(ag_conc_wall, 2), "queries": len(work),
+    ag_lats = []
+    ag_conc_wall, ag_fails = run_workers(ask_agent, ag_lats)
+    agent_conc = {"wall_s": round(ag_conc_wall, 2),
+                  "queries": len(ag_lats), "failed": len(ag_fails),
                   "workers": SLOTS,
-                  "qpm": round(60 * len(work) / ag_conc_wall, 1),
+                  "qpm": round(60 * len(ag_lats) / ag_conc_wall, 1),
                   "mean_latency_s": round(float(np.mean(ag_lats)), 2)}
     print("agent concurrent:", agent_conc, flush=True)
 
@@ -267,24 +262,12 @@ def main():
 
     for q in QUESTIONS:                      # warm
         ask_agent_fast(q)
-    af_lats, t0 = [], time.time()
-
-    def agent_fast_worker(wid):
-        for j, q in enumerate(work):
-            if j % SLOTS == wid:
-                dt = ask_agent_fast(q)
-                with lock:
-                    af_lats.append(dt)
-
-    threads = [threading.Thread(target=agent_fast_worker, args=(w,))
-               for w in range(SLOTS)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    af_wall = time.time() - t0
+    af_lats = []
+    af_wall, af_fails = run_workers(ask_agent_fast, af_lats)
     agent_conc_fast = {
-        "wall_s": round(af_wall, 2), "queries": len(work),
-        "workers": SLOTS,
-        "qpm": round(60 * len(work) / af_wall, 1),
+        "wall_s": round(af_wall, 2), "queries": len(af_lats),
+        "failed": len(af_fails), "workers": SLOTS,
+        "qpm": round(60 * len(af_lats) / af_wall, 1),
         "mean_latency_s": round(float(np.mean(af_lats)), 2)}
     print("agent concurrent intent_fast:", agent_conc_fast, flush=True)
 
@@ -321,24 +304,11 @@ def main():
     qb.stats.__init__()
     b_lats = []
     tk0 = eng.stats["tokens"]
-
-    def batched_worker(wid):
-        for j, q in enumerate(work):
-            if j % SLOTS == wid:
-                dt = ask_fast(q)
-                with lock:
-                    b_lats.append(dt)
-
-    t0 = time.time()
-    threads = [threading.Thread(target=batched_worker, args=(w,))
-               for w in range(SLOTS)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    bat_wall = time.time() - t0
+    bat_wall, bat_fails = run_workers(ask_fast, b_lats)
     conc_batched = {
-        "wall_s": round(bat_wall, 2), "queries": len(work),
-        "workers": SLOTS,
-        "qpm": round(60 * len(work) / bat_wall, 1),
+        "wall_s": round(bat_wall, 2), "queries": len(b_lats),
+        "failed": len(bat_fails), "workers": SLOTS,
+        "qpm": round(60 * len(b_lats) / bat_wall, 1),
         "mean_latency_s": round(float(np.mean(b_lats)), 2),
         "p95_latency_s": round(float(np.quantile(b_lats, 0.95)), 2),
         "tok_per_s": round(

@@ -302,6 +302,7 @@ class SummaryBm25Index:
         self.stats: Bm25Stats | None = None
         self._terms = None
         self._impacts = None
+        self._dev = None  # (terms, impacts) on device, uploaded once
 
     def build(self, docs: Sequence[dict]):
         """docs: [{'doc_key', 'title', 'summary', 'url'}] (url optional)."""
@@ -318,6 +319,21 @@ class SummaryBm25Index:
         self._terms, self._impacts = build_ell_corpus(
             token_lists, self.stats, self.ell_width
         )
+        self._dev = None  # invalidate the device-resident copy
+
+    def _device_arrays(self):
+        """Upload the ELL corpus ONCE and reuse it. A per-search
+        `jnp.asarray(self._terms)` re-shipped the whole summary corpus
+        host→device on EVERY query — under 16 concurrent workers those
+        simultaneous uploads spiked HBM next to the 12B decoder and
+        RESOURCE_EXHAUSTed worker threads (seen live in
+        bench_e2e_concurrent.py's coalesced arm)."""
+        if getattr(self, "_dev", None) is None:
+            import jax.numpy as jnp
+
+            self._dev = (jnp.asarray(self._terms),
+                         jnp.asarray(self._impacts))
+        return self._dev
 
     def search(self, query: str, top_k: int = 40) -> list[tuple[str, float]]:
         if not self.doc_keys:
@@ -326,8 +342,9 @@ class SummaryBm25Index:
         import jax.numpy as jnp
 
         qt, qw = self.stats.query_terms(query)
+        terms_d, impacts_d = self._device_arrays()
         s, i = ell_topk(
-            jnp.asarray(self._terms), jnp.asarray(self._impacts),
+            terms_d, impacts_d,
             jnp.asarray(qt[None]), jnp.asarray(qw[None]),
             k=min(top_k, len(self.doc_keys)),
         )

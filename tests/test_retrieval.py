@@ -159,6 +159,30 @@ def test_summary_prefilter(stack):
     assert "cnil.fr/violations" in keys
 
 
+def test_summary_prefilter_uploads_corpus_once(stack):
+    """The ELL corpus must go to device ONCE, not per search: a
+    per-call `jnp.asarray(self._terms)` re-shipped the whole summary
+    corpus on EVERY query and, under 16 concurrent serving workers,
+    RESOURCE_EXHAUSTed the chip next to the 12B decoder (seen live in
+    bench_e2e_concurrent.py's coalesced arm)."""
+    summary = SummaryBm25Index()
+    summary.build([
+        {"doc_key": m["doc_key"], "title": m["title"], "summary": t}
+        for (_, t, m) in CORPUS
+    ])
+    summary.search("violation notification")
+    dev = summary._dev
+    assert dev is not None
+    summary.search("registre des traitements")
+    assert summary._dev is dev  # same device buffers, no re-upload
+    # rebuilding invalidates the cached copy
+    summary.build([
+        {"doc_key": m["doc_key"], "title": m["title"], "summary": t}
+        for (_, t, m) in CORPUS
+    ])
+    assert summary._dev is None
+
+
 def test_pair_batching_matches_direct_and_coalesces():
     """enable_pair_batching: concurrent score_pairs callers get scores
     identical to the direct path, and the batcher stats prove the
