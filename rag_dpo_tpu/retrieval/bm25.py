@@ -335,18 +335,37 @@ class SummaryBm25Index:
                          jnp.asarray(self._impacts))
         return self._dev
 
+    # Below this corpus size the prefilter scores on HOST: the summary
+    # index is per-DOCUMENT (hundreds–thousands of rows), where a numpy
+    # ELL scan is microseconds while a device dispatch costs a ~28 ms
+    # tunnel RTT per query AND transient HBM next to a near-full chip
+    # (a serving run OOM'd exactly here under 16 concurrent workers).
+    HOST_SCORE_MAX_DOCS = 65_536
+
     def search(self, query: str, top_k: int = 40) -> list[tuple[str, float]]:
         if not self.doc_keys:
             return []
+        qt, qw = self.stats.query_terms(query)
+        k = min(top_k, len(self.doc_keys))
+        if len(self.doc_keys) <= self.HOST_SCORE_MAX_DOCS:
+            scores = np.zeros((len(self.doc_keys),), np.float32)
+            for t, w in zip(qt, qw):
+                if t < 0:
+                    continue
+                hit = self._terms == t
+                if hit.any():
+                    scores += w * (self._impacts * hit).sum(axis=1)
+            idx = np.argsort(-scores)[:k]
+            return [(self.doc_keys[r], float(scores[r]))
+                    for r in idx if scores[r] > 0]
         from ..ops.sparse import ell_topk
         import jax.numpy as jnp
 
-        qt, qw = self.stats.query_terms(query)
         terms_d, impacts_d = self._device_arrays()
         s, i = ell_topk(
             terms_d, impacts_d,
             jnp.asarray(qt[None]), jnp.asarray(qw[None]),
-            k=min(top_k, len(self.doc_keys)),
+            k=k,
         )
         s, i = np.asarray(s)[0], np.asarray(i)[0]
         return [

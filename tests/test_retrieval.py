@@ -159,28 +159,39 @@ def test_summary_prefilter(stack):
     assert "cnil.fr/violations" in keys
 
 
-def test_summary_prefilter_uploads_corpus_once(stack):
-    """The ELL corpus must go to device ONCE, not per search: a
-    per-call `jnp.asarray(self._terms)` re-shipped the whole summary
-    corpus on EVERY query and, under 16 concurrent serving workers,
-    RESOURCE_EXHAUSTed the chip next to the 12B decoder (seen live in
-    bench_e2e_concurrent.py's coalesced arm)."""
+def test_summary_prefilter_host_path_and_device_parity(stack):
+    """Small (document-level) summary corpora score on HOST — no
+    per-query device dispatch at all (a serving run OOM'd in this
+    prefilter under 16 concurrent workers next to the 12B, and the
+    tunnel RTT costs more than the numpy scan anyway). Large corpora
+    take the device ELL path with the corpus uploaded ONCE (a per-call
+    `jnp.asarray(self._terms)` used to re-ship it on EVERY query)."""
+    docs = [
+        {"doc_key": m["doc_key"], "title": m["title"], "summary": t}
+        for (_, t, m) in CORPUS
+    ]
     summary = SummaryBm25Index()
-    summary.build([
-        {"doc_key": m["doc_key"], "title": m["title"], "summary": t}
-        for (_, t, m) in CORPUS
-    ])
-    summary.search("violation notification")
-    dev = summary._dev
+    summary.build(docs)
+    host_hits = summary.search("violation notification")
+    assert summary._dev is None  # host path: nothing touched device
+
+    dev_idx = SummaryBm25Index()
+    dev_idx.build(docs)
+    dev_idx.HOST_SCORE_MAX_DOCS = 0  # force the device path
+    dev_hits = dev_idx.search("violation notification")
+    dev = dev_idx._dev
     assert dev is not None
-    summary.search("registre des traitements")
-    assert summary._dev is dev  # same device buffers, no re-upload
-    # rebuilding invalidates the cached copy
-    summary.build([
-        {"doc_key": m["doc_key"], "title": m["title"], "summary": t}
-        for (_, t, m) in CORPUS
-    ])
-    assert summary._dev is None
+    dev_idx.search("registre des traitements")
+    assert dev_idx._dev is dev  # same device buffers, no re-upload
+
+    # host and device paths rank identically (scores equal within fp)
+    assert [k for k, _ in host_hits][:3] == [k for k, _ in dev_hits][:3]
+    for (hk, hs), (dk, ds) in zip(host_hits, dev_hits):
+        assert hk == dk and abs(hs - ds) < 1e-3
+
+    # rebuilding invalidates the cached device copy
+    dev_idx.build(docs)
+    assert dev_idx._dev is None
 
 
 def test_pair_batching_matches_direct_and_coalesces():
