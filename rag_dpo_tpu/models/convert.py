@@ -194,3 +194,107 @@ def convert_cross_encoder_state_dict(state: dict) -> dict:
             "bias": np.asarray(state["classifier.bias"]),
         }
     return params
+
+
+def convert_clip_vision_state_dict(state: dict) -> dict:
+    """HF `CLIPVisionModel` torch export → `ViTModel` params.
+
+    Layout notes: the stride-P patch conv [H, 3, P, P] becomes the
+    explicit patch matmul kernel [3·P², H] (channel-major per-patch
+    flatten — exactly the order ViTModel packs pixels); Dense weights
+    transpose [out, in] → [in, out]; HF's `pre_layrnorm` (sic) maps to
+    `pre_layernorm`.
+    """
+    prefix = "vision_model." if any(
+        k.startswith("vision_model.") for k in state) else ""
+    params: dict = {}
+
+    def arr(name):
+        return np.asarray(state[prefix + name])
+
+    conv = arr("embeddings.patch_embedding.weight")  # [H, 3, P, P]
+    params["patch_kernel"] = conv.reshape(conv.shape[0], -1).T
+    params["class_embedding"] = arr("embeddings.class_embedding")
+    params["position_embedding"] = arr(
+        "embeddings.position_embedding.weight")
+    for src, dst in (("pre_layrnorm", "pre_layernorm"),
+                     ("post_layernorm", "post_layernorm")):
+        params[dst] = {"scale": arr(src + ".weight"),
+                       "bias": arr(src + ".bias")}
+    layer_ids = sorted({
+        int(m.group(1))
+        for k in state
+        if (m := re.search(r"encoder\.layers\.(\d+)\.", k))
+    })
+    for i in layer_ids:
+        base = f"encoder.layers.{i}."
+        lp: dict = {"attention": {}}
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            lp["attention"][name] = {
+                "kernel": arr(base + f"self_attn.{name}.weight").T,
+                "bias": arr(base + f"self_attn.{name}.bias"),
+            }
+        for name in ("layer_norm1", "layer_norm2"):
+            lp[name] = {"scale": arr(base + name + ".weight"),
+                        "bias": arr(base + name + ".bias")}
+        for name in ("fc1", "fc2"):
+            lp[name] = {
+                "kernel": arr(base + f"mlp.{name}.weight").T,
+                "bias": arr(base + f"mlp.{name}.bias"),
+            }
+        params[f"layer_{i}"] = lp
+    return params
+
+
+def convert_llava_state_dict(state: dict) -> dict:
+    """HF `LlavaForConditionalGeneration` torch export → the three
+    param trees of the TPU multimodal stack: `{"vision": ViTModel,
+    "projector": LlavaProjector, "decoder": DecoderModel}` (see
+    models/llava.py)."""
+    vision = {
+        k[len("vision_tower."):]: v
+        for k, v in state.items() if k.startswith("vision_tower.")
+    }
+    decoder = {
+        k[len("language_model."):]: v
+        for k, v in state.items() if k.startswith("language_model.")
+    }
+    if not decoder:  # transformers >= 4.52 flattened layout:
+        # model.language_model.* + TOP-LEVEL lm_head.weight
+        decoder = {
+            k[len("model.language_model."):]: v
+            for k, v in state.items()
+            if k.startswith("model.language_model.")
+        }
+        if "lm_head.weight" in state:
+            decoder["lm_head.weight"] = state["lm_head.weight"]
+        vision = vision or {
+            k[len("model.vision_tower."):]: v
+            for k, v in state.items()
+            if k.startswith("model.vision_tower.")
+        }
+    proj_prefix = "multi_modal_projector." if any(
+        k.startswith("multi_modal_projector.") for k in state) \
+        else "model.multi_modal_projector."
+    projector = {
+        "linear_1": {
+            "kernel": np.asarray(
+                state[proj_prefix + "linear_1.weight"]).T,
+            "bias": np.asarray(state[proj_prefix + "linear_1.bias"]),
+        },
+        "linear_2": {
+            "kernel": np.asarray(
+                state[proj_prefix + "linear_2.weight"]).T,
+            "bias": np.asarray(state[proj_prefix + "linear_2.bias"]),
+        },
+    }
+    if not any(k.startswith("model.") or k.startswith("lm_head")
+               for k in decoder):
+        # convert_llama_state_dict expects the CausalLM layout
+        decoder = {"model." + k if not k.startswith("lm_head") else k: v
+                   for k, v in decoder.items()}
+    return {
+        "vision": convert_clip_vision_state_dict(vision),
+        "projector": projector,
+        "decoder": convert_llama_state_dict(decoder),
+    }

@@ -342,15 +342,24 @@ class DecoderModel(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, positions=None, caches=None,
-                 attn_mask=None, write_mask=None, last_index=None):
+                 attn_mask=None, write_mask=None, last_index=None,
+                 inputs_embeds=None):
         cfg = self.config
-        b, s = input_ids.shape
+        if inputs_embeds is not None:
+            # multimodal path (models/llava.py): the caller already
+            # embedded the tokens and spliced projected image patches
+            # in — input_ids is ignored for content but still carries
+            # the [B, S] shape
+            b, s = inputs_embeds.shape[:2]
+        else:
+            b, s = input_ids.shape
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         embed = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                          dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                          name="embed_tokens")
-        hidden = embed(input_ids)
+        hidden = embed(input_ids) if inputs_embeds is None \
+            else inputs_embeds.astype(cfg.dtype)
         new_caches = []
         for i in range(cfg.num_layers):
             cache_i = caches[i] if caches is not None else None

@@ -199,6 +199,16 @@ class TextGenerator:
             params = quantize_decoder_params(params)
         self._params = {"params": jax.tree.map(jnp.asarray, params)}
 
+    def load_converted_tree(self, params: dict):
+        """Install an ALREADY-converted DecoderModel param tree (e.g.
+        the `decoder` entry of `convert_llava_state_dict`), applying
+        the same quantization rule as `load_converted`."""
+        if self.config.quantize_weights:
+            from .decoder import quantize_decoder_params
+
+            params = quantize_decoder_params(params)
+        self._params = {"params": jax.tree.map(jnp.asarray, params)}
+
     # ----------------------------------------------------------- programs
     def _prefill(self, b: int, s: int):
         key = ("prefill", b, s)
@@ -222,6 +232,74 @@ class TextGenerator:
 
             self._programs[key] = prefill
         return self._programs[key]
+
+    def _prefill_embeds(self, b: int, s: int):
+        """Prefill from caller-supplied hidden states instead of token
+        ids — the multimodal path (models/llava.py splices projected
+        image-patch embeddings between prompt-token embeddings; the
+        reference's equivalent traffic goes to an Ollama LLaVA
+        endpoint, classify_images.py:45-70)."""
+        key = ("prefill_embeds", b, s)
+        if key not in self._programs:
+            cfg = self.config
+
+            @jax.jit
+            def prefill(params, embeds, lengths):
+                caches = DecoderModel.init_cache(cfg, embeds.shape[0])
+                ids = jnp.zeros(embeds.shape[:2], jnp.int32)
+                positions = jnp.broadcast_to(
+                    jnp.arange(embeds.shape[1])[None, :],
+                    embeds.shape[:2])
+                valid = positions < lengths[:, None]
+                logits, caches = self.model.apply(
+                    params, ids, positions, caches,
+                    attn_mask=None, write_mask=valid,
+                    last_index=jnp.clip(lengths - 1, 0),
+                    inputs_embeds=embeds,
+                )
+                return logits[:, 0], caches
+
+            self._programs[key] = prefill
+        return self._programs[key]
+
+    def embed_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Token ids → embedding rows (the decoder's own table), for
+        building multimodal prefixes on the host side."""
+        params = self.load()
+        key = "embed_ids"
+        if key not in self._programs:
+            @jax.jit
+            def embed(params, ids):
+                table = params["params"]["embed_tokens"]["embedding"]
+                return jnp.take(table, ids, axis=0)
+
+            self._programs[key] = embed
+        return np.asarray(self._programs[key](
+            params, jnp.asarray(np.asarray(ids, np.int32))))
+
+    def generate_with_embeds(self, embeds: np.ndarray,
+                             lengths: np.ndarray,
+                             sampling: SamplingConfig | None = None,
+                             rng_seed: int = 0,
+                             rng_seeds=None) -> np.ndarray:
+        """[B, S, H] prefix embeddings (tokens + spliced image patches)
+        → [B, max_new_tokens] generated ids. Decode programs are the
+        SAME cached ones the text path uses — only the prefill
+        differs."""
+        sampling = sampling or SamplingConfig()
+        params = self.load()
+        b, s = embeds.shape[:2]
+        assert s + sampling.max_new_tokens <= self.config.max_seq_len
+        assert int(np.max(lengths)) <= s, "lengths exceed prefix width"
+        first_logits, caches = self._prefill_embeds(b, s)(
+            params, jnp.asarray(embeds), jnp.asarray(lengths))
+        seeds = default_row_seeds(rng_seed, b) if rng_seeds is None \
+            else np.asarray(rng_seeds).astype(np.uint32)
+        tokens = self._decode(b, sampling.max_new_tokens, sampling)(
+            params, first_logits, caches, jnp.asarray(lengths),
+            jnp.asarray(seeds),
+        )
+        return np.asarray(tokens)
 
     def _extend(self, b: int, s: int):
         """Continue a prefill from a cached prefix: write K/V for `s`

@@ -1,0 +1,184 @@
+"""LLaVA-class multimodal composition: ViT tower → MLP projector →
+the resident decoder. TPU-native replacement for the reference's
+Ollama LLaVA endpoint.
+
+Reference parity: every vision call the reference makes —
+SCHEMA_DPO / INFOGRAPHIE / PHOTO_DECO image classification
+(`/root/reference/src/processing/classify_images.py:45-70`) and the
+infographic-PDF description fallback (`process_and_chunk.py`, vision
+path) — is a prompt + one image → text completion. Here that runs
+entirely on-chip: CLIP-ViT patches (penultimate layer, CLS dropped)
+project through the 2-layer GELU MLP into the decoder's embedding
+space, splice between the prompt-token embeddings, and decode with the
+SAME cached decode programs the text path uses.
+
+Weights load from HF `LlavaForConditionalGeneration` exports via
+`convert_llava_state_dict` (models/convert.py); logits parity vs the
+HF model is pinned by tests/test_llava.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decoder import DecoderConfig
+from .generate import SamplingConfig, TextGenerator
+from .vit import ViTConfig, ViTModel, preprocess_image
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    vision: ViTConfig
+    text: DecoderConfig
+    # -2 = penultimate ViT layer, no post-LN (LLaVA-1.5's choice)
+    vision_feature_layer: int = -2
+    drop_cls: bool = True
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlavaConfig":
+        return cls(vision=ViTConfig.tiny(),
+                   text=DecoderConfig.tiny(), **kw)
+
+    @property
+    def num_image_tokens(self) -> int:
+        n = self.vision.num_patches
+        return n if self.drop_cls else n + 1
+
+
+class LlavaProjector(nn.Module):
+    """HF `multi_modal_projector`: linear → GELU (exact) → linear."""
+
+    text_hidden: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.text_hidden, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear_1")(x)
+        x = nn.gelu(x.astype(jnp.float32),
+                    approximate=False).astype(self.dtype)
+        return nn.Dense(self.text_hidden, use_bias=True,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="linear_2")(x)
+
+
+class LlavaGenerator:
+    """Drives image+text generation against a shared `TextGenerator`
+    (the decoder may be the serving pool's own instance — vision
+    traffic reuses its weights and decode programs)."""
+
+    def __init__(self, config: LlavaConfig,
+                 generator: TextGenerator | None = None,
+                 params: dict | None = None):
+        self.config = config
+        self.vision = ViTModel(config.vision)
+        self.projector = LlavaProjector(
+            config.text.hidden_size, dtype=config.text.dtype,
+            param_dtype=config.text.param_dtype)
+        self.generator = generator or TextGenerator(config.text)
+        # {"vision": ..., "projector": ...}; decoder params live in the
+        # TextGenerator (convert_llava_state_dict returns all three)
+        self._params = params
+        self._programs: dict = {}
+
+    def load(self):
+        if self._params is None:
+            rng = jax.random.key(0)
+            cfg = self.config
+            pix = jnp.zeros((1, 3, cfg.vision.image_size,
+                             cfg.vision.image_size), jnp.float32)
+            feats = jnp.zeros(
+                (1, cfg.num_image_tokens, cfg.vision.hidden_size),
+                jnp.float32)
+            self._params = {
+                "vision": self.vision.init(rng, pix)["params"],
+                "projector": self.projector.init(rng, feats)["params"],
+            }
+        return self._params
+
+    def load_converted(self, tree: dict):
+        """Output of `convert_llava_state_dict`: installs vision +
+        projector here and the decoder tree into the TextGenerator."""
+        self._params = {
+            "vision": jax.tree.map(jnp.asarray, tree["vision"]),
+            "projector": jax.tree.map(jnp.asarray, tree["projector"]),
+        }
+        self.generator.load_converted_tree(tree["decoder"])
+        return self._params
+
+    def _encode_program(self, b: int):
+        key = ("encode_image", b)
+        if key not in self._programs:
+            cfg = self.config
+            n_layers = cfg.vision.num_layers
+            out_layer = n_layers + 1 + cfg.vision_feature_layer \
+                if cfg.vision_feature_layer < 0 \
+                else cfg.vision_feature_layer
+
+            @jax.jit
+            def encode(params, pixels):
+                feats = self.vision.apply(
+                    {"params": params["vision"]}, pixels,
+                    output_layer=out_layer)
+                if cfg.drop_cls:
+                    feats = feats[:, 1:]
+                return self.projector.apply(
+                    {"params": params["projector"]}, feats)
+
+            self._programs[key] = encode
+        return self._programs[key]
+
+    def encode_image(self, pixel_values: np.ndarray) -> np.ndarray:
+        """[B, 3, S, S] CLIP-normalized pixels → [B, n_image_tokens,
+        text_hidden] projected patch embeddings."""
+        params = self.load()
+        b = pixel_values.shape[0]
+        return np.asarray(self._encode_program(b)(
+            params, jnp.asarray(pixel_values, jnp.float32)))
+
+    def generate(self, pre_ids: np.ndarray, post_ids: np.ndarray,
+                 image, sampling: SamplingConfig | None = None,
+                 rng_seed: int = 0) -> np.ndarray:
+        """One image spliced between two token spans (the usual
+        "<s>USER: <image>\\nprompt ASSISTANT:" template split at the
+        image position) → generated ids [1, max_new].
+
+        `image`: PIL image / [H, W, 3] uint8 array / pre-processed
+        [3, S, S] f32 CLIP-normalized array.
+        """
+        cfg = self.config
+        img = np.asarray(image) if not hasattr(image, "convert") \
+            else image
+        if getattr(img, "ndim", 0) != 3 or (
+                hasattr(img, "shape") and img.shape[0] != 3):
+            img = preprocess_image(image, cfg.vision.image_size)
+        img_embeds = self.encode_image(np.asarray(img)[None])[0]
+
+        pre_ids = np.asarray(pre_ids, np.int32).reshape(-1)
+        post_ids = np.asarray(post_ids, np.int32).reshape(-1)
+        pre = self.generator.embed_ids(pre_ids[None])[0] \
+            if len(pre_ids) else np.zeros(
+                (0, cfg.text.hidden_size), img_embeds.dtype)
+        post = self.generator.embed_ids(post_ids[None])[0] \
+            if len(post_ids) else np.zeros(
+                (0, cfg.text.hidden_size), img_embeds.dtype)
+        embeds = np.concatenate(
+            [np.asarray(pre, np.float32),
+             np.asarray(img_embeds, np.float32),
+             np.asarray(post, np.float32)], axis=0)
+        n = embeds.shape[0]
+        from ..tokenize.base import bucket_length
+
+        s = bucket_length(n)
+        padded = np.zeros((1, s, cfg.text.hidden_size), np.float32)
+        padded[0, :n] = embeds
+        return self.generator.generate_with_embeds(
+            padded, np.asarray([n], np.int32), sampling,
+            rng_seed=rng_seed)

@@ -1,0 +1,144 @@
+"""LLaVA multimodal stack: HF logits parity + generate smoke.
+
+The TPU-native replacement for the reference's Ollama LLaVA endpoint
+(`/root/reference/src/processing/classify_images.py:45-70`): ViT
+patches → MLP projector → decoder with spliced inputs_embeds must
+match HF `LlavaForConditionalGeneration` exactly so real checkpoints
+load losslessly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_dpo_tpu.models.convert import convert_llava_state_dict
+from rag_dpo_tpu.models.decoder import DecoderConfig, DecoderModel
+from rag_dpo_tpu.models.generate import SamplingConfig, TextGenerator
+from rag_dpo_tpu.models.llava import LlavaConfig, LlavaGenerator
+from rag_dpo_tpu.models.vit import ViTConfig
+
+IMG_TOKEN = 255
+
+
+def _hf_tiny_llava():
+    torch = pytest.importorskip("torch")
+    from transformers import (CLIPVisionConfig, LlamaConfig,
+                              LlavaConfig as HFLlavaConfig,
+                              LlavaForConditionalGeneration)
+
+    vis = CLIPVisionConfig(
+        image_size=28, patch_size=7, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, hidden_act="quick_gelu",
+        attention_dropout=0.0, layer_norm_eps=1e-5)
+    txt = LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        rms_norm_eps=1e-5, rope_theta=10000.0, attention_bias=False,
+        tie_word_embeddings=False)
+    cfg = HFLlavaConfig(
+        vision_config=vis, text_config=txt,
+        image_token_index=IMG_TOKEN, projector_hidden_act="gelu",
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(cfg).eval()
+    return torch, hf
+
+
+def _ours():
+    return LlavaConfig(
+        vision=ViTConfig.tiny(dtype=jnp.float32),
+        text=DecoderConfig(
+            vocab_size=256, hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, rope_theta=10000.0,
+            max_seq_len=128, dtype=jnp.float32,
+            param_dtype=jnp.float32))
+
+
+def test_torch_parity_llava_logits():
+    """Full multimodal forward (tokens + spliced image patches) ==
+    HF LlavaForConditionalGeneration, every position."""
+    torch, hf = _hf_tiny_llava()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    cfg = _ours()
+    gen = TextGenerator(cfg.text)
+    lg = LlavaGenerator(cfg, generator=gen)
+    lg.load_converted(convert_llava_state_dict(state))
+
+    rng = np.random.default_rng(5)
+    pixels = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    n_img = cfg.num_image_tokens  # 16 patches
+    pre = rng.integers(3, 200, (3,)).astype(np.int64)
+    post = rng.integers(3, 200, (5,)).astype(np.int64)
+    ids = np.concatenate(
+        [pre, np.full((n_img,), IMG_TOKEN, np.int64), post])[None]
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(pixels)).logits.numpy()
+
+    img_embeds = lg.encode_image(pixels)            # [1, 16, 32]
+    pre_e = gen.embed_ids(pre[None])[0]
+    post_e = gen.embed_ids(post[None])[0]
+    embeds = np.concatenate(
+        [pre_e, np.asarray(img_embeds[0], pre_e.dtype), post_e],
+        axis=0)[None]
+    ours = DecoderModel(cfg.text).apply(
+        gen.load(), jnp.zeros(embeds.shape[:2], jnp.int32),
+        inputs_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-3,
+                               rtol=3e-3)
+
+
+def test_llava_generate_greedy_deterministic_and_image_sensitive():
+    cfg = _ours()
+    lg = LlavaGenerator(cfg)
+    rng = np.random.default_rng(6)
+    img_a = rng.integers(0, 255, (28, 28, 3)).astype(np.uint8)
+    img_b = rng.integers(0, 255, (28, 28, 3)).astype(np.uint8)
+    pre = np.asarray([5, 6, 7], np.int32)
+    post = np.asarray([8, 9], np.int32)
+    sampling = SamplingConfig(temperature=0.0, max_new_tokens=6,
+                              eos_id=-1, pad_id=0)
+
+    t1 = lg.generate(pre, post, img_a, sampling)
+    t2 = lg.generate(pre, post, img_a, sampling)
+    assert np.array_equal(t1, t2)  # greedy is deterministic
+    assert t1.shape == (1, 6)
+
+    # different image → different first-step logits (random init makes
+    # identical logits vanishingly unlikely); assert via the embeds
+    ea = lg.encode_image(
+        np.asarray([lg_preprocess(img_a)], np.float32))
+    eb = lg.encode_image(
+        np.asarray([lg_preprocess(img_b)], np.float32))
+    assert np.abs(ea - eb).max() > 1e-4
+
+
+def lg_preprocess(img):
+    from rag_dpo_tpu.models.vit import preprocess_image
+
+    return preprocess_image(img, 28)
+
+
+def test_embeds_prefill_matches_ids_prefill():
+    """Text-only inputs through the embeds path must decode exactly
+    like the ids path (the multimodal prefill is a strict superset)."""
+    cfg = DecoderConfig.tiny()
+    gen = TextGenerator(cfg)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(3, 500, (2, 12)).astype(np.int32)
+    padded = np.full((2, 32), 1, np.int32)
+    padded[:, :12] = ids
+    lengths = np.asarray([12, 12], np.int32)
+    sampling = SamplingConfig(temperature=0.0, max_new_tokens=8,
+                              eos_id=-1, pad_id=0)
+
+    via_ids = gen.generate_ids(padded, lengths, sampling)
+    embeds = gen.embed_ids(padded)
+    via_embeds = gen.generate_with_embeds(
+        embeds.astype(np.float32), lengths, sampling)
+    assert np.array_equal(via_ids, via_embeds)
