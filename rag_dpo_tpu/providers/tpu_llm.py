@@ -492,6 +492,80 @@ class TPULLMProvider(BaseLLMProvider):
         self.generator.warm_choose(cand_ids.shape[0], p,
                                    cand_ids.shape[1])
 
+    def attach_vision(self, vision_config=None, params=None):
+        """Enable on-chip image+text generation (LLaVA-class): a ViT
+        tower + MLP projector sharing THIS provider's decoder weights
+        and cached decode programs (models/llava.py). The reference
+        routes the same traffic — image classification and the
+        infographic-PDF description fallback — to an external Ollama
+        LLaVA endpoint (`classify_images.py:45-70`).
+
+        `params`: output of `convert_llava_state_dict` (installs
+        vision + projector here and the decoder tree into the shared
+        generator) or None (random init, testing/benches)."""
+        from ..models.llava import LlavaConfig, LlavaGenerator
+        from ..models.vit import ViTConfig
+
+        cfg = LlavaConfig(
+            vision=vision_config or ViTConfig.clip_vit_l_336(),
+            text=self.config)
+        self._llava = LlavaGenerator(cfg, generator=self.generator)
+        if params is not None:
+            self._llava.load_converted(params)
+        return self._llava
+
+    def generate_with_image(self, prompt, image_bytes,
+                            temperature: float = 0.0) -> LLMResponse:
+        """Image + prompt → text, fully on-chip once `attach_vision`
+        ran (in-band 'vision not supported' otherwise, matching the
+        base provider). Vision traffic is background-class (ingest
+        classification); it runs on the direct path, not the slot
+        pool."""
+        t0 = time.time()
+        if getattr(self, "_llava", None) is None:
+            return LLMResponse(text="", model=self.model_name,
+                               error="vision not supported")
+        try:
+            import io
+
+            from PIL import Image
+
+            from ..models.generate import SamplingConfig
+
+            image = Image.open(io.BytesIO(image_bytes))
+            pre_text = "USER: "
+            post_text = "\n" + prompt + "\nASSISTANT:"
+            n_img = self._llava.config.num_image_tokens
+            budget, max_new = self._fit_budget(None)
+            post_cap = max(budget - n_img - 8, 16)
+            enc = self.tokenizer.encode_batch(
+                [pre_text, post_text],
+                min(bucket_length(len(post_text) // 3 + 2), post_cap))
+            pre_ids = np.asarray(
+                enc.input_ids[0][: enc.lengths[0]], np.int32)
+            post_ids = np.asarray(
+                enc.input_ids[1][: enc.lengths[1]], np.int32)
+            total = len(pre_ids) + n_img + len(post_ids)
+            s = bucket_length(total)
+            max_new = min(max_new, self.config.max_seq_len - s)
+            if max_new < 1:
+                raise ValueError(
+                    f"image prefix ({total} tokens, bucket {s}) leaves "
+                    "no decode budget in this context")
+            sampling = SamplingConfig(
+                top_p=self.top_p, temperature=temperature,
+                max_new_tokens=max_new,
+                eos_id=self.tokenizer.sep_id,
+                pad_id=self.tokenizer.pad_id)
+            tokens = self._llava.generate(
+                pre_ids, post_ids, image, sampling,
+                rng_seed=self._row_seed(temperature, None))
+            return LLMResponse(self._decode_text(tokens[0]),
+                               self.model_name, time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — in-band, like generate
+            return LLMResponse("", self.model_name, time.time() - t0,
+                               error=str(e))
+
     def chat_stream(self, messages, temperature=0.0, max_tokens=None,
                     priority: int | None = None, **gen_kwargs):
         """Native token-streamed chat: flatten messages the same way the

@@ -77,7 +77,8 @@ from rag_dpo_tpu.models.convert import (  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("kind", choices=["bge-m3", "reranker", "decoder"])
+    ap.add_argument("kind",
+                    choices=["bge-m3", "reranker", "decoder", "llava"])
     ap.add_argument("snapshot", type=pathlib.Path)
     ap.add_argument("out", type=pathlib.Path)
     ap.add_argument("--quantize-int8", action="store_true",
@@ -97,6 +98,15 @@ def main() -> int:
         params = convert_bge_m3_state_dict(state)
     elif args.kind == "reranker":
         params = convert_cross_encoder_state_dict(state)
+    elif args.kind == "llava":
+        from rag_dpo_tpu.models.convert import convert_llava_state_dict
+
+        params = convert_llava_state_dict(state)
+        if args.quantize_int8:
+            from rag_dpo_tpu.models.decoder import quantize_decoder_params
+
+            params["decoder"] = quantize_decoder_params(
+                params["decoder"])
     else:
         params = convert_llama_state_dict(state)
         if args.quantize_int8:

@@ -179,3 +179,86 @@ def test_convert_reranker_snapshot_roundtrip(tmp_path):
         params, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(ours), ref,
                                atol=2e-4, rtol=2e-3)
+
+
+def test_convert_llava_snapshot_roundtrip(tmp_path):
+    """kind=llava: HF LlavaForConditionalGeneration snapshot →
+    scripts/convert_weights.py → load → full multimodal logits parity.
+    Closes the converter-recipe loop for the vision stack the way the
+    decoder/bge-m3/reranker kinds already are."""
+    torch = pytest.importorskip("torch")
+    from transformers import (CLIPVisionConfig, LlamaConfig,
+                              LlavaConfig as HFLlavaConfig,
+                              LlavaForConditionalGeneration)
+
+    vis = CLIPVisionConfig(
+        image_size=28, patch_size=7, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, hidden_act="quick_gelu",
+        attention_dropout=0.0, layer_norm_eps=1e-5)
+    txt = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=64,
+        rms_norm_eps=1e-5, rope_theta=10000.0, attention_bias=False,
+        tie_word_embeddings=False)
+    hf_cfg = HFLlavaConfig(
+        vision_config=vis, text_config=txt, image_token_index=127,
+        projector_hidden_act="gelu", vision_feature_layer=-2,
+        vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(hf_cfg).eval()
+    snapshot = tmp_path / "snap"
+    hf.save_pretrained(snapshot, safe_serialization=False)
+
+    out = tmp_path / "llava.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/convert_weights.py", "llava",
+         str(snapshot), str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+
+    mod = _load_script()
+    tree = mod.load_params_npz(out)["params"]
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.models.generate import TextGenerator
+    from rag_dpo_tpu.models.llava import LlavaConfig, LlavaGenerator
+    from rag_dpo_tpu.models.vit import ViTConfig
+
+    cfg = LlavaConfig(
+        vision=ViTConfig.tiny(dtype=jnp.float32),
+        text=DecoderConfig(
+            vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=64, rope_theta=10000.0,
+            max_seq_len=64, dtype=jnp.float32,
+            param_dtype=jnp.float32))
+    gen = TextGenerator(cfg.text)
+    lg = LlavaGenerator(cfg, generator=gen)
+    lg.load_converted(tree)
+
+    rng = np.random.default_rng(2)
+    pixels = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    pre = rng.integers(3, 100, (2,)).astype(np.int64)
+    post = rng.integers(3, 100, (3,)).astype(np.int64)
+    ids = np.concatenate(
+        [pre, np.full((16,), 127, np.int64), post])[None]
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(pixels)).logits.numpy()
+
+    from rag_dpo_tpu.models.decoder import DecoderModel
+
+    img_embeds = lg.encode_image(pixels)
+    pre_e = gen.embed_ids(pre[None])[0]
+    post_e = gen.embed_ids(post[None])[0]
+    embeds = np.concatenate(
+        [pre_e, np.asarray(img_embeds[0], pre_e.dtype), post_e],
+        axis=0)[None]
+    ours = DecoderModel(cfg.text).apply(
+        gen.load(), jnp.zeros(embeds.shape[:2], jnp.int32),
+        inputs_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-2)
+    agree = np.mean(ref.argmax(-1) == np.asarray(ours).argmax(-1))
+    assert agree == 1.0

@@ -142,3 +142,62 @@ def test_embeds_prefill_matches_ids_prefill():
     via_embeds = gen.generate_with_embeds(
         embeds.astype(np.float32), lengths, sampling)
     assert np.array_equal(via_ids, via_embeds)
+
+
+def test_provider_generate_with_image():
+    """TPULLMProvider vision: in-band 'not supported' before
+    attach_vision, real on-chip generation after — the same
+    `generate_with_image` contract the ingest image classifier and the
+    infographic-PDF fallback call (they previously REQUIRED an external
+    Ollama LLaVA endpoint)."""
+    import io
+
+    from PIL import Image
+
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    llm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8)
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3))
+        .astype(np.uint8)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    resp = llm.generate_with_image("Décris cette image.", png)
+    assert not resp.ok and "vision" in resp.error
+
+    llm.attach_vision(ViTConfig.tiny())
+    resp = llm.generate_with_image("Décris cette image.", png)
+    assert resp.ok, resp.error
+    assert isinstance(resp.text, str)
+    # greedy determinism through the provider
+    resp2 = llm.generate_with_image("Décris cette image.", png)
+    assert resp2.text == resp.text
+
+    # corrupt image bytes degrade in-band, never raise
+    bad = llm.generate_with_image("Décris.", b"not an image")
+    assert not bad.ok
+
+
+def test_image_classifier_runs_on_tpu_vision():
+    """The ingest image classifier (reference classify_images.py)
+    drives the TPU vision provider end-to-end: OCR-gated images flow
+    to generate_with_image and the decision ladder stays in-band even
+    with random-init weights."""
+    import io
+
+    from PIL import Image
+
+    from rag_dpo_tpu.ingest.images import ImageClassifier
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    llm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8)
+    llm.attach_vision(ViTConfig.tiny())
+    clf = ImageClassifier(vision_llm=llm)
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (60, 80, 3))
+        .astype(np.uint8)).save(buf, format="PNG")
+    decision = clf.classify(buf.getvalue())
+    assert decision.label  # some label, via vision or default ladder
+    assert decision.method in ("ocr_gate", "vision", "default")
