@@ -1,0 +1,117 @@
+"""On-chip vision: ViT-L/14-336 encode throughput + image→text e2e.
+
+The reference's vision traffic (image classification, infographic
+description — classify_images.py:45-70) goes to an Ollama LLaVA
+endpoint on CPU/GPU elsewhere; here the whole path runs on the one
+TPU chip next to the serving stack.
+
+Arms:
+  encode_b{1,8}  — CLIP-ViT-L/14-336 (304 M params, 577 tokens) patch
+                   encode + projector, images/s
+  e2e_12b        — generate_with_image through TPULLMProvider: PIL
+                   decode → CLIP preprocess → ViT → splice (576 image
+                   tokens) → 12B int8 decode of 64 tokens
+
+Run on the real chip:  python benchmarks/bench_vision.py
+Tiny CPU smoke:        BENCH_TINY=1 python benchmarks/bench_vision.py
+"""
+
+import io
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+if os.environ.get("BENCH_TINY"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import numpy as np
+
+TINY = bool(os.environ.get("BENCH_TINY"))
+
+
+def main():
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.models.vit import ViTConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    if TINY:
+        dec_cfg = DecoderConfig.tiny()
+        vit_cfg = ViTConfig.tiny()
+        reps, max_new = 2, 8
+    else:
+        dec_cfg = dataclasses.replace(
+            DecoderConfig.mistral_nemo_12b(), quantize_weights=True,
+            tie_embeddings=True, max_seq_len=2048,
+            param_dtype=jnp.bfloat16)
+        vit_cfg = ViTConfig.clip_vit_l_336()
+        reps, max_new = 4, 64
+
+    t0 = time.time()
+    llm = TPULLMProvider(dec_cfg, max_new_tokens=max_new)
+    llm.generator.load()
+    lg = llm.attach_vision(vit_cfg)
+    lg.load()
+    print(f"decoder+vision loaded in {time.time() - t0:.1f}s",
+          flush=True)
+
+    res = {}
+    rng = np.random.default_rng(0)
+    s = vit_cfg.image_size
+    for b in (1, 8):
+        pixels = rng.standard_normal((b, 3, s, s)).astype(np.float32)
+        lg.encode_image(pixels)  # compile
+        t0 = time.time()
+        for _ in range(reps * 4):
+            out = lg.encode_image(pixels)
+        dt = (time.time() - t0) / (reps * 4)
+        res[f"encode_b{b}"] = {
+            "ms": round(1e3 * dt, 1),
+            "images_per_s": round(b / dt, 1)}
+        print(f"encode b={b}: {res[f'encode_b{b}']}", flush=True)
+        del out
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (480, 640, 3))
+                    .astype(np.uint8)).save(buf, format="PNG")
+    png = buf.getvalue()
+    prompt = ("Analyse cette image et classifie-la: SCHEMA_DPO, "
+              "INFOGRAPHIE ou PHOTO_DECO. Réponds en JSON.")
+    r = llm.generate_with_image(prompt, png)  # compile + warm
+    assert r.ok, r.error
+    t0 = time.time()
+    for _ in range(reps):
+        r = llm.generate_with_image(prompt, png)
+        assert r.ok, r.error
+    dt = (time.time() - t0) / reps
+    res["e2e_image_to_text"] = {
+        "s": round(dt, 2), "new_tokens": max_new,
+        "image_tokens": lg.config.num_image_tokens}
+    print(f"e2e image→text ({max_new} tokens): {dt:.2f}s", flush=True)
+
+    out = {"bench": "vision_on_chip", "device": str(jax.devices()[0]),
+           "model": ("tiny" if TINY else
+                     "CLIP-ViT-L/14-336 + 12B int8"),
+           "arms": res, "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    print(json.dumps(out), flush=True)
+    if not TINY:
+        with open(pathlib.Path(__file__).parent / "RESULTS.jsonl",
+                  "a") as f:
+            f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

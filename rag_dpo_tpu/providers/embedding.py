@@ -12,6 +12,7 @@ makes full 8192-token encodes feasible.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Any, Sequence
 
 import jax
@@ -58,6 +59,15 @@ class Embedder:
         self._apply_cache: dict = {}
         self.mesh = mesh
         self._query_batcher = None   # see enable_query_batching
+        # Bound in-flight encoder dispatches: under 16-worker serving,
+        # unbounded concurrent forwards each stage input buffers +
+        # program workspace, and the transient sum OOM'd a near-full
+        # chip (12B pool + index resident) — seen live in
+        # bench_e2e_concurrent.py's agent arm. Two in flight keeps the
+        # device busy (it executes one program at a time) without
+        # stacking 16 workspaces. enable_query_batching coalesces
+        # instead of queueing; this guards the plain path.
+        self._dispatch_slots = threading.Semaphore(2)
 
     @property
     def dim(self) -> int:
@@ -143,9 +153,14 @@ class Embedder:
             )
         else:
             lengths = enc.lengths
-        out = self._apply(b_bucket, seq)(
-            params, jnp.asarray(ids), jnp.asarray(lengths)
-        )
+        with self._dispatch_slots:
+            out = self._apply(b_bucket, seq)(
+                params, jnp.asarray(ids), jnp.asarray(lengths)
+            )
+            # hold the slot until the program actually finished —
+            # block_until_ready is unreliable through the axon tunnel,
+            # a tiny fetch is not (outputs complete together)
+            np.asarray(out.dense[:1, :1])
         return out, b, enc
 
     def embed(self, texts: Sequence[str], *, return_sparse: bool = False,

@@ -70,3 +70,35 @@ def test_query_batching_matches_direct_and_coalesces():
     st = batched._query_batcher.stats
     assert st.n_device_calls < st.n_requests
     assert st.max_batch_seen > 1
+
+
+def test_concurrent_plain_encodes_bounded_and_identical():
+    """16 concurrent embed_queries on the PLAIN path (no batcher) must
+    produce each caller's solo vectors while the dispatch semaphore
+    bounds in-flight forwards — unbounded concurrent dispatches each
+    stage inputs + workspace and OOM'd a near-full serving chip
+    (bench_e2e_concurrent.py agent arm)."""
+    import threading
+
+    import numpy as np
+
+    from rag_dpo_tpu.providers.embedding import Embedder, EmbedderConfig
+
+    emb = Embedder(EmbedderConfig(query_max_len=64))
+    texts = [f"question numéro {i} sur le RGPD" for i in range(16)]
+    solo = {t: emb.embed_queries([t])[0] for t in texts}
+    out: dict = {}
+    lock = threading.Lock()
+
+    def worker(t):
+        v = emb.embed_queries([t])[0]
+        with lock:
+            out[t] = v
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in texts]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert emb._dispatch_slots._value == 2  # slots all released
+    for t in texts:
+        np.testing.assert_allclose(out[t], solo[t], atol=1e-6)
