@@ -7,10 +7,15 @@ TPU chip next to the serving stack.
 
 Arms:
   encode_b{1,8}  — CLIP-ViT-L/14-336 (304 M params, 577 tokens) patch
-                   encode + projector, images/s
+                   encode + projector, images/s. NOTE: includes the
+                   [B, 576, 5120] f32 output fetch (~12 MB/image) —
+                   through the axon tunnel that fetch DOMINATES; the
+                   serving path never pays it (generate() composes the
+                   whole prefix on device, `_compose_program`)
   e2e_12b        — generate_with_image through TPULLMProvider: PIL
-                   decode → CLIP preprocess → ViT → splice (576 image
-                   tokens) → 12B int8 decode of 64 tokens
+                   decode → CLIP preprocess → fused on-device
+                   encode+embed+splice → 12B int8 decode of 64 tokens
+                   (576 image tokens in the prefix)
 
 Run on the real chip:  python benchmarks/bench_vision.py
 Tiny CPU smoke:        BENCH_TINY=1 python benchmarks/bench_vision.py

@@ -143,6 +143,55 @@ class LlavaGenerator:
         return np.asarray(self._encode_program(b)(
             params, jnp.asarray(pixel_values, jnp.float32)))
 
+    def _compose_program(self, p: int, q: int, s: int):
+        """ONE device program building the full multimodal prefix:
+        image encode + projector + token embeds + splice + pad — no
+        host round-trip (the hosted compose fetched ~12 MB of patch
+        embeddings and re-uploaded ~21 MB of prefix, ~350 ms through
+        the axon tunnel per image)."""
+        key = ("compose", p, q, s)
+        if key not in self._programs:
+            cfg = self.config
+            n_img = cfg.num_image_tokens
+            n_layers = cfg.vision.num_layers
+            out_layer = n_layers + 1 + cfg.vision_feature_layer \
+                if cfg.vision_feature_layer < 0 \
+                else cfg.vision_feature_layer
+
+            @jax.jit
+            def compose(dec_params, vparams, pre_ids, pre_len,
+                        post_ids, post_len, pixels):
+                feats = self.vision.apply(
+                    {"params": vparams["vision"]}, pixels,
+                    output_layer=out_layer)
+                if cfg.drop_cls:
+                    feats = feats[:, 1:]
+                img = self.projector.apply(
+                    {"params": vparams["projector"]}, feats)[0]
+                table = dec_params["params"]["embed_tokens"][
+                    "embedding"]
+                pre_e = jnp.take(table, pre_ids, axis=0)
+                post_e = jnp.take(table, post_ids, axis=0)
+                pos = jnp.arange(s)
+                total = pre_len + n_img + post_len
+                in_pre = pos < pre_len
+                in_img = (pos >= pre_len) & (pos < pre_len + n_img)
+                idx_pre = jnp.clip(pos, 0, p - 1)
+                idx_img = jnp.clip(pos - pre_len, 0, n_img - 1)
+                idx_post = jnp.clip(pos - pre_len - n_img, 0, q - 1)
+                dt = cfg.text.dtype
+                e = jnp.where(
+                    in_pre[:, None], pre_e[idx_pre].astype(dt),
+                    jnp.where(in_img[:, None],
+                              img[idx_img].astype(dt),
+                              post_e[idx_post].astype(dt)))
+                e = jnp.where((pos < total)[:, None], e,
+                              jnp.zeros((), dt))
+                return e[None], total
+
+            self._programs[key] = compose
+        return self._programs[key]
+
     def generate(self, pre_ids: np.ndarray, post_ids: np.ndarray,
                  image, sampling: SamplingConfig | None = None,
                  rng_seed: int = 0) -> np.ndarray:
@@ -159,26 +208,30 @@ class LlavaGenerator:
         if getattr(img, "ndim", 0) != 3 or (
                 hasattr(img, "shape") and img.shape[0] != 3):
             img = preprocess_image(image, cfg.vision.image_size)
-        img_embeds = self.encode_image(np.asarray(img)[None])[0]
+
+        from ..tokenize.base import bucket_length
 
         pre_ids = np.asarray(pre_ids, np.int32).reshape(-1)
         post_ids = np.asarray(post_ids, np.int32).reshape(-1)
-        pre = self.generator.embed_ids(pre_ids[None])[0] \
-            if len(pre_ids) else np.zeros(
-                (0, cfg.text.hidden_size), img_embeds.dtype)
-        post = self.generator.embed_ids(post_ids[None])[0] \
-            if len(post_ids) else np.zeros(
-                (0, cfg.text.hidden_size), img_embeds.dtype)
-        embeds = np.concatenate(
-            [np.asarray(pre, np.float32),
-             np.asarray(img_embeds, np.float32),
-             np.asarray(post, np.float32)], axis=0)
-        n = embeds.shape[0]
-        from ..tokenize.base import bucket_length
-
+        pad = getattr(cfg.text, "pad_id", 1)
+        p = bucket_length(max(len(pre_ids), 1), buckets=(8, 32, 128))
+        q = bucket_length(max(len(post_ids), 1),
+                          buckets=(8, 32, 128, 256, 512))
+        n = len(pre_ids) + cfg.num_image_tokens + len(post_ids)
         s = bucket_length(n)
-        padded = np.zeros((1, s, cfg.text.hidden_size), np.float32)
-        padded[0, :n] = embeds
+        pre_p = np.full((p,), pad, np.int32)
+        pre_p[: len(pre_ids)] = pre_ids
+        post_p = np.full((q,), pad, np.int32)
+        post_p[: len(post_ids)] = post_ids
+        vparams = self.load()
+        embeds, total = self._compose_program(p, q, s)(
+            self.generator.load(), vparams,
+            jnp.asarray(pre_p), jnp.asarray(len(pre_ids), jnp.int32),
+            jnp.asarray(post_p),
+            jnp.asarray(len(post_ids), jnp.int32),
+            jnp.asarray(np.asarray(img, np.float32)[None]))
+        # embeds stays ON DEVICE; generate_with_embeds' jnp.asarray is
+        # a no-copy passthrough
         return self.generator.generate_with_embeds(
-            padded, np.asarray([n], np.int32), sampling,
+            embeds, np.asarray([n], np.int32), sampling,
             rng_seed=rng_seed)

@@ -201,3 +201,39 @@ def test_image_classifier_runs_on_tpu_vision():
     decision = clf.classify(buf.getvalue())
     assert decision.label  # some label, via vision or default ladder
     assert decision.method in ("ocr_gate", "vision", "default")
+
+
+def test_device_compose_matches_host_compose():
+    """generate() now builds the multimodal prefix in ONE device
+    program (encode + embed + splice + pad, no host round-trip); it
+    must decode bit-identically to the hand-composed host path."""
+    cfg = _ours()
+    lg = LlavaGenerator(cfg)
+    gen = lg.generator
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (28, 28, 3)).astype(np.uint8)
+    pre = np.asarray([5, 6, 7], np.int32)
+    post = np.asarray([8, 9, 10, 11], np.int32)
+    sampling = SamplingConfig(temperature=0.0, max_new_tokens=7,
+                              eos_id=-1, pad_id=0)
+
+    via_compose = lg.generate(pre, post, img, sampling)
+
+    from rag_dpo_tpu.models.vit import preprocess_image
+    from rag_dpo_tpu.tokenize.base import bucket_length
+
+    pixels = preprocess_image(img, 28)[None].astype(np.float32)
+    img_e = lg.encode_image(pixels)[0]
+    pre_e = gen.embed_ids(pre[None])[0]
+    post_e = gen.embed_ids(post[None])[0]
+    embeds = np.concatenate(
+        [np.asarray(pre_e, np.float32),
+         np.asarray(img_e, np.float32),
+         np.asarray(post_e, np.float32)], axis=0)
+    n = embeds.shape[0]
+    s = bucket_length(n)
+    padded = np.zeros((1, s, embeds.shape[1]), np.float32)
+    padded[0, :n] = embeds
+    via_host = gen.generate_with_embeds(
+        padded, np.asarray([n], np.int32), sampling)
+    assert np.array_equal(via_compose, via_host)
