@@ -134,6 +134,56 @@ def _parse_seed(data: dict, llm) -> tuple[dict, str | None]:
     return {"seed": val}, None
 
 
+def _flatten_multimodal(messages) -> tuple[list | None, bytes | None,
+                                           str | None]:
+    """OpenAI multimodal message content → (text messages, image
+    bytes, error). `content` may be a plain string or a list of parts
+    ({"type": "text"} / {"type": "image_url", "image_url": {"url":
+    "data:<mime>;base64,..."}}). At most ONE image per request (the
+    vision path splices one image into the prefix); only data: URLs —
+    this server fetches nothing (zero-egress posture)."""
+    import base64
+
+    out: list = []
+    image: bytes | None = None
+    for m in messages:
+        if not isinstance(m, dict) or not str(m.get("role", "")):
+            return None, None, ("'messages' must be a non-empty list "
+                                "of {role, content}")
+        c = m.get("content")
+        if isinstance(c, str):
+            out.append({"role": str(m["role"]), "content": c})
+            continue
+        if not isinstance(c, list):
+            return None, None, ("'content' must be a string or a "
+                                "list of content parts")
+        texts = []
+        for part in c:
+            ptype = part.get("type") if isinstance(part, dict) else None
+            if ptype == "text" and isinstance(part.get("text"), str):
+                texts.append(part["text"])
+            elif ptype == "image_url":
+                url = (part.get("image_url") or {}).get("url", "")
+                if not (isinstance(url, str)
+                        and url.startswith("data:")):
+                    return None, None, (
+                        "image_url must be a data: URL (this server "
+                        "does not fetch remote images)")
+                if image is not None:
+                    return None, None, "at most one image per request"
+                try:
+                    image = base64.b64decode(
+                        url.split(",", 1)[1], validate=True)
+                except Exception:
+                    return None, None, "invalid base64 image data"
+            else:
+                return None, None, (
+                    f"unsupported content part type: {ptype!r}")
+        out.append({"role": str(m["role"]),
+                    "content": "\n".join(texts)})
+    return out, image, None
+
+
 def _warm_coalesced(system: dict) -> None:
     """Pre-compile the coalescing batchers' programs (choose / encode /
     rerank) when their knobs are on — a first-shape compile through the
@@ -691,14 +741,16 @@ def make_handler(system: dict):
                                                "no LLM loaded"}})
                     return
                 messages = data.get("messages")
-                if (not isinstance(messages, list) or not messages
-                        or not all(isinstance(m, dict)
-                                   and str(m.get("role", ""))
-                                   and isinstance(m.get("content"), str)
-                                   for m in messages)):
+                if not isinstance(messages, list) or not messages:
                     self._send(400, {"error": {"message":
                                      "'messages' must be a non-empty "
                                      "list of {role, content}"}})
+                    return
+                # multimodal content parts (vision) flatten here;
+                # plain-string content passes through unchanged
+                messages, image, bad = _flatten_multimodal(messages)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
                     return
                 try:
                     temperature = float(data.get("temperature", 0.0))
@@ -731,6 +783,84 @@ def make_handler(system: dict):
                 model = getattr(llm, "model_name", "rag-dpo-tpu")
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
                 created = int(_time.time())
+                if image is not None:
+                    # vision turn: one composed image+text decode
+                    # (models/llava.py through the provider); capability
+                    # failure is the client's 400, anything else a 502
+                    sys_txt, parts = None, []
+                    for m in messages:
+                        if m["role"] == "system":
+                            sys_txt = m["content"]
+                        else:
+                            parts.append(
+                                f"{m['role']}: {m['content']}")
+                    vprompt = "\n\n".join(
+                        ([sys_txt] if sys_txt else []) + parts)
+                    vkw = {}
+                    import inspect as _inspect
+
+                    if "max_tokens" in _inspect.signature(
+                            llm.generate_with_image).parameters \
+                            and max_new is not None:
+                        vkw["max_tokens"] = max_new
+                    resp = llm.generate_with_image(
+                        vprompt, image, temperature=temperature, **vkw)
+                    if not resp.ok:
+                        code = 400 if "vision not supported" in (
+                            resp.error or "") else 502
+                        self._send(code, {"error":
+                                          {"message": resp.error}})
+                        return
+                    text = resp.text
+                    cuts = [text.find(s) for s in stops if s in text]
+                    if cuts:
+                        text = text[:min(cuts)]
+                    if not data.get("stream"):
+                        n_prompt = sum(len(str(m["content"]).split())
+                                       for m in messages)
+                        self._send(200, {
+                            "id": rid, "object": "chat.completion",
+                            "created": created, "model": model,
+                            "choices": [{
+                                "index": 0,
+                                "message": {"role": "assistant",
+                                            "content": text},
+                                "finish_reason": "stop"}],
+                            "usage": {
+                                "prompt_tokens": n_prompt,
+                                "completion_tokens": len(text.split()),
+                                "total_tokens": n_prompt
+                                + len(text.split())},
+                        })
+                        return
+                    # stream shape parity: one content chunk + DONE
+                    self._raw_started = True
+                    self._sse_started = True
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+
+                    def vchunk(delta: dict, finish=None):
+                        payload = json.dumps({
+                            "id": rid,
+                            "object": "chat.completion.chunk",
+                            "created": created, "model": model,
+                            "choices": [{"index": 0, "delta": delta,
+                                         "finish_reason": finish}]},
+                            ensure_ascii=False)
+                        self.wfile.write(
+                            f"data: {payload}\n\n".encode())
+                        self.wfile.flush()
+
+                    vchunk({"role": "assistant", "content": ""})
+                    if text:
+                        vchunk({"content": text})
+                    vchunk({}, finish="stop")
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                    return
                 if not data.get("stream"):
                     resp = llm.chat(messages, temperature=temperature,
                                     max_tokens=max_new, **pens)

@@ -515,7 +515,9 @@ class TPULLMProvider(BaseLLMProvider):
         return self._llava
 
     def generate_with_image(self, prompt, image_bytes,
-                            temperature: float = 0.0) -> LLMResponse:
+                            temperature: float = 0.0,
+                            max_tokens: int | None = None
+                            ) -> LLMResponse:
         """Image + prompt → text, fully on-chip once `attach_vision`
         ran (in-band 'vision not supported' otherwise, matching the
         base provider). Vision traffic is background-class (ingest
@@ -536,7 +538,7 @@ class TPULLMProvider(BaseLLMProvider):
             pre_text = "USER: "
             post_text = "\n" + prompt + "\nASSISTANT:"
             n_img = self._llava.config.num_image_tokens
-            budget, max_new = self._fit_budget(None)
+            budget, max_new = self._fit_budget(max_tokens)
             post_cap = max(budget - n_img - 8, 16)
             enc = self.tokenizer.encode_batch(
                 [pre_text, post_text],

@@ -622,3 +622,93 @@ def test_penalties_over_http(tmp_path_factory):
     pens, bad = _parse_penalties({"presence_penalty": 0.0},
                                  FakeLLMProvider())
     assert not bad and pens == {}   # zero = no-op, allowed anywhere
+
+
+def test_openai_multimodal_image_content(tmp_path_factory):
+    """OpenAI multimodal content parts on /v1/chat/completions: a
+    data:-URL image part routes through generate_with_image (on-chip
+    LLaVA path); without vision attached the capability failure is a
+    clean 400; malformed parts 400 with specific messages."""
+    import base64
+    import io
+    import json as _json
+    import os
+    import threading as th
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.models.vit import ViTConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("oaiv"))
+    system = build_system(agent_too=False)
+    llm = TPULLMProvider(
+        DecoderConfig.tiny(num_heads=4, num_kv_heads=2,
+                           dtype=jnp.float32), max_new_tokens=8)
+    system["stream_llm"] = llm
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        __import__("numpy").random.default_rng(0)
+        .integers(0, 255, (32, 32, 3)).astype("uint8")).save(
+        buf, format="PNG")
+    data_url = ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+    msgs = [{"role": "user", "content": [
+        {"type": "text", "text": "Classifie cette image."},
+        {"type": "image_url", "image_url": {"url": data_url}}]}]
+
+    # no vision attached → clean 400 (capability, not a crash)
+    code, data = _post(url, "/v1/chat/completions",
+                       {"messages": msgs, "max_tokens": 8})
+    assert code == 400 and "vision" in str(data)
+
+    llm.attach_vision(ViTConfig.tiny())
+    code, data = _post(url, "/v1/chat/completions",
+                       {"messages": msgs, "max_tokens": 8})
+    assert code == 200, data
+    assert data["choices"][0]["message"]["content"] is not None
+
+    # streaming: one content chunk + [DONE]
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        data=_json.dumps({"messages": msgs, "max_tokens": 8,
+                          "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = r.read().decode()
+    assert "chat.completion.chunk" in body
+    assert body.rstrip().endswith("data: [DONE]")
+
+    # text-only multimodal parts (no image) flatten to plain chat
+    code, data = _post(url, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "bonjour"}]}],
+        "max_tokens": 8})
+    assert code == 200
+
+    # malformed parts: remote URL, two images, unknown type, bad b64
+    for bad_msgs, frag in (
+        ([{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "https://x/y.png"}}]}], "data:"),
+        ([{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": data_url}},
+            {"type": "image_url", "image_url": {"url": data_url}}]}],
+         "one image"),
+        ([{"role": "user", "content": [
+            {"type": "audio", "x": 1}]}], "unsupported"),
+        ([{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "data:image/png;base64,@@"}}]}],
+         "base64"),
+    ):
+        code, data = _post(url, "/v1/chat/completions",
+                           {"messages": bad_msgs})
+        assert code == 400 and frag in str(data), (frag, data)
+    srv.shutdown()
