@@ -166,12 +166,20 @@ def main():
                   flush=True)
         return wall, fails
 
+    def lat_stats(lats):
+        """An all-failed arm must not crash the bench (np.quantile of
+        [] raises) — earlier arms' results stay writable."""
+        if not lats:
+            return None, None
+        return (round(float(np.mean(lats)), 2),
+                round(float(np.quantile(lats, 0.95)), 2))
+
     conc_wall, conc_fails = run_workers(lambda q: ask(q)[0], lats)
     conc = {"wall_s": round(conc_wall, 2), "queries": len(lats),
             "failed": len(conc_fails), "workers": SLOTS,
             "qpm": round(60 * len(lats) / conc_wall, 1),
-            "mean_latency_s": round(float(np.mean(lats)), 2),
-            "p95_latency_s": round(float(np.quantile(lats, 0.95)), 2),
+            "mean_latency_s": lat_stats(lats)[0],
+            "p95_latency_s": lat_stats(lats)[1],
             "prefix_hits": eng.stats["prefix_hits"] - h0,
             "tok_per_s": round((eng.stats["tokens"] - tk0) / conc_wall, 1),
             "mean_occupancy": round(
@@ -204,9 +212,8 @@ def main():
     conc_fast = {"wall_s": round(fast_wall, 2), "queries": len(f_lats),
                  "failed": len(fast_fails), "workers": SLOTS,
                  "qpm": round(60 * len(f_lats) / fast_wall, 1),
-                 "mean_latency_s": round(float(np.mean(f_lats)), 2),
-                 "p95_latency_s": round(
-                     float(np.quantile(f_lats, 0.95)), 2),
+                 "mean_latency_s": lat_stats(f_lats)[0],
+                 "p95_latency_s": lat_stats(f_lats)[1],
                  "tok_per_s": round(
                      (eng.stats["tokens"] - tk0) / fast_wall, 1)}
     print("concurrent intent_fast:", conc_fast, flush=True)
@@ -243,7 +250,7 @@ def main():
                   "queries": len(ag_lats), "failed": len(ag_fails),
                   "workers": SLOTS,
                   "qpm": round(60 * len(ag_lats) / ag_conc_wall, 1),
-                  "mean_latency_s": round(float(np.mean(ag_lats)), 2)}
+                  "mean_latency_s": lat_stats(ag_lats)[0]}
     print("agent concurrent:", agent_conc, flush=True)
 
     # --- agent with the fast intent path (the agent graph classifies
@@ -268,7 +275,7 @@ def main():
         "wall_s": round(af_wall, 2), "queries": len(af_lats),
         "failed": len(af_fails), "workers": SLOTS,
         "qpm": round(60 * len(af_lats) / af_wall, 1),
-        "mean_latency_s": round(float(np.mean(af_lats)), 2)}
+        "mean_latency_s": lat_stats(af_lats)[0]}
     print("agent concurrent intent_fast:", agent_conc_fast, flush=True)
 
     # --- concurrent intent_fast + BATCHED choose/encode. Runs LAST:
@@ -309,8 +316,8 @@ def main():
         "wall_s": round(bat_wall, 2), "queries": len(b_lats),
         "failed": len(bat_fails), "workers": SLOTS,
         "qpm": round(60 * len(b_lats) / bat_wall, 1),
-        "mean_latency_s": round(float(np.mean(b_lats)), 2),
-        "p95_latency_s": round(float(np.quantile(b_lats, 0.95)), 2),
+        "mean_latency_s": lat_stats(b_lats)[0],
+        "p95_latency_s": lat_stats(b_lats)[1],
         "tok_per_s": round(
             (eng.stats["tokens"] - tk0) / bat_wall, 1),
         "choose_requests": cb.stats.n_requests,

@@ -163,7 +163,11 @@ def _flatten_multimodal(messages) -> tuple[list | None, bytes | None,
             if ptype == "text" and isinstance(part.get("text"), str):
                 texts.append(part["text"])
             elif ptype == "image_url":
-                url = (part.get("image_url") or {}).get("url", "")
+                iu = part.get("image_url")
+                # accept both the spec form {"url": ...} and the
+                # common string shorthand
+                url = iu.get("url", "") if isinstance(iu, dict) \
+                    else (iu if isinstance(iu, str) else "")
                 if not (isinstance(url, str)
                         and url.startswith("data:")):
                     return None, None, (
@@ -779,6 +783,7 @@ def make_handler(system: dict):
                 if bad:
                     self._send(400, {"error": {"message": bad}})
                     return
+                seed_kw = dict(sd)  # vision branch needs it separately
                 pens.update(sd)    # rides the same **kwargs forward
                 model = getattr(llm, "model_name", "rag-dpo-tpu")
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
@@ -786,7 +791,15 @@ def make_handler(system: dict):
                 if image is not None:
                     # vision turn: one composed image+text decode
                     # (models/llava.py through the provider); capability
-                    # failure is the client's 400, anything else a 502
+                    # failure is the client's 400, anything else a 502.
+                    # Penalties don't exist on the direct decode path —
+                    # reject rather than silently ignore.
+                    if any(k in pens for k in ("frequency_penalty",
+                                               "presence_penalty")):
+                        self._send(400, {"error": {"message":
+                                         "penalties are not supported "
+                                         "with image input"}})
+                        return
                     sys_txt, parts = None, []
                     for m in messages:
                         if m["role"] == "system":
@@ -799,10 +812,18 @@ def make_handler(system: dict):
                     vkw = {}
                     import inspect as _inspect
 
-                    if "max_tokens" in _inspect.signature(
-                            llm.generate_with_image).parameters \
-                            and max_new is not None:
+                    vparams = _inspect.signature(
+                        llm.generate_with_image).parameters
+                    if "max_tokens" in vparams and max_new is not None:
                         vkw["max_tokens"] = max_new
+                    if seed_kw:
+                        if "seed" not in vparams:
+                            self._send(400, {"error": {"message":
+                                             "this provider does not "
+                                             "support seed with image "
+                                             "input"}})
+                            return
+                        vkw["seed"] = seed_kw["seed"]
                     resp = llm.generate_with_image(
                         vprompt, image, temperature=temperature, **vkw)
                     if not resp.ok:
@@ -818,6 +839,12 @@ def make_handler(system: dict):
                     if not data.get("stream"):
                         n_prompt = sum(len(str(m["content"]).split())
                                        for m in messages)
+                        # image tokens count toward prompt usage
+                        # (OpenAI semantics)
+                        lcfg = getattr(getattr(llm, "_llava", None),
+                                       "config", None)
+                        if lcfg is not None:
+                            n_prompt += lcfg.num_image_tokens
                         self._send(200, {
                             "id": rid, "object": "chat.completion",
                             "created": created, "model": model,

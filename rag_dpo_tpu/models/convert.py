@@ -288,11 +288,8 @@ def convert_llava_state_dict(state: dict) -> dict:
             "bias": np.asarray(state[proj_prefix + "linear_2.bias"]),
         },
     }
-    if not any(k.startswith("model.") or k.startswith("lm_head")
-               for k in decoder):
-        # convert_llama_state_dict expects the CausalLM layout
-        decoder = {"model." + k if not k.startswith("lm_head") else k: v
-                   for k, v in decoder.items()}
+    # convert_llama_state_dict normalizes the prefix itself (it uses
+    # "model." only when present), so bare stripped keys pass through
     return {
         "vision": convert_clip_vision_state_dict(vision),
         "projector": projector,

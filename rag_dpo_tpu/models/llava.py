@@ -214,9 +214,14 @@ class LlavaGenerator:
         pre_ids = np.asarray(pre_ids, np.int32).reshape(-1)
         post_ids = np.asarray(post_ids, np.int32).reshape(-1)
         pad = getattr(cfg.text, "pad_id", 1)
+        # bucket_length CLAMPS to its last bucket — an overflowing span
+        # must fail loudly here, not as a broadcast error downstream
         p = bucket_length(max(len(pre_ids), 1), buckets=(8, 32, 128))
-        q = bucket_length(max(len(post_ids), 1),
-                          buckets=(8, 32, 128, 256, 512))
+        q = bucket_length(max(len(post_ids), 1))
+        if len(pre_ids) > p or len(post_ids) > q:
+            raise ValueError(
+                f"vision prompt spans too long (pre {len(pre_ids)}, "
+                f"post {len(post_ids)}; buckets {p}/{q})")
         n = len(pre_ids) + cfg.num_image_tokens + len(post_ids)
         s = bucket_length(n)
         pre_p = np.full((p,), pad, np.int32)

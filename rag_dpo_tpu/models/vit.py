@@ -180,6 +180,11 @@ def preprocess_image(image, image_size: int):
         from PIL import Image
     except Exception:  # pragma: no cover - PIL is in the image
         Image = None
+    if Image is not None and isinstance(image, np.ndarray) \
+            and image.dtype == np.uint8 \
+            and image.shape[:2] != (image_size, image_size):
+        # arrays resize through PIL too — bicubic, matching HF
+        image = Image.fromarray(image)
     if Image is not None and not isinstance(image, np.ndarray):
         img = image.convert("RGB").resize(
             (image_size, image_size), Image.BICUBIC)
@@ -189,7 +194,7 @@ def preprocess_image(image, image_size: int):
         if arr.max() > 1.5:
             arr = arr / 255.0
         if arr.shape[:2] != (image_size, image_size):
-            # nearest-neighbor fallback when PIL can't resize (array in)
+            # nearest-neighbor floor: PIL absent or non-uint8 input
             ys = (np.arange(image_size) * arr.shape[0]
                   // image_size).astype(int)
             xs = (np.arange(image_size) * arr.shape[1]

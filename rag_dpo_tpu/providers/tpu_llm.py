@@ -516,8 +516,8 @@ class TPULLMProvider(BaseLLMProvider):
 
     def generate_with_image(self, prompt, image_bytes,
                             temperature: float = 0.0,
-                            max_tokens: int | None = None
-                            ) -> LLMResponse:
+                            max_tokens: int | None = None,
+                            seed: int | None = None) -> LLMResponse:
         """Image + prompt → text, fully on-chip once `attach_vision`
         ran (in-band 'vision not supported' otherwise, matching the
         base provider). Vision traffic is background-class (ingest
@@ -547,6 +547,17 @@ class TPULLMProvider(BaseLLMProvider):
                 enc.input_ids[0][: enc.lengths[0]], np.int32)
             post_ids = np.asarray(
                 enc.input_ids[1][: enc.lengths[1]], np.int32)
+            # the two spans were encoded independently; strip the
+            # boundary specials so no BOS/EOS lands MID-sequence
+            # around the image: keep pre's leading BOS/CLS, drop its
+            # trailing SEP, drop post's leading CLS and trailing SEP
+            tok = self.tokenizer
+            if len(pre_ids) and pre_ids[-1] == tok.sep_id:
+                pre_ids = pre_ids[:-1]
+            if len(post_ids) and post_ids[0] == tok.cls_id:
+                post_ids = post_ids[1:]
+            if len(post_ids) and post_ids[-1] == tok.sep_id:
+                post_ids = post_ids[:-1]
             total = len(pre_ids) + n_img + len(post_ids)
             s = bucket_length(total)
             max_new = min(max_new, self.config.max_seq_len - s)
@@ -561,7 +572,7 @@ class TPULLMProvider(BaseLLMProvider):
                 pad_id=self.tokenizer.pad_id)
             tokens = self._llava.generate(
                 pre_ids, post_ids, image, sampling,
-                rng_seed=self._row_seed(temperature, None))
+                rng_seed=self._row_seed(temperature, seed))
             return LLMResponse(self._decode_text(tokens[0]),
                                self.model_name, time.time() - t0)
         except Exception as e:  # noqa: BLE001 — in-band, like generate

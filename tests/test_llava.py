@@ -237,3 +237,55 @@ def test_device_compose_matches_host_compose():
     via_host = gen.generate_with_embeds(
         padded, np.asarray([n], np.int32), sampling)
     assert np.array_equal(via_compose, via_host)
+
+
+def test_provider_vision_span_specials_and_seed():
+    """The two independently-encoded prompt spans must not leak
+    special tokens into the middle of the composed prefix (no SEP at
+    pre's end, no CLS at post's start — a real checkpoint would see an
+    off-distribution prompt); `seed` pins sampled vision generations."""
+    import io
+
+    from PIL import Image
+
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    llm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=6)
+    lg = llm.attach_vision(ViTConfig.tiny())
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(2).integers(0, 255, (36, 36, 3))
+        .astype(np.uint8)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    captured = {}
+    orig = lg.generate
+
+    def spy(pre_ids, post_ids, image, sampling=None, rng_seed=0):
+        captured["pre"] = np.asarray(pre_ids)
+        captured["post"] = np.asarray(post_ids)
+        captured["rng_seed"] = rng_seed
+        return orig(pre_ids, post_ids, image, sampling,
+                    rng_seed=rng_seed)
+
+    lg.generate = spy
+    tok = llm.tokenizer
+    r = llm.generate_with_image("Que montre ce schéma ?", png)
+    assert r.ok, r.error
+    pre, post = captured["pre"], captured["post"]
+    assert len(pre) and pre[0] == tok.cls_id      # leading BOS kept
+    assert pre[-1] != tok.sep_id                  # no SEP before image
+    assert post[0] != tok.cls_id                  # no CLS after image
+    assert post[-1] != tok.sep_id                 # prompt not EOS-ended
+
+    # seed pins the sampled stream
+    a = llm.generate_with_image("Décris.", png, temperature=0.8,
+                                seed=7)
+    b = llm.generate_with_image("Décris.", png, temperature=0.8,
+                                seed=7)
+    c = llm.generate_with_image("Décris.", png, temperature=0.8,
+                                seed=8)
+    assert a.ok and b.ok and c.ok
+    assert a.text == b.text
+    assert captured["rng_seed"] is not None
+    del c  # different seed may or may not differ at tiny scale
