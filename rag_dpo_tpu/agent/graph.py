@@ -201,6 +201,7 @@ def create_agent_pipeline(
     texts=None,
     reranker=None,
     use_expansion: bool = True,
+    expansion_parallel: bool | None = None,
     retriever_config=None,
     n_candidates: int = 40,
     rerank_top_k: int = 10,
@@ -221,7 +222,8 @@ def create_agent_pipeline(
 
     retriever = HybridRetriever(
         index, embedder, bm25_stats=bm25_stats, summary_index=summary_index,
-        query_expander=QueryExpander(llm) if use_expansion else None,
+        query_expander=QueryExpander(llm, parallel=expansion_parallel)
+        if use_expansion else None,
         texts=texts, config=retriever_config or RetrieverConfig(),
     )
     components = NodeComponents(

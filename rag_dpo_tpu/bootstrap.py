@@ -217,6 +217,7 @@ def build_stack(
         use_reranker=r.use_reranker,
         reranker=reranker,
         intent_fast=r.intent_fast,
+        expansion_parallel=r.expansion_parallel,
         n_candidates=r.n_candidates,
         rerank_top_k=r.rerank_top_k,
         max_context_chars=r.max_context_chars,
@@ -234,6 +235,7 @@ def build_stack(
         enable_completeness=config.agent.enable_completeness,
         generation_temperature=config.llm.temperature,
         intent_fast=r.intent_fast,
+        expansion_parallel=r.expansion_parallel,
     )
 
     o = config.observability

@@ -487,6 +487,7 @@ def create_pipeline(
     use_intent: bool = True,
     intent_fast: bool = False,
     use_expansion: bool = True,
+    expansion_parallel: bool | None = None,
     retriever_config=None,
     n_candidates: int = 40,
     rerank_top_k: int = 10,
@@ -502,7 +503,8 @@ def create_pipeline(
     from ..retrieval.reranker import CrossEncoderReranker, MaxSimReranker
     from .expander import QueryExpander
 
-    expander = QueryExpander(llm) if use_expansion else None
+    expander = QueryExpander(llm, parallel=expansion_parallel) \
+        if use_expansion else None
     retriever = HybridRetriever(
         index, embedder, bm25_stats=bm25_stats, summary_index=summary_index,
         query_expander=expander, texts=texts,

@@ -26,6 +26,10 @@ class RetrievalSection:
     prefilter_top_docs: int = 40
     n_expansions: int = 3
     expansion_temperature: float = 0.7
+    # None = auto: fan expansion out as n parallel single-reformulation
+    # decodes on pool providers (the solo-TTFT long pole); true/false
+    # forces it
+    expansion_parallel: bool | None = None
     n_candidates: int = 40
     rerank_top_k: int = 10
     rerank_min_score: float = 0.08
@@ -155,6 +159,24 @@ def _coerce(value: str, target: Any) -> Any:
         return int(value)
     if isinstance(target, float):
         return float(value)
+    if target is None:
+        # Optional fields (expansion_parallel, request_timeout_s...):
+        # infer from the literal — the old passthrough made
+        # "...=false" a TRUTHY string
+        low = value.lower()
+        if low in ("none", "null", "auto", ""):
+            return None
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        try:
+            return int(value)
+        except ValueError:
+            try:
+                return float(value)
+            except ValueError:
+                return value
     return value
 
 
@@ -216,6 +238,8 @@ def _parse_simple_yaml(text: str) -> dict:
 
 def _yaml_scalar(v: str):
     low = v.lower()
+    if low in ("null", "~", "none"):
+        return None
     if low in ("true", "yes", "on"):
         return True
     if low in ("false", "no", "off"):

@@ -287,3 +287,67 @@ def test_topic_matcher_boosts_matching_tags_at_rerank():
                            bm25_stats=stats)
     assert pipe.reranker is not None
     assert pipe.reranker.topic_matcher is not None
+
+
+def test_expander_parallel_fanout_and_degradation():
+    """On pool providers the expander fans out n single-reformulation
+    requests (the expansion wall drops to the longest single decode);
+    failures degrade to fewer reformulations, never a crash; explicit
+    parallel=False keeps the single-call path."""
+
+    class PoolStub:
+        _driver = object()          # looks like a continuous provider
+
+        def __init__(self):
+            self.calls = []
+
+        def generate(self, prompt, system=None, temperature=0.0,
+                     max_tokens=None, **kw):
+            from rag_dpo_tpu.providers.base import LLMResponse
+
+            self.calls.append((prompt, max_tokens))
+            if "vocabulaire juridique" in prompt:
+                return LLMResponse("Quelles obligations légales "
+                                   "s'appliquent au registre ?")
+            if "plus générale" in prompt:
+                return LLMResponse("", error="boom")  # one arm dies
+            if "plus spécifique" in prompt:
+                return LLMResponse("1. Comment tenir le registre "
+                                   "des traitements au quotidien ?")
+            return LLMResponse("Faut-il un registre ?")
+
+    llm = PoolStub()
+    ex = QueryExpander(llm, n_expansions=3)
+    out = ex.expand("Comment tenir un registre des traitements ?")
+    assert out[0] == "Comment tenir un registre des traitements ?"
+    assert len(out) == 3            # 2 survivors of 3 fan-out arms
+    assert all(10 <= len(r) <= 300 for r in out[1:])
+    assert len(llm.calls) == 3
+    assert all(mt == 48 for _, mt in llm.calls)  # capped decodes
+    # numbered-list prefix stripped on the single-line parse
+    assert not any(r.startswith("1.") for r in out)
+
+    # forced single-call path still works
+    class SingleStub:
+        def generate(self, prompt, system=None, temperature=0.0,
+                     max_tokens=None, **kw):
+            from rag_dpo_tpu.providers.base import LLMResponse
+
+            return LLMResponse("1. Variante une du registre ?\n"
+                               "2. Variante deux du registre ?")
+
+    ex2 = QueryExpander(SingleStub(), n_expansions=3, parallel=False)
+    out2 = ex2.expand("Comment tenir un registre ?")
+    assert len(out2) == 3 and out2[1].startswith("Variante une")
+
+    # all arms failing degrades to [original]
+    class DeadStub:
+        _driver = object()
+
+        def generate(self, *a, **k):
+            from rag_dpo_tpu.providers.base import LLMResponse
+
+            return LLMResponse("", error="down")
+
+    ex3 = QueryExpander(DeadStub(), n_expansions=3)
+    assert ex3.expand("Question ?") == ["Question ?"]
