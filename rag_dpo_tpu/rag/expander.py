@@ -85,7 +85,11 @@ class QueryExpander:
             resp = self.llm.generate(
                 SINGLE_PROMPT.format(angle=ANGLES[i % len(ANGLES)],
                                      question=question),
-                temperature=self.temperature, max_tokens=48,
+                # 3 x 36 tokens ~= the old single 96-token list:
+                # parallel mode must not cost the pool more decode
+                # than it replaced (a truncated reformulation is
+                # still a fine SEARCH query - it feeds the encoder)
+                temperature=self.temperature, max_tokens=36,
             )
             if not resp.ok:
                 return ""

@@ -323,7 +323,7 @@ def test_expander_parallel_fanout_and_degradation():
     assert len(out) == 3            # 2 survivors of 3 fan-out arms
     assert all(10 <= len(r) <= 300 for r in out[1:])
     assert len(llm.calls) == 3
-    assert all(mt == 48 for _, mt in llm.calls)  # capped decodes
+    assert all(mt == 36 for _, mt in llm.calls)  # capped decodes
     # numbered-list prefix stripped on the single-line parse
     assert not any(r.startswith("1.") for r in out)
 
