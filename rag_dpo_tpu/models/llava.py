@@ -192,12 +192,14 @@ class LlavaGenerator:
             self._programs[key] = compose
         return self._programs[key]
 
-    def generate(self, pre_ids: np.ndarray, post_ids: np.ndarray,
-                 image, sampling: SamplingConfig | None = None,
-                 rng_seed: int = 0) -> np.ndarray:
-        """One image spliced between two token spans (the usual
-        "<s>USER: <image>\\nprompt ASSISTANT:" template split at the
-        image position) → generated ids [1, max_new].
+    def compose(self, pre_ids: np.ndarray, post_ids: np.ndarray,
+                image):
+        """Build the device-resident multimodal prefix: one image
+        spliced between two token spans (the usual "<s>USER: <image>
+        \\nprompt ASSISTANT:" template split at the image position).
+        → (embeds [1, S, H] ON DEVICE, true length). Shared by the
+        direct decode path (`generate`) and the continuous pool
+        (`ContinuousDriver.submit_embeds`).
 
         `image`: PIL image / [H, W, 3] uint8 array / pre-processed
         [3, S, S] f32 CLIP-normalized array.
@@ -229,14 +231,25 @@ class LlavaGenerator:
         post_p = np.full((q,), pad, np.int32)
         post_p[: len(post_ids)] = post_ids
         vparams = self.load()
-        embeds, total = self._compose_program(p, q, s)(
+        embeds, _total = self._compose_program(p, q, s)(
             self.generator.load(), vparams,
             jnp.asarray(pre_p), jnp.asarray(len(pre_ids), jnp.int32),
             jnp.asarray(post_p),
             jnp.asarray(len(post_ids), jnp.int32),
             jnp.asarray(np.asarray(img, np.float32)[None]))
+        return embeds, n
+
+    def generate(self, pre_ids: np.ndarray, post_ids: np.ndarray,
+                 image, sampling: SamplingConfig | None = None,
+                 rng_seed: int = 0) -> np.ndarray:
+        """compose() + direct decode → generated ids [1, max_new].
+        `rng_seed` is the ROW seed (raw, like the serving layer's
+        per-request seeds — the continuous pool uses the same value
+        directly, which is what makes pool and direct decode
+        bit-identical for the same seed)."""
+        embeds, n = self.compose(pre_ids, post_ids, image)
         # embeds stays ON DEVICE; generate_with_embeds' jnp.asarray is
         # a no-copy passthrough
         return self.generator.generate_with_embeds(
             embeds, np.asarray([n], np.int32), sampling,
-            rng_seed=rng_seed)
+            rng_seeds=np.asarray([rng_seed], np.uint32))

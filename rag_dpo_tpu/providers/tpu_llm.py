@@ -520,9 +520,11 @@ class TPULLMProvider(BaseLLMProvider):
                             seed: int | None = None) -> LLMResponse:
         """Image + prompt → text, fully on-chip once `attach_vision`
         ran (in-band 'vision not supported' otherwise, matching the
-        base provider). Vision traffic is background-class (ingest
-        classification); it runs on the direct path, not the slot
-        pool."""
+        base provider). On the continuous scheduler the request joins
+        the SLOT POOL (multimodal continuous batching: the composed
+        prefix prefills via the embeds program and decodes co-resident
+        with text traffic at this provider's priority class); without
+        a pool it runs the direct decode path."""
         t0 = time.time()
         if getattr(self, "_llava", None) is None:
             return LLMResponse(text="", model=self.model_name,
@@ -565,6 +567,24 @@ class TPULLMProvider(BaseLLMProvider):
                 raise ValueError(
                     f"image prefix ({total} tokens, bucket {s}) leaves "
                     "no decode budget in this context")
+            if self._driver is not None:
+                embeds, n = self._llava.compose(pre_ids, post_ids,
+                                                image)
+                try:
+                    toks = self._driver.generate_embeds(
+                        embeds[0], n, max_new,
+                        temperature=temperature,
+                        deadline_s=self.request_timeout_s,
+                        priority=self.priority, seed=seed)
+                except DeadlineExceeded as e:
+                    return LLMResponse(
+                        self._decode_text(np.asarray(e.tokens,
+                                                     np.int32)),
+                        self.model_name, time.time() - t0,
+                        error=str(e))
+                return LLMResponse(
+                    self._decode_text(np.asarray(toks, np.int32)),
+                    self.model_name, time.time() - t0)
             sampling = SamplingConfig(
                 top_p=self.top_p, temperature=temperature,
                 max_new_tokens=max_new,

@@ -95,6 +95,13 @@ class _Request:
     consumed: int = 0        # leading tokens already baked into `ids`
     #                          by a preemption resume (ids holds
     #                          prompt + tokens[:consumed])
+    embeds: Any = None       # [S, H] prefix embeddings (multimodal
+    #                          submit_embeds): prefill runs the embeds
+    #                          program, ids is a pad placeholder; the
+    #                          request skips the prefix cache (image
+    #                          prefixes don't key by tokens) and is
+    #                          never preempted (recompute resume would
+    #                          need the embeds re-spliced mid-history)
 
 
 def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
@@ -118,6 +125,16 @@ def _lookup_draft_np(hist: np.ndarray, k: int, n: int,
 
 
 _WARM = object()   # ContinuousDriver queue sentinel: run engine.warm
+
+
+class _EmbedsPrompt:
+    """Driver queue wrapper marking a multimodal submission: the
+    payload routes to `engine.submit_embeds` instead of `submit`."""
+
+    __slots__ = ("embeds",)
+
+    def __init__(self, embeds):
+        self.embeds = embeds
 
 # default warm ladder: shared by engine.warm / driver.warm /
 # TPULLMProvider.warm_decoder; 1024 covers long RAG contexts so the
@@ -646,6 +663,61 @@ class ContinuousEngine:
         self._requests[req.rid] = req
         return req.rid
 
+    def submit_embeds(self, embeds, length: int, max_new: int,
+                      on_token: Callable | None = None,
+                      temperature: float | None = None,
+                      priority: int = 0,
+                      frequency_penalty: float = 0.0,
+                      presence_penalty: float = 0.0,
+                      seed: int | None = None) -> int:
+        """Queue a MULTIMODAL request: `embeds` [S, H] (or [1, S, H])
+        is the full prefix — prompt-token embeddings with projected
+        image patches spliced in (models/llava.py `_compose_program`
+        builds it entirely on device). The request decodes co-resident
+        with text requests in the same pool programs; only its prefill
+        differs (`_prefill_embeds`). Differences from `submit`:
+        no prefix-cache participation (entries key by token bytes),
+        never preempted (recompute resume can't rebuild a spliced
+        prefix from ids), and the speculative draft history sees only
+        its EMITTED tokens (prompt positions stay pad — drafts remain
+        lossless, just fewer early matches)."""
+        from ..tokenize.base import bucket_length
+
+        e = jnp.asarray(embeds)
+        if e.ndim == 3:
+            e = e[0]
+        room = self.cfg.max_seq_len - max_new \
+            - (self.draft_len if self.speculative else 0)
+        s = min(bucket_length(max(e.shape[0], 1)), room)
+        length = min(int(length), e.shape[0])
+        assert length <= s, (
+            f"embeds length {length} + max_new {max_new} exceeds "
+            f"max_seq_len {self.cfg.max_seq_len}")
+        if e.shape[0] != s:   # re-bucket to the budgeted width
+            if e.shape[0] > s:
+                e = e[:s]
+            else:
+                e = jnp.pad(e, ((0, s - e.shape[0]), (0, 0)))
+        temp = self.sampling.temperature if temperature is None \
+            else float(temperature)
+        rid = next(self._rid)
+        req = _Request(rid=rid,
+                       ids=np.full((s,), self.sampling.pad_id,
+                                   np.int32),
+                       length=int(length), max_new=int(max_new),
+                       temperature=temp,
+                       frequency_penalty=float(frequency_penalty),
+                       presence_penalty=float(presence_penalty),
+                       seed=(mix_seed(self._base_seed, rid)
+                             if seed is None
+                             else int(seed) & 0xFFFFFFFF),
+                       on_token=on_token, priority=int(priority),
+                       submit_step=self.stats["steps"],
+                       embeds=e)
+        self._queue.append(req)
+        self._requests[req.rid] = req
+        return req.rid
+
     def cancel(self, rid: int) -> bool:
         """Abort a request: queued → never admits, prefilling → its
         segments stop, active → the slot frees NOW (before the next
@@ -687,7 +759,8 @@ class ContinuousEngine:
         return (eff, req.rid)
 
     def _admit_into(self, slot: int, req: _Request):
-        if self.prefill_chunk and req.length > self.prefill_chunk:
+        if self.prefill_chunk and req.length > self.prefill_chunk \
+                and req.embeds is None:
             # long prompt: prefill in segments across steps so the
             # pool keeps decoding in between (_prefill_step)
             self._prefilling[slot] = self._prefill_begin(req)
@@ -748,7 +821,8 @@ class ContinuousEngine:
         while self._queue and self._active:
             best = min(self._queue, key=self._order_key)
             victims = [r for r in self._active.values()
-                       if r.preempt_count < self.max_preempt]
+                       if r.preempt_count < self.max_preempt
+                       and r.embeds is None]
             if not victims:
                 return
             worst = max(victims, key=lambda r: (r.priority, r.rid))
@@ -807,9 +881,11 @@ class ContinuousEngine:
                 self._ids_buf, self._limits, jnp.int32(slot),
                 jnp.asarray(req.ids),
                 jnp.int32(req.length + req.max_new - req.consumed))
-        if self.prefix_cache and not req.consumed:
+        if self.prefix_cache and not req.consumed \
+                and req.embeds is None:
             # a resumed request's "prompt" tail is generated text —
-            # caching it would only pollute the prefix LRU
+            # caching it would only pollute the prefix LRU; embeds
+            # prefixes have no token key to store under
             self._prefix_store(req, caches1)
         self.stats["admitted"] += 1
 
@@ -868,6 +944,14 @@ class ContinuousEngine:
         (same scatter-then-attend argument as slot reuse)."""
         from ..tokenize.base import bucket_length
 
+        if req.embeds is not None:
+            # multimodal prefix: whole-row embeds prefill (no prefix
+            # cache — entries key by token bytes; no chunking — the
+            # spliced prefix has no id segments to extend from)
+            s = req.embeds.shape[0]
+            return self.gen._prefill_embeds(1, s)(
+                self._params, req.embeds[None],
+                jnp.asarray([req.length], jnp.int32))
         p, entry = self._prefix_lookup(req)
         if entry is None:
             s = len(req.ids)
@@ -1357,6 +1441,32 @@ class ContinuousDriver:
                                      presence_penalty, seed)
         return GenerationHandle(self, evt, box, ctl)
 
+    def submit_embeds(self, embeds, length: int, max_new: int,
+                      on_token=None, temperature: float | None = None,
+                      deadline_s: float | None = None,
+                      priority: int = 0,
+                      seed: int | None = None) -> GenerationHandle:
+        """Multimodal `submit`: `embeds` [S, H] is the composed prefix
+        (token embeddings + spliced image patches); the request joins
+        the SAME slot pool as text traffic (engine.submit_embeds)."""
+        evt, box, ctl = self._submit(_EmbedsPrompt(embeds), length,
+                                     max_new, on_token, temperature,
+                                     deadline_s, priority, 0.0, 0.0,
+                                     seed)
+        return GenerationHandle(self, evt, box, ctl)
+
+    def generate_embeds(self, embeds, length: int, max_new: int,
+                        on_token=None,
+                        temperature: float | None = None,
+                        deadline_s: float | None = None,
+                        priority: int = 0,
+                        seed: int | None = None) -> list[int]:
+        """Blocking multimodal generate through the pool."""
+        return self.submit_embeds(
+            embeds, length, max_new, on_token=on_token,
+            temperature=temperature, deadline_s=deadline_s,
+            priority=priority, seed=seed).result()
+
     @staticmethod
     def _result(box: dict) -> list[int]:
         if "error" in box:
@@ -1489,13 +1599,18 @@ class ContinuousDriver:
                     continue
                 try:
                     fp, pp = ctl.get("penalties", (0.0, 0.0))
-                    rid = self.engine.submit(ids, length, max_new,
-                                             on_token=on_token,
-                                             temperature=temp,
-                                             priority=prio,
-                                             frequency_penalty=fp,
-                                             presence_penalty=pp,
-                                             seed=ctl.get("seed"))
+                    sub = (functools.partial(self.engine.submit_embeds,
+                                             ids.embeds)
+                           if isinstance(ids, _EmbedsPrompt)
+                           else functools.partial(self.engine.submit,
+                                                  ids))
+                    rid = sub(length, max_new,
+                              on_token=on_token,
+                              temperature=temp,
+                              priority=prio,
+                              frequency_penalty=fp,
+                              presence_penalty=pp,
+                              seed=ctl.get("seed"))
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)
                     if "deadline" in ctl:

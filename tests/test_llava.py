@@ -289,3 +289,73 @@ def test_provider_vision_span_specials_and_seed():
     assert a.text == b.text
     assert captured["rng_seed"] is not None
     del c  # different seed may or may not differ at tiny scale
+
+
+def test_vision_through_continuous_pool_matches_direct():
+    """Multimodal continuous batching: a vision request joins the slot
+    pool (embeds prefill, co-resident decode with text neighbors) and
+    must produce EXACTLY the direct-path answer — greedy and seeded
+    sampling — while concurrent text requests keep their own solo
+    parity."""
+    import io
+    import threading
+
+    from PIL import Image
+
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cfg = DecoderConfig.tiny()
+    pool = TPULLMProvider(cfg, max_new_tokens=8, continuous=True,
+                          max_batch=3, speculative=True,
+                          prefix_cache=2, prefill_chunk=16)
+    params = pool.generator.load()
+    lv_pool = pool.attach_vision(ViTConfig.tiny())
+    vparams = lv_pool.load()
+
+    direct = TPULLMProvider(cfg, params=params, max_new_tokens=8)
+    lv_direct = direct.attach_vision(ViTConfig.tiny())
+    lv_direct._params = vparams          # share the vision tower
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (40, 40, 3))
+        .astype(np.uint8)).save(buf, format="PNG")
+    png = buf.getvalue()
+    q = "Décris cette image en une phrase."
+
+    ref = direct.generate_with_image(q, png)
+    assert ref.ok, ref.error
+    got = pool.generate_with_image(q, png)
+    assert got.ok, got.error
+    assert got.text == ref.text          # pool == direct, greedy
+
+    # seeded sampling parity across schedulers
+    refs = direct.generate_with_image(q, png, temperature=0.8, seed=5)
+    gots = pool.generate_with_image(q, png, temperature=0.8, seed=5)
+    assert refs.ok and gots.ok
+    assert gots.text == refs.text
+
+    # co-resident with text traffic: 2 text + 1 vision concurrently,
+    # each equal to its solo run
+    t_solo = direct.generate("Quelles sanctions la CNIL prononce ?",
+                             max_tokens=8)
+    out: dict = {}
+
+    def tgen():
+        out["t"] = pool.generate(
+            "Quelles sanctions la CNIL prononce ?", max_tokens=8)
+
+    def vgen():
+        out["v"] = pool.generate_with_image(q, png)
+
+    th = [threading.Thread(target=tgen), threading.Thread(target=vgen),
+          threading.Thread(target=tgen)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert out["t"].ok and out["v"].ok
+    assert out["t"].text == t_solo.text
+    assert out["v"].text == ref.text
+    # vision requests never enter the prefix cache and are unpreemptable
+    eng = pool._driver.engine
+    assert eng.stats["admitted"] >= 4
+    pool._driver.close()
