@@ -11,11 +11,16 @@ Arms:
                    [B, 576, 5120] f32 output fetch (~12 MB/image) —
                    through the axon tunnel that fetch DOMINATES; the
                    serving path never pays it (generate() composes the
-                   whole prefix on device, `_compose_program`)
+                   whole prefix on device: `encode_patches` +
+                   `_splice_program`)
   e2e_12b        — generate_with_image through TPULLMProvider: PIL
-                   decode → CLIP preprocess → fused on-device
+                   decode → CLIP preprocess → on-device
                    encode+embed+splice → 12B int8 decode of 64 tokens
-                   (576 image tokens in the prefix)
+                   (576 image tokens in the prefix); DISTINCT image
+                   per rep so the patch LRU never hits (cold path)
+  e2e_repeat     — same, ONE image repeated: the digest-keyed patch
+                   cache (models/llava.py) skips the ViT forward —
+                   the ingest-duplicate / multi-turn-chat case
 
 Run on the real chip:  python benchmarks/bench_vision.py
 Tiny CPU smoke:        BENCH_TINY=1 python benchmarks/bench_vision.py
@@ -89,23 +94,46 @@ def main():
 
     from PIL import Image
 
-    buf = io.BytesIO()
-    Image.fromarray(rng.integers(0, 255, (480, 640, 3))
-                    .astype(np.uint8)).save(buf, format="PNG")
-    png = buf.getvalue()
+    def make_png(seed: int) -> bytes:
+        buf = io.BytesIO()
+        Image.fromarray(np.random.default_rng(seed)
+                        .integers(0, 255, (480, 640, 3))
+                        .astype(np.uint8)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    pngs = [make_png(i) for i in range(reps + 1)]
     prompt = ("Analyse cette image et classifie-la: SCHEMA_DPO, "
               "INFOGRAPHIE ou PHOTO_DECO. Réponds en JSON.")
-    r = llm.generate_with_image(prompt, png)  # compile + warm
+    r = llm.generate_with_image(prompt, pngs[-1])  # compile + warm
     assert r.ok, r.error
     t0 = time.time()
-    for _ in range(reps):
-        r = llm.generate_with_image(prompt, png)
+    for i in range(reps):
+        # distinct image per rep: the patch LRU never hits (cold path)
+        r = llm.generate_with_image(prompt, pngs[i])
         assert r.ok, r.error
     dt = (time.time() - t0) / reps
     res["e2e_image_to_text"] = {
         "s": round(dt, 2), "new_tokens": max_new,
         "image_tokens": lg.config.num_image_tokens}
     print(f"e2e image→text ({max_new} tokens): {dt:.2f}s", flush=True)
+
+    # the cold loop's distinct images evicted pngs[-1] from the
+    # 4-entry LRU — re-enter it untimed so the loop measures pure hits
+    r = llm.generate_with_image(prompt, pngs[-1])
+    assert r.ok, r.error
+    hits0 = lg.cache_stats["hits"]
+    t0 = time.time()
+    for _ in range(reps):
+        # ONE repeated image: digest-keyed patch cache skips the ViT
+        r = llm.generate_with_image(prompt, pngs[-1])
+        assert r.ok, r.error
+    dt_rep = (time.time() - t0) / reps
+    res["e2e_image_repeat_cached"] = {
+        "s": round(dt_rep, 2), "new_tokens": max_new,
+        "cache_hits": lg.cache_stats["hits"] - hits0,
+        "saved_s_vs_cold": round(dt - dt_rep, 2)}
+    print(f"e2e repeat (patch cache): {dt_rep:.2f}s "
+          f"(cold {dt:.2f}s)", flush=True)
 
     out = {"bench": "vision_on_chip", "device": str(jax.devices()[0]),
            "model": ("tiny" if TINY else

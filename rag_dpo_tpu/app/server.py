@@ -134,6 +134,40 @@ def _parse_seed(data: dict, llm) -> tuple[dict, str | None]:
     return {"seed": val}, None
 
 
+def _sse_pump(stream, chunk, stops) -> None:
+    """Pump text deltas into OpenAI chunk frames with host-side stop
+    matching: withholding len(stop)-1 trailing chars keeps a stop
+    sequence that spans two deltas intact; breaking on a match closes
+    the inner stream, which CANCELS the decode (slot frees — same
+    machinery as a client disconnect). Shared by the text and vision
+    streaming branches of /v1/chat/completions."""
+    hold = max((len(s) for s in stops), default=0) - 1
+    acc, emitted = "", 0
+    try:
+        for delta in stream:
+            if not delta:
+                continue
+            acc += delta
+            cuts = [acc.find(s) for s in stops if s in acc]
+            if cuts:
+                out = acc[emitted:min(cuts)]
+                if out:
+                    chunk({"content": out})
+                emitted = len(acc)
+                break
+            safe = len(acc) - hold if hold > 0 else len(acc)
+            if safe > emitted:
+                chunk({"content": acc[emitted:safe]})
+                emitted = safe
+        else:
+            if emitted < len(acc):
+                chunk({"content": acc[emitted:]})
+    finally:
+        close = getattr(stream, "close", None)
+        if close:
+            close()
+
+
 def _flatten_multimodal(messages) -> tuple[list | None, bytes | None,
                                            str | None]:
     """OpenAI multimodal message content → (text messages, image
@@ -789,17 +823,12 @@ def make_handler(system: dict):
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
                 created = int(_time.time())
                 if image is not None:
-                    # vision turn: one composed image+text decode
-                    # (models/llava.py through the provider); capability
-                    # failure is the client's 400, anything else a 502.
-                    # Penalties don't exist on the direct decode path —
-                    # reject rather than silently ignore.
-                    if any(k in pens for k in ("frequency_penalty",
-                                               "presence_penalty")):
-                        self._send(400, {"error": {"message":
-                                         "penalties are not supported "
-                                         "with image input"}})
-                        return
+                    # vision turn (models/llava.py through the
+                    # provider); capability failure is the client's
+                    # 400, anything else a 502. Penalties forward only
+                    # when the provider's image path takes them (the
+                    # continuous pool does; the direct decode programs
+                    # don't) — reject rather than silently ignore.
                     sys_txt, parts = None, []
                     for m in messages:
                         if m["role"] == "system":
@@ -824,18 +853,55 @@ def make_handler(system: dict):
                                              "input"}})
                             return
                         vkw["seed"] = seed_kw["seed"]
-                    resp = llm.generate_with_image(
-                        vprompt, image, temperature=temperature, **vkw)
-                    if not resp.ok:
-                        code = 400 if "vision not supported" in (
-                            resp.error or "") else 502
-                        self._send(code, {"error":
-                                          {"message": resp.error}})
-                        return
-                    text = resp.text
-                    cuts = [text.find(s) for s in stops if s in text]
-                    if cuts:
-                        text = text[:min(cuts)]
+                    vpen = {k: v for k, v in pens.items()
+                            if k in ("frequency_penalty",
+                                     "presence_penalty")}
+                    if vpen:
+                        if not all(k in vparams for k in vpen):
+                            self._send(400, {"error": {"message":
+                                             "penalties are not "
+                                             "supported with image "
+                                             "input"}})
+                            return
+                        vkw.update(vpen)
+                    vstream_fn = getattr(
+                        llm, "generate_with_image_stream", None)
+                    if not data.get("stream") or vstream_fn is None:
+                        resp = llm.generate_with_image(
+                            vprompt, image, temperature=temperature,
+                            **vkw)
+                        if not resp.ok:
+                            err = resp.error or ""
+                            code = 400 if (
+                                "vision not supported" in err
+                                or "penalties" in err) else 502
+                            self._send(code, {"error":
+                                              {"message": resp.error}})
+                            return
+                        text = resp.text
+                        cuts = [text.find(s) for s in stops
+                                if s in text]
+                        if cuts:
+                            text = text[:min(cuts)]
+                    else:
+                        # TRUE streaming: the request joins the slot
+                        # pool (submit_embeds) and deltas arrive per
+                        # decoded token. Input/capability errors raise
+                        # EAGERLY from the provider — before any SSE
+                        # byte — so they still map to clean 4xx/5xx.
+                        try:
+                            vstream = vstream_fn(
+                                vprompt, image,
+                                temperature=temperature, **vkw)
+                        except ValueError as e:
+                            self._send(400, {"error":
+                                             {"message": str(e)}})
+                            return
+                        except Exception as e:  # noqa: BLE001
+                            self._send(502, {"error":
+                                             {"message": str(e)}})
+                            return
+                        text = None
                     if not data.get("stream"):
                         n_prompt = sum(len(str(m["content"]).split())
                                        for m in messages)
@@ -860,7 +926,6 @@ def make_handler(system: dict):
                                 + len(text.split())},
                         })
                         return
-                    # stream shape parity: one content chunk + DONE
                     self._raw_started = True
                     self._sse_started = True
                     self.send_response(200)
@@ -882,8 +947,13 @@ def make_handler(system: dict):
                         self.wfile.flush()
 
                     vchunk({"role": "assistant", "content": ""})
-                    if text:
-                        vchunk({"content": text})
+                    if text is not None:
+                        # one-chunk fallback (provider has no vision
+                        # stream): stream shape parity only
+                        if text:
+                            vchunk({"content": text})
+                    else:
+                        _sse_pump(vstream, vchunk, stops)
                     vchunk({}, finish="stop")
                     self.wfile.write(b"data: [DONE]\n\n")
                     self.wfile.flush()
@@ -936,37 +1006,7 @@ def make_handler(system: dict):
                 stream = llm.chat_stream(messages,
                                          temperature=temperature,
                                          max_tokens=max_new, **pens)
-                # stop sequences are matched host-side on the
-                # accumulated text; withholding len(stop)-1 trailing
-                # chars keeps a match that spans two deltas intact, and
-                # breaking the loop closes the inner stream, which
-                # CANCELS the decode (slot frees — same machinery as a
-                # client disconnect)
-                hold = max((len(s) for s in stops), default=0) - 1
-                acc, emitted = "", 0
-                try:
-                    for delta in stream:
-                        if not delta:
-                            continue
-                        acc += delta
-                        cuts = [acc.find(s) for s in stops if s in acc]
-                        if cuts:
-                            out = acc[emitted:min(cuts)]
-                            if out:
-                                chunk({"content": out})
-                            emitted = len(acc)
-                            break
-                        safe = len(acc) - hold if hold > 0 else len(acc)
-                        if safe > emitted:
-                            chunk({"content": acc[emitted:safe]})
-                            emitted = safe
-                    else:
-                        if emitted < len(acc):
-                            chunk({"content": acc[emitted:]})
-                finally:
-                    close = getattr(stream, "close", None)
-                    if close:
-                        close()
+                _sse_pump(stream, chunk, stops)
                 chunk({}, finish="stop")
                 self.wfile.write(b"data: [DONE]\n\n")
             elif self.path == "/feedback":

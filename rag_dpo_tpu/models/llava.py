@@ -76,7 +76,8 @@ class LlavaGenerator:
 
     def __init__(self, config: LlavaConfig,
                  generator: TextGenerator | None = None,
-                 params: dict | None = None):
+                 params: dict | None = None,
+                 image_cache: int = 4):
         self.config = config
         self.vision = ViTModel(config.vision)
         self.projector = LlavaProjector(
@@ -87,6 +88,19 @@ class LlavaGenerator:
         # TextGenerator (convert_llava_state_dict returns all three)
         self._params = params
         self._programs: dict = {}
+        # digest-keyed LRU of DEVICE-RESIDENT projected patches: the
+        # ingest pipeline classifies images BEFORE dedup (reference
+        # phase order 4B → 4C), so duplicate images would pay the ViT
+        # tower once per copy; multi-turn chat about one image repeats
+        # it too. [n_img, H] bf16 ≈ 5.9 MB at 12B/CLIP-L — the default
+        # 4 entries cost ~24 MB HBM. 0 disables.
+        import threading
+        from collections import OrderedDict
+
+        self.image_cache = int(image_cache)
+        self._patch_cache: OrderedDict = OrderedDict()
+        self._patch_lock = threading.Lock()
+        self.cache_stats = {"hits": 0, "misses": 0}
 
     def load(self):
         if self._params is None:
@@ -143,31 +157,51 @@ class LlavaGenerator:
         return np.asarray(self._encode_program(b)(
             params, jnp.asarray(pixel_values, jnp.float32)))
 
-    def _compose_program(self, p: int, q: int, s: int):
-        """ONE device program building the full multimodal prefix:
-        image encode + projector + token embeds + splice + pad — no
-        host round-trip (the hosted compose fetched ~12 MB of patch
-        embeddings and re-uploaded ~21 MB of prefix, ~350 ms through
-        the axon tunnel per image)."""
-        key = ("compose", p, q, s)
+    def encode_patches(self, img_arr):
+        """[3, S, S] CLIP-normalized pixels → [n_img, text_hidden]
+        projected patches, DEVICE-RESIDENT, through the digest-keyed
+        LRU: a repeated image (ingest duplicates pre-dedup, multi-turn
+        chat about one picture) skips the whole ViT+projector forward.
+        The digest keys the post-preprocess pixel bytes, so every
+        input form (PIL / uint8 HWC / pre-normalized CHW) that renders
+        the same pixels hits the same entry."""
+        arr = np.ascontiguousarray(np.asarray(img_arr, np.float32))
+        digest = None
+        if self.image_cache > 0:
+            import hashlib
+
+            digest = hashlib.sha1(arr.tobytes()).hexdigest()
+            with self._patch_lock:
+                hit = self._patch_cache.get(digest)
+                if hit is not None:
+                    self._patch_cache.move_to_end(digest)
+                    self.cache_stats["hits"] += 1
+                    return hit
+        patches = self._encode_program(1)(
+            self.load(), jnp.asarray(arr[None]))[0]
+        if digest is not None:
+            with self._patch_lock:
+                self.cache_stats["misses"] += 1
+                self._patch_cache[digest] = patches
+                while len(self._patch_cache) > self.image_cache:
+                    self._patch_cache.popitem(last=False)
+        return patches
+
+    def _splice_program(self, p: int, q: int, s: int):
+        """Device program building the multimodal prefix from already
+        projected patches: token embeds + splice + pad — no host
+        round-trip (patches arrive as a device array from
+        `encode_patches`; the splice is dispatch-cheap next to the ViT
+        forward, and splitting the two is what makes the patch LRU
+        possible)."""
+        key = ("splice", p, q, s)
         if key not in self._programs:
             cfg = self.config
             n_img = cfg.num_image_tokens
-            n_layers = cfg.vision.num_layers
-            out_layer = n_layers + 1 + cfg.vision_feature_layer \
-                if cfg.vision_feature_layer < 0 \
-                else cfg.vision_feature_layer
 
             @jax.jit
-            def compose(dec_params, vparams, pre_ids, pre_len,
-                        post_ids, post_len, pixels):
-                feats = self.vision.apply(
-                    {"params": vparams["vision"]}, pixels,
-                    output_layer=out_layer)
-                if cfg.drop_cls:
-                    feats = feats[:, 1:]
-                img = self.projector.apply(
-                    {"params": vparams["projector"]}, feats)[0]
+            def compose(dec_params, img, pre_ids, pre_len,
+                        post_ids, post_len):
                 table = dec_params["params"]["embed_tokens"][
                     "embedding"]
                 pre_e = jnp.take(table, pre_ids, axis=0)
@@ -230,13 +264,12 @@ class LlavaGenerator:
         pre_p[: len(pre_ids)] = pre_ids
         post_p = np.full((q,), pad, np.int32)
         post_p[: len(post_ids)] = post_ids
-        vparams = self.load()
-        embeds, _total = self._compose_program(p, q, s)(
-            self.generator.load(), vparams,
+        patches = self.encode_patches(img)
+        embeds, _total = self._splice_program(p, q, s)(
+            self.generator.load(), patches,
             jnp.asarray(pre_p), jnp.asarray(len(pre_ids), jnp.int32),
             jnp.asarray(post_p),
-            jnp.asarray(len(post_ids), jnp.int32),
-            jnp.asarray(np.asarray(img, np.float32)[None]))
+            jnp.asarray(len(post_ids), jnp.int32))
         return embeds, n
 
     def generate(self, pre_ids: np.ndarray, post_ids: np.ndarray,

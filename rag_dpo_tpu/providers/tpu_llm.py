@@ -514,9 +514,54 @@ class TPULLMProvider(BaseLLMProvider):
             self._llava.load_converted(params)
         return self._llava
 
+    def _prepare_image_request(self, prompt, image_bytes,
+                               max_tokens=None):
+        """Shared prep for the image paths: decode the image, encode
+        the pre/post prompt spans around the patch window, fit the
+        decode budget. → (pre_ids, post_ids, PIL image, max_new).
+        Raises on bad input (callers map to in-band errors / 400s)."""
+        import io
+
+        from PIL import Image
+
+        image = Image.open(io.BytesIO(image_bytes))
+        pre_text = "USER: "
+        post_text = "\n" + prompt + "\nASSISTANT:"
+        n_img = self._llava.config.num_image_tokens
+        budget, max_new = self._fit_budget(max_tokens)
+        post_cap = max(budget - n_img - 8, 16)
+        enc = self.tokenizer.encode_batch(
+            [pre_text, post_text],
+            min(bucket_length(len(post_text) // 3 + 2), post_cap))
+        pre_ids = np.asarray(
+            enc.input_ids[0][: enc.lengths[0]], np.int32)
+        post_ids = np.asarray(
+            enc.input_ids[1][: enc.lengths[1]], np.int32)
+        # the two spans were encoded independently; strip the
+        # boundary specials so no BOS/EOS lands MID-sequence
+        # around the image: keep pre's leading BOS/CLS, drop its
+        # trailing SEP, drop post's leading CLS and trailing SEP
+        tok = self.tokenizer
+        if len(pre_ids) and pre_ids[-1] == tok.sep_id:
+            pre_ids = pre_ids[:-1]
+        if len(post_ids) and post_ids[0] == tok.cls_id:
+            post_ids = post_ids[1:]
+        if len(post_ids) and post_ids[-1] == tok.sep_id:
+            post_ids = post_ids[:-1]
+        total = len(pre_ids) + n_img + len(post_ids)
+        s = bucket_length(total)
+        max_new = min(max_new, self.config.max_seq_len - s)
+        if max_new < 1:
+            raise ValueError(
+                f"image prefix ({total} tokens, bucket {s}) leaves "
+                "no decode budget in this context")
+        return pre_ids, post_ids, image, max_new
+
     def generate_with_image(self, prompt, image_bytes,
                             temperature: float = 0.0,
                             max_tokens: int | None = None,
+                            frequency_penalty: float = 0.0,
+                            presence_penalty: float = 0.0,
                             seed: int | None = None) -> LLMResponse:
         """Image + prompt → text, fully on-chip once `attach_vision`
         ran (in-band 'vision not supported' otherwise, matching the
@@ -524,49 +569,24 @@ class TPULLMProvider(BaseLLMProvider):
         the SLOT POOL (multimodal continuous batching: the composed
         prefix prefills via the embeds program and decodes co-resident
         with text traffic at this provider's priority class); without
-        a pool it runs the direct decode path."""
+        a pool it runs the direct decode path. Penalties ride the pool
+        (completion-token counts, same as text); the direct decode
+        programs don't carry them, so nonzero penalties without a pool
+        are an in-band error rather than a silent drop."""
         t0 = time.time()
         if getattr(self, "_llava", None) is None:
             return LLMResponse(text="", model=self.model_name,
                                error="vision not supported")
         try:
-            import io
-
-            from PIL import Image
-
             from ..models.generate import SamplingConfig
 
-            image = Image.open(io.BytesIO(image_bytes))
-            pre_text = "USER: "
-            post_text = "\n" + prompt + "\nASSISTANT:"
-            n_img = self._llava.config.num_image_tokens
-            budget, max_new = self._fit_budget(max_tokens)
-            post_cap = max(budget - n_img - 8, 16)
-            enc = self.tokenizer.encode_batch(
-                [pre_text, post_text],
-                min(bucket_length(len(post_text) // 3 + 2), post_cap))
-            pre_ids = np.asarray(
-                enc.input_ids[0][: enc.lengths[0]], np.int32)
-            post_ids = np.asarray(
-                enc.input_ids[1][: enc.lengths[1]], np.int32)
-            # the two spans were encoded independently; strip the
-            # boundary specials so no BOS/EOS lands MID-sequence
-            # around the image: keep pre's leading BOS/CLS, drop its
-            # trailing SEP, drop post's leading CLS and trailing SEP
-            tok = self.tokenizer
-            if len(pre_ids) and pre_ids[-1] == tok.sep_id:
-                pre_ids = pre_ids[:-1]
-            if len(post_ids) and post_ids[0] == tok.cls_id:
-                post_ids = post_ids[1:]
-            if len(post_ids) and post_ids[-1] == tok.sep_id:
-                post_ids = post_ids[:-1]
-            total = len(pre_ids) + n_img + len(post_ids)
-            s = bucket_length(total)
-            max_new = min(max_new, self.config.max_seq_len - s)
-            if max_new < 1:
-                raise ValueError(
-                    f"image prefix ({total} tokens, bucket {s}) leaves "
-                    "no decode budget in this context")
+            if (frequency_penalty or presence_penalty) \
+                    and self._driver is None:
+                raise ValueError("penalties with image input require "
+                                 "the continuous scheduler")
+            pre_ids, post_ids, image, max_new = \
+                self._prepare_image_request(prompt, image_bytes,
+                                            max_tokens)
             if self._driver is not None:
                 embeds, n = self._llava.compose(pre_ids, post_ids,
                                                 image)
@@ -575,7 +595,9 @@ class TPULLMProvider(BaseLLMProvider):
                         embeds[0], n, max_new,
                         temperature=temperature,
                         deadline_s=self.request_timeout_s,
-                        priority=self.priority, seed=seed)
+                        priority=self.priority,
+                        frequency_penalty=frequency_penalty,
+                        presence_penalty=presence_penalty, seed=seed)
                 except DeadlineExceeded as e:
                     return LLMResponse(
                         self._decode_text(np.asarray(e.tokens,
@@ -598,6 +620,69 @@ class TPULLMProvider(BaseLLMProvider):
         except Exception as e:  # noqa: BLE001 — in-band, like generate
             return LLMResponse("", self.model_name, time.time() - t0,
                                error=str(e))
+
+    def generate_with_image_stream(self, prompt, image_bytes,
+                                   temperature: float = 0.0,
+                                   max_tokens: int | None = None,
+                                   timeout_s: float | None = None,
+                                   priority: int | None = None,
+                                   frequency_penalty: float = 0.0,
+                                   presence_penalty: float = 0.0,
+                                   seed: int | None = None):
+        """`generate_stream` for an image+text request. Input errors
+        (no vision tower, bad image, no decode budget, penalties off
+        the pool) raise EAGERLY — before the returned iterator yields —
+        so an HTTP caller can still answer 400 before committing to an
+        event stream. On the continuous scheduler the deltas are real
+        (per decoded token, co-resident with pool traffic; closing the
+        iterator cancels the request); on the direct scheduler the
+        decode is one-shot and yields a single delta. Greedy streams
+        concatenate to exactly `generate_with_image(...)`'s text."""
+        if getattr(self, "_llava", None) is None:
+            raise ValueError("vision not supported")
+        if (frequency_penalty or presence_penalty) \
+                and self._driver is None:
+            raise ValueError("penalties with image input require the "
+                             "continuous scheduler")
+        pre_ids, post_ids, image, max_new = \
+            self._prepare_image_request(prompt, image_bytes, max_tokens)
+        if self._driver is None:
+            from ..models.generate import SamplingConfig
+
+            sampling = SamplingConfig(
+                top_p=self.top_p, temperature=temperature,
+                max_new_tokens=max_new,
+                eos_id=self.tokenizer.sep_id,
+                pad_id=self.tokenizer.pad_id)
+            tokens = self._llava.generate(
+                pre_ids, post_ids, image, sampling,
+                rng_seed=self._row_seed(temperature, seed))
+            text = self._decode_text(tokens[0])
+            return iter([text] if text else [])
+        embeds, n = self._llava.compose(pre_ids, post_ids, image)
+        stream = self._driver.generate_embeds_stream(
+            embeds[0], n, max_new, temperature=temperature,
+            deadline_s=(timeout_s if timeout_s is not None
+                        else self.request_timeout_s),
+            priority=(self.priority if priority is None
+                      else int(priority)),
+            frequency_penalty=frequency_penalty,
+            presence_penalty=presence_penalty, seed=seed)
+
+        def _deltas():
+            emitted: list[int] = []
+            prev = ""
+            try:
+                for t in stream:
+                    emitted.append(int(t))
+                    full = self._decode_text(emitted)
+                    delta, prev = full[len(prev):], full
+                    if delta:
+                        yield delta
+            finally:
+                stream.close()
+
+        return _deltas()
 
     def chat_stream(self, messages, temperature=0.0, max_tokens=None,
                     priority: int | None = None, **gen_kwargs):

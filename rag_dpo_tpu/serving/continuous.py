@@ -672,8 +672,8 @@ class ContinuousEngine:
                       seed: int | None = None) -> int:
         """Queue a MULTIMODAL request: `embeds` [S, H] (or [1, S, H])
         is the full prefix — prompt-token embeddings with projected
-        image patches spliced in (models/llava.py `_compose_program`
-        builds it entirely on device). The request decodes co-resident
+        image patches spliced in (models/llava.py `encode_patches` +
+        `_splice_program` build it entirely on device). The request decodes co-resident
         with text requests in the same pool programs; only its prefill
         differs (`_prefill_embeds`). Differences from `submit`:
         no prefix-cache participation (entries key by token bytes),
@@ -1445,14 +1445,20 @@ class ContinuousDriver:
                       on_token=None, temperature: float | None = None,
                       deadline_s: float | None = None,
                       priority: int = 0,
+                      frequency_penalty: float = 0.0,
+                      presence_penalty: float = 0.0,
                       seed: int | None = None) -> GenerationHandle:
         """Multimodal `submit`: `embeds` [S, H] is the composed prefix
         (token embeddings + spliced image patches); the request joins
-        the SAME slot pool as text traffic (engine.submit_embeds)."""
+        the SAME slot pool as text traffic (engine.submit_embeds).
+        Penalties apply over COMPLETION tokens (the engine's counts
+        build from emitted tokens, never the pad-placeholder prompt
+        ids), so they mean the same thing as on a text request."""
         evt, box, ctl = self._submit(_EmbedsPrompt(embeds), length,
                                      max_new, on_token, temperature,
-                                     deadline_s, priority, 0.0, 0.0,
-                                     seed)
+                                     deadline_s, priority,
+                                     frequency_penalty,
+                                     presence_penalty, seed)
         return GenerationHandle(self, evt, box, ctl)
 
     def generate_embeds(self, embeds, length: int, max_new: int,
@@ -1460,12 +1466,15 @@ class ContinuousDriver:
                         temperature: float | None = None,
                         deadline_s: float | None = None,
                         priority: int = 0,
+                        frequency_penalty: float = 0.0,
+                        presence_penalty: float = 0.0,
                         seed: int | None = None) -> list[int]:
         """Blocking multimodal generate through the pool."""
         return self.submit_embeds(
             embeds, length, max_new, on_token=on_token,
             temperature=temperature, deadline_s=deadline_s,
-            priority=priority, seed=seed).result()
+            priority=priority, frequency_penalty=frequency_penalty,
+            presence_penalty=presence_penalty, seed=seed).result()
 
     @staticmethod
     def _result(box: dict) -> list[int]:
@@ -1511,10 +1520,35 @@ class ContinuousDriver:
         client, `break` + GC) CANCELS the request: its slot frees at
         the next step boundary instead of decoding to max_new into
         nowhere."""
+        return self._token_stream(prompt_ids, length, max_new,
+                                  temperature, deadline_s, priority,
+                                  frequency_penalty, presence_penalty,
+                                  seed)
+
+    def generate_embeds_stream(self, embeds, length: int,
+                               max_new: int,
+                               temperature: float | None = None,
+                               deadline_s: float | None = None,
+                               priority: int = 0,
+                               frequency_penalty: float = 0.0,
+                               presence_penalty: float = 0.0,
+                               seed: int | None = None):
+        """`generate_stream` for a MULTIMODAL request: the composed
+        [S, H] prefix prefills via the embeds program and the stream
+        yields token ids as the pool decodes them — same early-close
+        cancellation and deadline semantics as the text stream."""
+        return self._token_stream(_EmbedsPrompt(embeds), length,
+                                  max_new, temperature, deadline_s,
+                                  priority, frequency_penalty,
+                                  presence_penalty, seed)
+
+    def _token_stream(self, payload, length, max_new, temperature,
+                      deadline_s, priority, frequency_penalty,
+                      presence_penalty, seed):
         import queue as _queue
 
         q: _queue.Queue = _queue.Queue()
-        evt, box, ctl = self._submit(prompt_ids, length, max_new,
+        evt, box, ctl = self._submit(payload, length, max_new,
                                      lambda _rid, t: q.put(t),
                                      temperature, deadline_s, priority,
                                      frequency_penalty,

@@ -7,6 +7,8 @@ match HF `LlavaForConditionalGeneration` exactly so real checkpoints
 load losslessly.
 """
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -359,3 +361,132 @@ def test_vision_through_continuous_pool_matches_direct():
     eng = pool._driver.engine
     assert eng.stats["admitted"] >= 4
     pool._driver.close()
+
+
+def test_vision_streaming_pool_and_direct():
+    """True streaming vision: pool deltas concatenate to exactly the
+    one-shot answer (greedy + seeded), early close cancels the decode,
+    penalties ride the pool; the direct scheduler yields one delta and
+    rejects penalties eagerly instead of dropping them."""
+    import io
+
+    from PIL import Image
+
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    cfg = DecoderConfig.tiny()
+    pool = TPULLMProvider(cfg, max_new_tokens=8, continuous=True,
+                          max_batch=2, speculative=True)
+    params = pool.generator.load()
+    lv_pool = pool.attach_vision(ViTConfig.tiny())
+    vparams = lv_pool.load()
+    direct = TPULLMProvider(cfg, params=params, max_new_tokens=8)
+    lv_direct = direct.attach_vision(ViTConfig.tiny())
+    lv_direct._params = vparams
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(9).integers(0, 255, (40, 40, 3))
+        .astype(np.uint8)).save(buf, format="PNG")
+    png = buf.getvalue()
+    q = "Décris cette image."
+
+    ref = pool.generate_with_image(q, png)
+    assert ref.ok, ref.error
+    deltas = list(pool.generate_with_image_stream(q, png))
+    assert len(deltas) >= 2           # real per-token deltas
+    assert "".join(deltas) == ref.text
+
+    # seeded sampling stream == seeded one-shot
+    refs = pool.generate_with_image(q, png, temperature=0.8, seed=7)
+    assert refs.ok
+    assert "".join(pool.generate_with_image_stream(
+        q, png, temperature=0.8, seed=7)) == refs.text
+
+    # penalties ride the pool (completion-token counts; just must run
+    # and stay a valid stream)
+    pen = "".join(pool.generate_with_image_stream(
+        q, png, frequency_penalty=0.5))
+    assert isinstance(pen, str)
+
+    # early close cancels: slot frees instead of decoding to max_new.
+    # Throttle the engine first or the tiny arch finishes all 8 tokens
+    # before the close lands (the request would already be done).
+    eng = pool._driver.engine
+    orig_step = eng.step
+    eng.step = lambda: (time.sleep(0.2), orig_step())[1]
+    try:
+        before = eng.stats["cancelled"]
+        s = pool.generate_with_image_stream(q, png, max_tokens=8)
+        next(s)
+        s.close()
+        deadline = time.time() + 5
+        while (eng.stats["cancelled"] == before
+               and time.time() < deadline):
+            time.sleep(0.01)
+        assert eng.stats["cancelled"] == before + 1
+    finally:
+        eng.step = orig_step
+
+    # direct scheduler: single delta, equal to the one-shot text
+    dref = direct.generate_with_image(q, png)
+    ddeltas = list(direct.generate_with_image_stream(q, png))
+    assert "".join(ddeltas) == dref.text
+    assert len(ddeltas) <= 1
+
+    # penalties without a pool: eager error, never a silent drop
+    with pytest.raises(ValueError, match="continuous"):
+        direct.generate_with_image_stream(q, png, presence_penalty=0.5)
+    r = direct.generate_with_image(q, png, presence_penalty=0.5)
+    assert not r.ok and "continuous" in r.error
+    pool._driver.close()
+
+
+def test_image_patch_cache_hits_and_parity():
+    """Digest-keyed patch LRU: a repeated image skips the ViT forward
+    (hit counted) and composes a bit-identical prefix; different
+    images miss; every input form of the same pixels shares one entry;
+    LRU evicts beyond capacity; image_cache=0 disables."""
+    cfg = LlavaConfig.tiny()
+    lg = LlavaGenerator(cfg, image_cache=2)
+    lg.load()
+    rng = np.random.default_rng(5)
+    img_a = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    img_b = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    pre = np.asarray([3, 4], np.int32)
+    post = np.asarray([5, 6, 7], np.int32)
+
+    e1, n1 = lg.compose(pre, post, img_a)
+    assert lg.cache_stats == {"hits": 0, "misses": 1}
+    e2, n2 = lg.compose(pre, post, img_a)
+    assert lg.cache_stats == {"hits": 1, "misses": 1}
+    assert n1 == n2
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    # same pixels through PIL hit the same entry
+    from PIL import Image as _Image
+
+    lg.compose(pre, post, _Image.fromarray(img_a))
+    assert lg.cache_stats["hits"] == 2
+
+    lg.compose(pre, post, img_b)
+    assert lg.cache_stats == {"hits": 2, "misses": 2}
+    assert len(lg._patch_cache) == 2
+
+    # third distinct image evicts the LRU entry (img_a is most
+    # recently used after the PIL hit? no — img_b is; touch img_a
+    # then add c: b evicted)
+    lg.compose(pre, post, img_a)
+    img_c = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    lg.compose(pre, post, img_c)
+    assert len(lg._patch_cache) == 2
+    lg.compose(pre, post, img_b)          # must MISS (evicted)
+    assert lg.cache_stats["misses"] == 4
+
+    off = LlavaGenerator(cfg, image_cache=0)
+    off._params = lg._params
+    off.generator = lg.generator
+    eo, _ = off.compose(pre, post, img_a)
+    off.compose(pre, post, img_a)
+    assert off.cache_stats == {"hits": 0, "misses": 0}
+    np.testing.assert_array_equal(np.asarray(eo), np.asarray(e1))

@@ -712,3 +712,96 @@ def test_openai_multimodal_image_content(tmp_path_factory):
                            {"messages": bad_msgs})
         assert code == 400 and frag in str(data), (frag, data)
     srv.shutdown()
+
+
+def test_openai_vision_true_streaming(tmp_path_factory):
+    """stream:true + image on a CONTINUOUS provider: real per-token
+    SSE deltas (several content chunks) that concatenate to exactly
+    the non-stream answer; penalties with image work on the pool and
+    400 on a direct provider; stop sequences cut the vision stream."""
+    import base64
+    import io
+    import json as _json
+    import os
+    import threading as th
+
+    from PIL import Image
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.models.vit import ViTConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("oaivs"))
+    system = build_system(agent_too=False)
+    llm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8,
+                         continuous=True, max_batch=2)
+    llm.attach_vision(ViTConfig.tiny())
+    system["stream_llm"] = llm
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        __import__("numpy").random.default_rng(1)
+        .integers(0, 255, (32, 32, 3)).astype("uint8")).save(
+        buf, format="PNG")
+    data_url = ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+    msgs = [{"role": "user", "content": [
+        {"type": "text", "text": "Décris cette image."},
+        {"type": "image_url", "image_url": {"url": data_url}}]}]
+
+    code, data = _post(url, "/v1/chat/completions",
+                       {"messages": msgs, "max_tokens": 8})
+    assert code == 200, data
+    oneshot = data["choices"][0]["message"]["content"]
+
+    def _stream(body):
+        req = urllib.request.Request(
+            url + "/v1/chat/completions",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            raw = r.read().decode()
+        assert raw.rstrip().endswith("data: [DONE]")
+        parts = []
+        for line in raw.splitlines():
+            if line.startswith("data: ") and line != "data: [DONE]":
+                d = _json.loads(line[6:])["choices"][0]["delta"]
+                if d.get("content"):
+                    parts.append(d["content"])
+        return parts
+
+    parts = _stream({"messages": msgs, "max_tokens": 8,
+                     "stream": True})
+    assert len(parts) >= 2            # true deltas, not one blob
+    assert "".join(parts) == oneshot
+
+    # penalties + image on the pool: accepted (200, valid stream)
+    pparts = _stream({"messages": msgs, "max_tokens": 8,
+                      "stream": True, "presence_penalty": 0.5})
+    assert isinstance("".join(pparts), str)
+
+    # stop sequence cuts the stream
+    stop_tok = oneshot.split()[1]
+    sparts = _stream({"messages": msgs, "max_tokens": 8,
+                      "stream": True, "stop": [stop_tok]})
+    joined = "".join(sparts)
+    assert stop_tok not in joined and oneshot.startswith(joined)
+    srv.shutdown()
+    llm._driver.close()
+
+    # direct provider: penalties with image still a clean 400 (the
+    # decode programs there don't carry them)
+    dllm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8)
+    dllm.attach_vision(ViTConfig.tiny())
+    system["stream_llm"] = dllm
+    srv2 = serve(port=0, system=system)
+    th.Thread(target=srv2.serve_forever, daemon=True).start()
+    url2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    code, data = _post(url2, "/v1/chat/completions",
+                       {"messages": msgs, "max_tokens": 8,
+                        "presence_penalty": 0.5})
+    assert code == 400 and "penalt" in str(data).lower()
+    srv2.shutdown()
