@@ -763,6 +763,77 @@ def make_handler(system: dict):
                     system=data.get("system"),
                     normalize=bool(data.get("normalize", True)))
                 self._send(200, {"choice": best, "scores": scores})
+            elif self.path == "/v1/embeddings":
+                # OpenAI-compatible embeddings over the TPU-served
+                # BGE-M3 encoder. Concurrent callers coalesce into one
+                # encoder forward when query batching is on (the same
+                # MicroBatcher the RAG path uses). `input_type:
+                # "document"` (extension) routes through the corpus
+                # encoder (full-length bucket) instead of the query
+                # bucket. Capability superset — the reference only
+                # consumes embeddings in-process, it never serves them.
+                import numpy as np
+
+                emb = system.get("embedder")
+                if emb is None:
+                    self._send(503, {"error": {"message":
+                                     "no embedder loaded"}})
+                    return
+                raw = data.get("input")
+                inputs = [raw] if isinstance(raw, str) else raw
+                if (not isinstance(inputs, list) or not inputs
+                        or not all(isinstance(x, str) and x
+                                   for x in inputs)):
+                    self._send(400, {"error": {"message":
+                                     "'input' must be a non-empty "
+                                     "string or list of non-empty "
+                                     "strings"}})
+                    return
+                if len(inputs) > 256:
+                    self._send(400, {"error": {"message":
+                                     "too many inputs (max 256)"}})
+                    return
+                fmt = data.get("encoding_format", "float")
+                if fmt not in ("float", "base64"):
+                    self._send(400, {"error": {"message":
+                                     "encoding_format must be 'float' "
+                                     "or 'base64'"}})
+                    return
+                if data.get("dimensions") is not None:
+                    self._send(400, {"error": {"message":
+                                     "dimensions is not supported "
+                                     "(fixed-width encoder)"}})
+                    return
+                itype = data.get("input_type", "query")
+                if itype not in ("query", "document"):
+                    self._send(400, {"error": {"message":
+                                     "input_type must be 'query' or "
+                                     "'document'"}})
+                    return
+                if itype == "query":
+                    vecs = emb.embed_queries(inputs)
+                else:
+                    vecs = emb.embed(inputs)["dense"]
+                if fmt == "base64":
+                    import base64 as _b64
+
+                    def _enc(v):
+                        return _b64.b64encode(
+                            np.asarray(v, np.float32).tobytes()
+                        ).decode()
+                else:
+                    def _enc(v):
+                        return [float(x) for x in v]
+                n_tok = sum(len(t.split()) for t in inputs)
+                self._send(200, {
+                    "object": "list",
+                    "data": [{"object": "embedding", "index": i,
+                              "embedding": _enc(v)}
+                             for i, v in enumerate(vecs)],
+                    "model": data.get("model") or getattr(
+                        emb.config, "name", "bge-m3-tpu"),
+                    "usage": {"prompt_tokens": n_tok,
+                              "total_tokens": n_tok}})
             elif self.path == "/v1/chat/completions":
                 # OpenAI-compatible chat endpoint over the TPU-served
                 # decoder (every provider is streamable — base

@@ -805,3 +805,74 @@ def test_openai_vision_true_streaming(tmp_path_factory):
                         "presence_penalty": 0.5})
     assert code == 400 and "penalt" in str(data).lower()
     srv2.shutdown()
+
+
+def test_openai_embeddings_endpoint(tmp_path_factory):
+    """/v1/embeddings: OpenAI shape over the TPU BGE-M3 encoder —
+    string + list inputs, float/base64 parity with the in-process
+    embedder, document input_type through the corpus encoder, and
+    specific 400s for malformed bodies."""
+    import base64 as _b64
+    import os
+    import threading as th
+
+    import numpy as _np
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("oaie"))
+    system = build_system(agent_too=False)
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    emb = system["embedder"]
+
+    code, data = _post(url, "/v1/embeddings",
+                       {"input": "Qu'est-ce qu'une AIPD ?"})
+    assert code == 200, data
+    assert data["object"] == "list" and len(data["data"]) == 1
+    got = _np.asarray(data["data"][0]["embedding"], _np.float32)
+    ref = emb.embed_queries(["Qu'est-ce qu'une AIPD ?"])[0]
+    _np.testing.assert_allclose(got, ref, atol=1e-5)
+    assert data["usage"]["prompt_tokens"] > 0
+
+    texts = ["registre des traitements", "durée de conservation"]
+    code, data = _post(url, "/v1/embeddings",
+                       {"input": texts, "encoding_format": "base64"})
+    assert code == 200
+    assert [d["index"] for d in data["data"]] == [0, 1]
+    refs = emb.embed_queries(texts)
+    for d, r in zip(data["data"], refs):
+        v = _np.frombuffer(_b64.b64decode(d["embedding"]), _np.float32)
+        _np.testing.assert_allclose(v, r, atol=1e-5)
+
+    # document input_type routes through the corpus encoder
+    code, data = _post(url, "/v1/embeddings",
+                       {"input": texts, "input_type": "document"})
+    assert code == 200
+    dref = emb.embed(texts)["dense"]
+    _np.testing.assert_allclose(
+        _np.asarray(data["data"][1]["embedding"], _np.float32),
+        dref[1], atol=1e-5)
+
+    for body, frag in (
+        ({}, "input"),
+        ({"input": []}, "input"),
+        ({"input": [1, 2]}, "input"),
+        ({"input": ["a"] * 257}, "max 256"),
+        ({"input": "x", "encoding_format": "int8"}, "encoding_format"),
+        ({"input": "x", "dimensions": 64}, "dimensions"),
+        ({"input": "x", "input_type": "passage"}, "input_type"),
+    ):
+        code, data = _post(url, "/v1/embeddings", body)
+        assert code == 400 and frag in str(data), (frag, data)
+
+    # no embedder → 503
+    sys2 = dict(system)
+    sys2.pop("embedder")
+    srv2 = serve(port=0, system=sys2)
+    th.Thread(target=srv2.serve_forever, daemon=True).start()
+    code, data = _post(
+        f"http://127.0.0.1:{srv2.server_address[1]}",
+        "/v1/embeddings", {"input": "x"})
+    assert code == 503
+    srv2.shutdown()
+    srv.shutdown()
