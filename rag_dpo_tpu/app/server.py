@@ -834,6 +834,159 @@ def make_handler(system: dict):
                         emb.config, "name", "bge-m3-tpu"),
                     "usage": {"prompt_tokens": n_tok,
                               "total_tokens": n_tok}})
+            elif self.path == "/v1/completions":
+                # OpenAI legacy text-completions endpoint: plain
+                # prompt → completion over the TPU decoder (the
+                # surface older SDK pins and batch tooling still use).
+                # Multiple prompts fan out concurrently (the slot pool
+                # co-schedules them); stream is single-prompt.
+                import time as _time
+                import uuid as _uuid
+
+                llm = system.get("stream_llm") or system.get("llm")
+                if llm is None:
+                    self._send(503, {"error": {"message":
+                                               "no LLM loaded"}})
+                    return
+                raw = data.get("prompt")
+                prompts = [raw] if isinstance(raw, str) else raw
+                if (not isinstance(prompts, list) or not prompts
+                        or not all(isinstance(p, str) and p
+                                   for p in prompts)):
+                    self._send(400, {"error": {"message":
+                                     "'prompt' must be a non-empty "
+                                     "string or list of non-empty "
+                                     "strings"}})
+                    return
+                if len(prompts) > 8:
+                    self._send(400, {"error": {"message":
+                                     "too many prompts (max 8)"}})
+                    return
+                try:
+                    temperature = float(data.get("temperature", 0.0))
+                except (TypeError, ValueError):
+                    self._send(400, {"error": {"message":
+                                     "temperature must be a number"}})
+                    return
+                max_new = data.get("max_tokens")
+                if max_new is not None:
+                    try:
+                        max_new = max(1, min(int(max_new), 2048))
+                    except (TypeError, ValueError):
+                        self._send(400, {"error": {"message":
+                                         "max_tokens must be an int"}})
+                        return
+                stops = data.get("stop")
+                if isinstance(stops, str):
+                    stops = [stops]
+                stops = [s for s in (stops or [])
+                         if isinstance(s, str) and s][:4]
+                pens, bad = _parse_penalties(data, llm)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
+                    return
+                sd, bad = _parse_seed(data, llm)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
+                    return
+                pens.update(sd)
+                if data.get("stream") and len(prompts) > 1:
+                    self._send(400, {"error": {"message":
+                                     "stream is only supported for a "
+                                     "single prompt"}})
+                    return
+                model = getattr(llm, "model_name", "rag-dpo-tpu")
+                rid = f"cmpl-{_uuid.uuid4().hex[:24]}"
+                created = int(_time.time())
+                if data.get("stream"):
+                    gs = getattr(llm, "generate_stream", None)
+                    whole = None
+                    if gs is None:
+                        # provider without native token streaming:
+                        # blocking decode BEFORE the SSE headers (so
+                        # errors stay clean 502s), one content chunk
+                        r = llm.generate(
+                            prompts[0], temperature=temperature,
+                            max_tokens=max_new, **pens)
+                        if not r.ok:
+                            self._send(502, {"error":
+                                             {"message": r.error}})
+                            return
+                        whole = r.text
+                        cuts = [whole.find(s) for s in stops
+                                if s in whole]
+                        if cuts:
+                            whole = whole[:min(cuts)]
+                    self._raw_started = True
+                    self._sse_started = True
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+
+                    def cchunk(text: str, finish=None):
+                        payload = json.dumps({
+                            "id": rid, "object": "text_completion",
+                            "created": created, "model": model,
+                            "choices": [{"index": 0, "text": text,
+                                         "finish_reason": finish}]},
+                            ensure_ascii=False)
+                        self.wfile.write(
+                            f"data: {payload}\n\n".encode())
+                        self.wfile.flush()
+
+                    if whole is not None:
+                        if whole:
+                            cchunk(whole)
+                    else:
+                        stream = gs(prompts[0],
+                                    temperature=temperature,
+                                    max_tokens=max_new, **pens)
+                        _sse_pump(stream,
+                                  lambda d, finish=None: cchunk(
+                                      d.get("content", ""), finish),
+                                  stops)
+                    cchunk("", finish="stop")
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                    return
+                results: list = [None] * len(prompts)
+
+                def _onep(i: int):
+                    results[i] = llm.generate(
+                        prompts[i], temperature=temperature,
+                        max_tokens=max_new, **pens)
+
+                if len(prompts) == 1:
+                    _onep(0)
+                else:
+                    ths = [threading.Thread(target=_onep, args=(i,))
+                           for i in range(len(prompts))]
+                    [t.start() for t in ths]
+                    [t.join() for t in ths]
+                bad_r = next((r for r in results if not r.ok), None)
+                if bad_r is not None:
+                    self._send(502, {"error": {"message": bad_r.error}})
+                    return
+                texts = []
+                for r in results:
+                    text = r.text
+                    cuts = [text.find(s) for s in stops if s in text]
+                    if cuts:
+                        text = text[:min(cuts)]
+                    texts.append(text)
+                n_prompt = sum(len(p.split()) for p in prompts)
+                n_out = sum(len(t.split()) for t in texts)
+                self._send(200, {
+                    "id": rid, "object": "text_completion",
+                    "created": created, "model": model,
+                    "choices": [{"index": i, "text": t,
+                                 "finish_reason": "stop"}
+                                for i, t in enumerate(texts)],
+                    "usage": {"prompt_tokens": n_prompt,
+                              "completion_tokens": n_out,
+                              "total_tokens": n_prompt + n_out}})
             elif self.path == "/v1/chat/completions":
                 # OpenAI-compatible chat endpoint over the TPU-served
                 # decoder (every provider is streamable — base
@@ -890,6 +1043,21 @@ def make_handler(system: dict):
                     return
                 seed_kw = dict(sd)  # vision branch needs it separately
                 pens.update(sd)    # rides the same **kwargs forward
+                try:
+                    n_choices = int(data.get("n", 1))
+                except (TypeError, ValueError):
+                    n_choices = 0
+                if not 1 <= n_choices <= 8:
+                    self._send(400, {"error": {"message":
+                                     "n must be an integer in "
+                                     "[1, 8]"}})
+                    return
+                if n_choices > 1 and (data.get("stream")
+                                      or image is not None):
+                    self._send(400, {"error": {"message":
+                                     "n > 1 is only supported for "
+                                     "non-streaming text requests"}})
+                    return
                 model = getattr(llm, "model_name", "rag-dpo-tpu")
                 rid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
                 created = int(_time.time())
@@ -1030,30 +1198,55 @@ def make_handler(system: dict):
                     self.wfile.flush()
                     return
                 if not data.get("stream"):
-                    resp = llm.chat(messages, temperature=temperature,
-                                    max_tokens=max_new, **pens)
-                    if not resp.ok:
+                    # n generations run CONCURRENTLY — on the slot
+                    # pool they co-reside in the same weight sweeps;
+                    # with a user seed, choice i samples seed+i (each
+                    # an independent position-keyed stream)
+                    results: list = [None] * n_choices
+
+                    def _one(i: int):
+                        kw = dict(pens)
+                        if n_choices > 1 and kw.get("seed") is not None:
+                            kw["seed"] = kw["seed"] + i
+                        results[i] = llm.chat(
+                            messages, temperature=temperature,
+                            max_tokens=max_new, **kw)
+
+                    if n_choices == 1:
+                        _one(0)
+                    else:
+                        ths = [threading.Thread(target=_one, args=(i,))
+                               for i in range(n_choices)]
+                        [t.start() for t in ths]
+                        [t.join() for t in ths]
+                    bad_r = next((r for r in results if not r.ok), None)
+                    if bad_r is not None:
                         self._send(502, {"error":
-                                         {"message": resp.error}})
+                                         {"message": bad_r.error}})
                         return
-                    text = resp.text
-                    cuts = [text.find(s) for s in stops if s in text]
-                    if cuts:
-                        text = text[:min(cuts)]
+                    texts = []
+                    for r in results:
+                        text = r.text
+                        cuts = [text.find(s) for s in stops
+                                if s in text]
+                        if cuts:
+                            text = text[:min(cuts)]
+                        texts.append(text)
                     n_prompt = sum(len(str(m["content"]).split())
                                    for m in messages)
+                    n_out = sum(len(t.split()) for t in texts)
                     self._send(200, {
                         "id": rid, "object": "chat.completion",
                         "created": created, "model": model,
-                        "choices": [{"index": 0,
+                        "choices": [{"index": i,
                                      "message": {"role": "assistant",
-                                                 "content": text},
-                                     "finish_reason": "stop"}],
+                                                 "content": t},
+                                     "finish_reason": "stop"}
+                                    for i, t in enumerate(texts)],
                         "usage": {
                             "prompt_tokens": n_prompt,
-                            "completion_tokens": len(text.split()),
-                            "total_tokens": n_prompt
-                            + len(text.split())},
+                            "completion_tokens": n_out,
+                            "total_tokens": n_prompt + n_out},
                     })
                     return
                 self._raw_started = True

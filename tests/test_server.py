@@ -876,3 +876,102 @@ def test_openai_embeddings_endpoint(tmp_path_factory):
     assert code == 503
     srv2.shutdown()
     srv.shutdown()
+
+
+def test_openai_completions_and_n_choices(tmp_path_factory):
+    """/v1/completions (legacy text endpoint): single + list prompts
+    over the TPU decoder, stream deltas concatenating to the one-shot
+    text, specific 400s; and `n` on /v1/chat/completions returns n
+    choices (greedy → identical, seeded sampling → per-choice seeds)."""
+    import json as _json
+    import os
+    import threading as th
+
+    from rag_dpo_tpu.models.decoder import DecoderConfig
+    from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path_factory.mktemp("oaic"))
+    system = build_system(agent_too=False)
+    llm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8,
+                         continuous=True, max_batch=4)
+    system["stream_llm"] = llm
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    code, data = _post(url, "/v1/completions",
+                       {"prompt": "La CNIL est", "max_tokens": 8})
+    assert code == 200, data
+    assert data["object"] == "text_completion"
+    one = data["choices"][0]["text"]
+    assert isinstance(one, str) and data["usage"]["total_tokens"] > 0
+
+    # list of prompts → indexed choices, each equal to its solo run
+    code, data = _post(url, "/v1/completions",
+                       {"prompt": ["La CNIL est", "Le RGPD impose"],
+                        "max_tokens": 8})
+    assert code == 200
+    assert [c["index"] for c in data["choices"]] == [0, 1]
+    assert data["choices"][0]["text"] == one
+
+    # stream concatenates to the one-shot text
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        data=_json.dumps({"prompt": "La CNIL est", "max_tokens": 8,
+                          "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        raw = r.read().decode()
+    assert raw.rstrip().endswith("data: [DONE]")
+    parts = []
+    for line in raw.splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            c = _json.loads(line[6:])["choices"][0]
+            if c["text"]:
+                parts.append(c["text"])
+    assert len(parts) >= 2 and "".join(parts) == one
+
+    for body, frag in (
+        ({}, "prompt"),
+        ({"prompt": ["a"] * 9}, "max 8"),
+        ({"prompt": ["a", "b"], "stream": True}, "single prompt"),
+        ({"prompt": "x", "temperature": "hot"}, "temperature"),
+    ):
+        code, data = _post(url, "/v1/completions", body)
+        assert code == 400 and frag in str(data), (frag, data)
+
+    # n choices on chat completions
+    msgs = [{"role": "user", "content": "Bonjour"}]
+    code, data = _post(url, "/v1/chat/completions",
+                       {"messages": msgs, "max_tokens": 8, "n": 2})
+    assert code == 200, data
+    assert [c["index"] for c in data["choices"]] == [0, 1]
+    # greedy: both identical
+    assert (data["choices"][0]["message"]["content"]
+            == data["choices"][1]["message"]["content"])
+    # seeded sampling: per-choice seeds -> reproducible pair
+    code, d1 = _post(url, "/v1/chat/completions",
+                     {"messages": msgs, "max_tokens": 8, "n": 2,
+                      "temperature": 0.9, "seed": 11})
+    code2, d2 = _post(url, "/v1/chat/completions",
+                      {"messages": msgs, "max_tokens": 8, "n": 2,
+                       "temperature": 0.9, "seed": 11})
+    assert code == code2 == 200
+    assert ([c["message"]["content"] for c in d1["choices"]]
+            == [c["message"]["content"] for c in d2["choices"]])
+    # choice 1 must equal a direct seed+1 call
+    code, d3 = _post(url, "/v1/chat/completions",
+                     {"messages": msgs, "max_tokens": 8,
+                      "temperature": 0.9, "seed": 12})
+    assert d3["choices"][0]["message"]["content"] \
+        == d1["choices"][1]["message"]["content"]
+
+    for body, frag in (
+        ({"messages": msgs, "n": 0}, "[1, 8]"),
+        ({"messages": msgs, "n": 9}, "[1, 8]"),
+        ({"messages": msgs, "n": 2, "stream": True}, "n > 1"),
+    ):
+        code, data = _post(url, "/v1/chat/completions", body)
+        assert code == 400 and frag in str(data), (frag, data)
+    srv.shutdown()
+    llm._driver.close()
