@@ -110,6 +110,41 @@ def _parse_penalties(data: dict, llm) -> tuple[dict, str | None]:
     return pens, None
 
 
+def _parse_logit_bias(data: dict, llm) -> tuple[dict, str | None]:
+    """OpenAI-style `logit_bias` {token_id: bias in [-100, 100]}:
+    forwarded only when the provider's generate() accepts it —
+    unsupported+set is a 400, not a silent drop (same capability
+    contract as penalties/seed). Token ids are validated against the
+    provider's vocab at submit time (the engine raises loudly)."""
+    import inspect
+
+    raw = data.get("logit_bias")
+    if raw is None:
+        return {}, None
+    if not isinstance(raw, dict) or not raw:
+        return {}, "logit_bias must be a non-empty object"
+    if len(raw) > 300:
+        return {}, "logit_bias supports at most 300 entries"
+    bias = {}
+    for k, v in raw.items():
+        try:
+            t = int(k)
+            b = float(v)
+        except (TypeError, ValueError):
+            return {}, ("logit_bias keys must be token ids and values "
+                        "numbers")
+        if not -100.0 <= b <= 100.0:
+            return {}, "logit_bias values must be in [-100, 100]"
+        bias[t] = b
+    try:
+        params = inspect.signature(llm.generate).parameters
+    except (TypeError, ValueError):
+        params = {}
+    if "logit_bias" not in params:
+        return {}, "this provider does not support logit_bias"
+    return {"logit_bias": bias}, None
+
+
 def _parse_seed(data: dict, llm) -> tuple[dict, str | None]:
     """OpenAI-style `seed` from a request body: same (prompt, params,
     seed) reproduces the same sampled generation (the TPU decode
@@ -706,6 +741,11 @@ def make_handler(system: dict):
                     self._send(400, {"error": bad})
                     return
                 gen_kwargs.update(sd)
+                lb, bad = _parse_logit_bias(data, llm)
+                if bad:
+                    self._send(400, {"error": bad})
+                    return
+                gen_kwargs.update(lb)
                 if not data.get("stream"):
                     resp = llm.generate(prompt, **gen_kwargs)
                     self._send(200, {"text": resp.text,
@@ -890,6 +930,11 @@ def make_handler(system: dict):
                     self._send(400, {"error": {"message": bad}})
                     return
                 pens.update(sd)
+                lb, bad = _parse_logit_bias(data, llm)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
+                    return
+                pens.update(lb)
                 if data.get("stream") and len(prompts) > 1:
                     self._send(400, {"error": {"message":
                                      "stream is only supported for a "
@@ -1043,6 +1088,12 @@ def make_handler(system: dict):
                     return
                 seed_kw = dict(sd)  # vision branch needs it separately
                 pens.update(sd)    # rides the same **kwargs forward
+                lb, bad = _parse_logit_bias(data, llm)
+                if bad:
+                    self._send(400, {"error": {"message": bad}})
+                    return
+                pens.update(lb)    # text paths; the vision branch
+                #                    forwards it via its own vkw check
                 try:
                     n_choices = int(data.get("n", 1))
                 except (TypeError, ValueError):
@@ -1094,12 +1145,12 @@ def make_handler(system: dict):
                         vkw["seed"] = seed_kw["seed"]
                     vpen = {k: v for k, v in pens.items()
                             if k in ("frequency_penalty",
-                                     "presence_penalty")}
+                                     "presence_penalty", "logit_bias")}
                     if vpen:
                         if not all(k in vparams for k in vpen):
                             self._send(400, {"error": {"message":
-                                             "penalties are not "
-                                             "supported with image "
+                                             "penalties/logit_bias are "
+                                             "not supported with image "
                                              "input"}})
                             return
                         vkw.update(vpen)

@@ -120,14 +120,19 @@ def topk_topp_sample(logits, temps, rng, top_k: int, top_p: float,
                      idxs[:, 0]).astype(jnp.int32)
 
 
-def apply_penalties(logits, counts, freqs, pres):
+def apply_penalties(logits, counts, freqs, pres, bias=None):
     """OpenAI-style logit adjustment: logits − freq·count −
-    pres·1[count>0] (counts over completion tokens). Zero penalties
-    are a bitwise no-op (x − 0.0 ≡ x), so one program serves penalized
-    and plain traffic. Shared by the plain chunked, scanned
-    speculative, and host-verify programs — one fix site."""
-    return logits - freqs[:, None] * counts \
+    pres·1[count>0] (counts over completion tokens) + bias (static
+    per-request `logit_bias` rows, [b, V] or None). Zero penalties
+    and zero bias are bitwise no-ops (x − 0.0 ≡ x ≡ x + 0.0), so one
+    program serves adjusted and plain traffic. Shared by the plain
+    chunked, scanned speculative, and host-verify programs — one fix
+    site."""
+    out = logits - freqs[:, None] * counts \
         - pres[:, None] * (counts > 0)
+    if bias is not None:
+        out = out + bias
+    return out
 
 
 def penalized_rows(freqs, pres):
@@ -611,10 +616,11 @@ class TextGenerator:
         `counts [b, V] / freqs [b] / pres [b]` carry OpenAI-style
         frequency/presence penalties: logits' = logits − freq·count −
         pres·1[count>0] over COMPLETION tokens (vLLM semantics), with
-        the count update riding the scan. Zero penalties are a bitwise
-        no-op (x − 0.0 ≡ x), so unpenalized pools pay only the [b, V]
-        elementwise adjustments — noise next to the weight sweep —
-        and one program serves both."""
+        the count update riding the scan; `biases [b, V]` adds the
+        static per-request `logit_bias` rows. Zero penalties/bias are
+        a bitwise no-op (x − 0.0 ≡ x), so unadjusted pools pay only
+        the [b, V] elementwise adjustments — noise next to the weight
+        sweep — and one program serves both."""
         key = ("decode_chunk_mixed", b, n_steps, sampling.top_k,
                sampling.top_p, sampling.eos_id, sampling.pad_id)
         if key not in self._programs:
@@ -622,12 +628,14 @@ class TextGenerator:
             eos, pad = sampling.eos_id, sampling.pad_id
 
             @functools.partial(jax.jit, donate_argnums=(1, 3))
-            def decode(params, carry, temps, counts, freqs, pres):
+            def decode(params, carry, temps, counts, freqs, pres,
+                       biases):
                 rowi = jnp.arange(b)
 
                 def step(c, _):
                     logits, caches, pos, done, seeds, counts = c
-                    pl = apply_penalties(logits, counts, freqs, pres)
+                    pl = apply_penalties(logits, counts, freqs, pres,
+                                         biases)
                     token = topk_topp_sample(pl, temps,
                                              step_keys(seeds, pos, 0),
                                              top_k, top_p)

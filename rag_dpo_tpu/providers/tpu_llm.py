@@ -254,6 +254,7 @@ class TPULLMProvider(BaseLLMProvider):
                  priority: int | None = None,
                  frequency_penalty: float = 0.0,
                  presence_penalty: float = 0.0,
+                 logit_bias: dict | None = None,
                  seed: int | None = None) -> LLMResponse:
         """`timeout_s` (or the provider-wide `request_timeout_s`
         default) bounds queue wait + decode on the continuous
@@ -269,6 +270,9 @@ class TPULLMProvider(BaseLLMProvider):
         perturb it. None samples a fresh independent stream per call."""
         t0 = time.time()
         try:
+            if logit_bias and self._driver is None:
+                raise ValueError("logit_bias requires the continuous "
+                                 "scheduler")
             text = f"{system}\n\n{prompt}" if system else prompt
             # the verify window applies to anything the speculative
             # engines will carry: all driver calls, greedy direct ones
@@ -291,7 +295,7 @@ class TPULLMProvider(BaseLLMProvider):
                                   else int(priority)),
                         frequency_penalty=frequency_penalty,
                         presence_penalty=presence_penalty,
-                        seed=seed)
+                        logit_bias=logit_bias, seed=seed)
                 except DeadlineExceeded as e:
                     # partial answer + in-band error: callers that can
                     # use a truncated generation get it, the rest see
@@ -353,6 +357,7 @@ class TPULLMProvider(BaseLLMProvider):
                         priority: int | None = None,
                         frequency_penalty: float = 0.0,
                         presence_penalty: float = 0.0,
+                        logit_bias: dict | None = None,
                         seed: int | None = None):
         """Yield text deltas as the decoder produces them. Incremental
         detokenization re-decodes the full emitted prefix each block and
@@ -366,6 +371,9 @@ class TPULLMProvider(BaseLLMProvider):
         deltas were yielded — consumers that collected them have
         exactly the truncated answer (the RAG stream path records the
         error in-band and keeps the pieces)."""
+        if logit_bias and self._driver is None:
+            raise ValueError("logit_bias requires the continuous "
+                             "scheduler")
         text = f"{system}\n\n{prompt}" if system else prompt
         # the continuous driver carries the speculation (if any), so a
         # stream routed there reserves the verify window too
@@ -393,7 +401,7 @@ class TPULLMProvider(BaseLLMProvider):
                           else int(priority)),
                 frequency_penalty=frequency_penalty,
                 presence_penalty=presence_penalty,
-                seed=seed)
+                logit_bias=logit_bias, seed=seed)
             try:
                 for t in stream:
                     emitted.append(int(t))
@@ -562,6 +570,7 @@ class TPULLMProvider(BaseLLMProvider):
                             max_tokens: int | None = None,
                             frequency_penalty: float = 0.0,
                             presence_penalty: float = 0.0,
+                            logit_bias: dict | None = None,
                             seed: int | None = None) -> LLMResponse:
         """Image + prompt → text, fully on-chip once `attach_vision`
         ran (in-band 'vision not supported' otherwise, matching the
@@ -580,10 +589,11 @@ class TPULLMProvider(BaseLLMProvider):
         try:
             from ..models.generate import SamplingConfig
 
-            if (frequency_penalty or presence_penalty) \
+            if (frequency_penalty or presence_penalty or logit_bias) \
                     and self._driver is None:
-                raise ValueError("penalties with image input require "
-                                 "the continuous scheduler")
+                raise ValueError("penalties/logit_bias with image "
+                                 "input require the continuous "
+                                 "scheduler")
             pre_ids, post_ids, image, max_new = \
                 self._prepare_image_request(prompt, image_bytes,
                                             max_tokens)
@@ -597,7 +607,8 @@ class TPULLMProvider(BaseLLMProvider):
                         deadline_s=self.request_timeout_s,
                         priority=self.priority,
                         frequency_penalty=frequency_penalty,
-                        presence_penalty=presence_penalty, seed=seed)
+                        presence_penalty=presence_penalty,
+                        logit_bias=logit_bias, seed=seed)
                 except DeadlineExceeded as e:
                     return LLMResponse(
                         self._decode_text(np.asarray(e.tokens,
@@ -628,6 +639,7 @@ class TPULLMProvider(BaseLLMProvider):
                                    priority: int | None = None,
                                    frequency_penalty: float = 0.0,
                                    presence_penalty: float = 0.0,
+                                   logit_bias: dict | None = None,
                                    seed: int | None = None):
         """`generate_stream` for an image+text request. Input errors
         (no vision tower, bad image, no decode budget, penalties off
@@ -640,10 +652,10 @@ class TPULLMProvider(BaseLLMProvider):
         concatenate to exactly `generate_with_image(...)`'s text."""
         if getattr(self, "_llava", None) is None:
             raise ValueError("vision not supported")
-        if (frequency_penalty or presence_penalty) \
+        if (frequency_penalty or presence_penalty or logit_bias) \
                 and self._driver is None:
-            raise ValueError("penalties with image input require the "
-                             "continuous scheduler")
+            raise ValueError("penalties/logit_bias with image input "
+                             "require the continuous scheduler")
         pre_ids, post_ids, image, max_new = \
             self._prepare_image_request(prompt, image_bytes, max_tokens)
         if self._driver is None:
@@ -667,7 +679,8 @@ class TPULLMProvider(BaseLLMProvider):
             priority=(self.priority if priority is None
                       else int(priority)),
             frequency_penalty=frequency_penalty,
-            presence_penalty=presence_penalty, seed=seed)
+            presence_penalty=presence_penalty, logit_bias=logit_bias,
+            seed=seed)
 
         def _deltas():
             emitted: list[int] = []

