@@ -1094,6 +1094,42 @@ def make_handler(system: dict):
                     return
                 pens.update(lb)    # text paths; the vision branch
                 #                    forwards it via its own vkw check
+                want_lp = bool(data.get("logprobs"))
+                top_lp = data.get("top_logprobs")
+                if top_lp is not None:
+                    try:
+                        top_lp = int(top_lp)
+                    except (TypeError, ValueError):
+                        top_lp = -1
+                    if not 0 <= top_lp <= 5:
+                        self._send(400, {"error": {"message":
+                                         "top_logprobs must be an "
+                                         "integer in [0, 5]"}})
+                        return
+                    if not want_lp:
+                        self._send(400, {"error": {"message":
+                                         "top_logprobs requires "
+                                         "logprobs: true"}})
+                        return
+                if want_lp:
+                    import inspect as _insp
+
+                    try:
+                        gp = _insp.signature(llm.generate).parameters
+                    except (TypeError, ValueError):
+                        gp = {}
+                    if "logprobs" not in gp:
+                        self._send(400, {"error": {"message":
+                                         "this provider does not "
+                                         "support logprobs"}})
+                        return
+                    if data.get("stream") or image is not None:
+                        self._send(400, {"error": {"message":
+                                         "logprobs are only supported "
+                                         "for non-streaming text "
+                                         "requests"}})
+                        return
+                    pens["logprobs"] = top_lp or 0
                 try:
                     n_choices = int(data.get("n", 1))
                 except (TypeError, ValueError):
@@ -1275,7 +1311,7 @@ def make_handler(system: dict):
                         self._send(502, {"error":
                                          {"message": bad_r.error}})
                         return
-                    texts = []
+                    texts, lpblocks = [], []
                     for r in results:
                         text = r.text
                         cuts = [text.find(s) for s in stops
@@ -1283,6 +1319,17 @@ def make_handler(system: dict):
                         if cuts:
                             text = text[:min(cuts)]
                         texts.append(text)
+                        if want_lp and r.logprobs is not None:
+                            lpblocks.append({"content": [
+                                {"token": e["token"],
+                                 "logprob": e["logprob"],
+                                 "top_logprobs": [
+                                     {"token": x["token"],
+                                      "logprob": x["logprob"]}
+                                     for x in e["top_logprobs"]]}
+                                for e in r.logprobs]})
+                        else:
+                            lpblocks.append(None)
                     n_prompt = sum(len(str(m["content"]).split())
                                    for m in messages)
                     n_out = sum(len(t.split()) for t in texts)
@@ -1292,6 +1339,7 @@ def make_handler(system: dict):
                         "choices": [{"index": i,
                                      "message": {"role": "assistant",
                                                  "content": t},
+                                     "logprobs": lpblocks[i],
                                      "finish_reason": "stop"}
                                     for i, t in enumerate(texts)],
                         "usage": {

@@ -135,6 +135,25 @@ def apply_penalties(logits, counts, freqs, pres, bias=None):
     return out
 
 
+LOGPROB_TOPK = 5   # static top-k alternatives emitted with logprobs
+#                    (OpenAI caps top_logprobs higher, but every extra
+#                    column rides every dispatch; 5 covers the API's
+#                    common use and stays noise-sized)
+
+
+def sampling_logprobs(pl, temps, token):
+    """Per-row logprob of `token` [b] plus the top-LOGPROB_TOPK (ids,
+    values) under the sampling distribution: log-softmax of the
+    adjusted logits `pl` [b, V], temperature-scaled (greedy rows use
+    temp 1), over the FULL vocab — pre top-k/top-p truncation (vLLM's
+    logprobs convention)."""
+    scaled = pl / jnp.where(temps > 0, temps, 1.0)[:, None]
+    ls = jax.nn.log_softmax(scaled, axis=-1)
+    lp = jnp.take_along_axis(ls, token[:, None], axis=1)[:, 0]
+    tv, ti = jax.lax.top_k(ls, LOGPROB_TOPK)
+    return lp, ti.astype(jnp.int32), tv
+
+
 def penalized_rows(freqs, pres):
     """Rows whose target distribution depends on the run's own earlier
     tokens — parallel draft verification is unsound for them, so the
@@ -620,7 +639,16 @@ class TextGenerator:
         static per-request `logit_bias` rows. Zero penalties/bias are
         a bitwise no-op (x − 0.0 ≡ x), so unadjusted pools pay only
         the [b, V] elementwise adjustments — noise next to the weight
-        sweep — and one program serves both."""
+        sweep — and one program serves both.
+
+        Besides tokens the program emits per-step LOGPROBS: the chosen
+        token's log-probability and the top-`LOGPROB_TOPK` (ids,
+        values) under the sampling distribution — log-softmax of the
+        penalty/bias-adjusted, temperature-scaled logits over the FULL
+        vocab (pre top-k/top-p truncation, vLLM's convention). The
+        extra cost is one [b, V] log-softmax per step — noise next to
+        the weight sweep — so every request pays it and none recompile
+        when a logprobs request joins."""
         key = ("decode_chunk_mixed", b, n_steps, sampling.top_k,
                sampling.top_p, sampling.eos_id, sampling.pad_id)
         if key not in self._programs:
@@ -640,6 +668,7 @@ class TextGenerator:
                                              step_keys(seeds, pos, 0),
                                              top_k, top_p)
                     token = jnp.where(done, pad, token)
+                    lp, ti, tv = sampling_logprobs(pl, temps, token)
                     counts = counts.at[rowi, token].add(
                         jnp.where(done, 0.0, 1.0))
                     done = done | (token == eos)
@@ -647,16 +676,17 @@ class TextGenerator:
                         params, token[:, None], pos[:, None], caches,
                     )
                     return (new_logits[:, 0], caches, pos + 1, done,
-                            seeds, counts), token
+                            seeds, counts), (token, lp, ti, tv)
 
                 logits, caches, pos, done, seeds = carry
-                (logits, caches, pos, done, seeds, counts), tokens = \
-                    jax.lax.scan(
+                (logits, caches, pos, done, seeds, counts), \
+                    (tokens, lps, tis, tvs) = jax.lax.scan(
                         step,
                         (logits, caches, pos, done, seeds, counts),
                         None, length=n_steps)
                 return (logits, caches, pos, done, seeds), tokens.T, \
-                    counts
+                    counts, lps.T, jnp.swapaxes(tis, 0, 1), \
+                    jnp.swapaxes(tvs, 0, 1)
 
             self._programs[key] = decode
         return self._programs[key]

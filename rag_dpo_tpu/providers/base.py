@@ -21,6 +21,10 @@ class LLMResponse:
     model: str = ""
     duration: float = 0.0
     error: str | None = None
+    # per-token logprobs when the caller asked for them (providers
+    # that support it): [{"id", "token", "logprob", "top_logprobs":
+    # [{"id", "token", "logprob"}...]}, ...]; None otherwise
+    logprobs: list | None = None
 
     @property
     def ok(self) -> bool:

@@ -205,6 +205,23 @@ class TPULLMProvider(BaseLLMProvider):
     def load_converted(self, state_dict):
         self.generator.load_converted(state_dict)
 
+    def _format_logprobs(self, toks, raw) -> list:
+        """Engine logprobs [(lp, [(id, lp)...])] → OpenAI-shaped
+        dicts with decoded per-token text (each token decoded alone —
+        subword pieces, the standard logprobs convention)."""
+        out = []
+        for t, (lp, top) in zip(toks, raw):
+            out.append({
+                "id": int(t),
+                "token": self._decode_text(np.asarray([t], np.int32)),
+                "logprob": float(lp),
+                "top_logprobs": [
+                    {"id": int(a),
+                     "token": self._decode_text(
+                         np.asarray([a], np.int32)),
+                     "logprob": float(b)} for a, b in top]})
+        return out
+
     def _decode_text(self, token_ids) -> str:
         tok = self.tokenizer
         if hasattr(tok, "_tok"):  # HF fast tokenizer adapter
@@ -255,6 +272,7 @@ class TPULLMProvider(BaseLLMProvider):
                  frequency_penalty: float = 0.0,
                  presence_penalty: float = 0.0,
                  logit_bias: dict | None = None,
+                 logprobs: int | None = None,
                  seed: int | None = None) -> LLMResponse:
         """`timeout_s` (or the provider-wide `request_timeout_s`
         default) bounds queue wait + decode on the continuous
@@ -270,9 +288,10 @@ class TPULLMProvider(BaseLLMProvider):
         perturb it. None samples a fresh independent stream per call."""
         t0 = time.time()
         try:
-            if logit_bias and self._driver is None:
-                raise ValueError("logit_bias requires the continuous "
-                                 "scheduler")
+            if (logit_bias or logprobs is not None) \
+                    and self._driver is None:
+                raise ValueError("logit_bias/logprobs require the "
+                                 "continuous scheduler")
             text = f"{system}\n\n{prompt}" if system else prompt
             # the verify window applies to anything the speculative
             # engines will carry: all driver calls, greedy direct ones
@@ -288,14 +307,31 @@ class TPULLMProvider(BaseLLMProvider):
                 deadline = (timeout_s if timeout_s is not None
                             else self.request_timeout_s)
                 try:
-                    toks = self._driver.generate(
-                        row, int(enc.lengths[0]), max_new,
-                        temperature=temperature, deadline_s=deadline,
-                        priority=(self.priority if priority is None
-                                  else int(priority)),
-                        frequency_penalty=frequency_penalty,
-                        presence_penalty=presence_penalty,
-                        logit_bias=logit_bias, seed=seed)
+                    lps = None
+                    if logprobs is not None:
+                        toks, raw_lps = \
+                            self._driver.generate_with_logprobs(
+                                row, int(enc.lengths[0]), max_new,
+                                logprobs=int(logprobs),
+                                temperature=temperature,
+                                deadline_s=deadline,
+                                priority=(self.priority
+                                          if priority is None
+                                          else int(priority)),
+                                frequency_penalty=frequency_penalty,
+                                presence_penalty=presence_penalty,
+                                logit_bias=logit_bias, seed=seed)
+                        lps = self._format_logprobs(toks, raw_lps)
+                    else:
+                        toks = self._driver.generate(
+                            row, int(enc.lengths[0]), max_new,
+                            temperature=temperature,
+                            deadline_s=deadline,
+                            priority=(self.priority if priority is None
+                                      else int(priority)),
+                            frequency_penalty=frequency_penalty,
+                            presence_penalty=presence_penalty,
+                            logit_bias=logit_bias, seed=seed)
                 except DeadlineExceeded as e:
                     # partial answer + in-band error: callers that can
                     # use a truncated generation get it, the rest see
@@ -304,7 +340,8 @@ class TPULLMProvider(BaseLLMProvider):
                                        self.model_name,
                                        time.time() - t0, error=str(e))
                 return LLMResponse(self._decode_text(toks),
-                                   self.model_name, time.time() - t0)
+                                   self.model_name, time.time() - t0,
+                                   logprobs=lps)
             if self._spec is not None and temperature <= 0:
                 sampling = SamplingConfig(
                     top_p=self.top_p,

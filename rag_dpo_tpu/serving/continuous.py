@@ -65,6 +65,7 @@ import numpy as np
 from ..models.decoder import DecoderModel
 from ..models.generate import (SamplingConfig, TextGenerator,
                                apply_penalties, mix_seed,
+                               sampling_logprobs,
                                penalized_rows, step_keys,
                                topk_topp_sample)
 
@@ -97,6 +98,10 @@ class _Request:
     #                          prompt + tokens[:consumed])
     logit_bias: Any = None   # {token_id: additive logit bias} — static
     #                          per request, rebuilt on every admission
+    want_logprobs: Any = None  # None=off; 0..LOGPROB_TOPK = number of
+    #                            top alternatives to keep per token
+    logprobs: list = dataclasses.field(default_factory=list)
+    #                          per emitted token: (lp, [(id, lp)...])
     embeds: Any = None       # [S, H] prefix embeddings (multimodal
     #                          submit_embeds): prefill runs the embeds
     #                          program, ids is a pad placeholder; the
@@ -280,6 +285,10 @@ class ContinuousEngine:
         self._counts = None            # [slots, V] f32, lazily built
         self._bias = None              # [slots, V] static logit_bias
         #                                rows (same setters as counts)
+        # logprobs-requesting slots decode sequentially in spec mode
+        # (their per-token lp is extracted at the position-0 draw)
+        self._lpf = np.zeros((self.slots,), bool)
+        self._lpf_dev = None
         # device mirror of _temps, refreshed only on admission: an
         # upload per DISPATCH costs a full tunnel round trip (~30 ms,
         # measured as ~40% overhead on a 190 ms batch-8 dispatch)
@@ -398,12 +407,13 @@ class ContinuousEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 4))
         def verify(params, carry, drafts, temps, counts, freqs, pres,
-                   biases):
+                   biases, wantlp):
             logits, caches, pos, done, seeds = carry
             live = ~done
             pl = apply_penalties(logits, counts, freqs, pres, biases)
             t1 = topk_topp_sample(pl, temps, step_keys(seeds, pos, 0),
                                   top_k, top_p)
+            lp1, lti, ltv = sampling_logprobs(pl, temps, t1)
             inputs = jnp.concatenate([t1[:, None], drafts], axis=1)
             positions = pos[:, None] + jnp.arange(1 + k)[None, :]
             wmask = live[:, None] & (positions < cfg.max_seq_len)
@@ -419,7 +429,7 @@ class ContinuousEngine:
             # argmaxes RAW logits, which a bias may reorder, so they
             # advance one (bias-correct) token per step instead
             pen = penalized_rows(freqs, pres) \
-                | jnp.any(biases != 0, axis=-1)
+                | jnp.any(biases != 0, axis=-1) | wantlp
             n_acc = 1 + jnp.where(
                 (temps > 0) | pen, 0,
                 jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1),
@@ -433,7 +443,7 @@ class ContinuousEngine:
                 la, jnp.clip(n_acc - 1, 0)[:, None, None], axis=1)[:, 0]
             logits = jnp.where(live[:, None], new_logits, logits)
             return (logits, caches, pos + n_acc, done, seeds), n_acc, \
-                t1, counts
+                t1, counts, lp1, lti, ltv
 
         return verify
 
@@ -462,7 +472,7 @@ class ContinuousEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 6))
         def spec_chunk(params, carry, ids_buf, limits, temps, excl0,
-                       counts0, freqs, pres, biases):
+                       counts0, freqs, pres, biases, wantlp):
             L = ids_buf.shape[1]
             idx = jnp.arange(1 + k)[None, :]
             rowi = jnp.arange(b)
@@ -476,7 +486,7 @@ class ContinuousEngine:
             # draft-probability computation read raw `la` logits,
             # which the bias reorders
             pen = penalized_rows(freqs, pres) \
-                | jnp.any(biases != 0, axis=-1)
+                | jnp.any(biases != 0, axis=-1) | wantlp
 
             def step(c, _):
                 logits, caches, pos, done, seeds, ids_buf, excl, \
@@ -491,6 +501,7 @@ class ContinuousEngine:
                 t1 = topk_topp_sample(pl, temps,
                                       step_keys(seeds, pos, 0), top_k,
                                       top_p, exclude=excl)
+                lp1, lti, ltv = sampling_logprobs(pl, temps, t1)
                 # write t1 at pos so the tail n-gram includes it
                 cur_c = jnp.clip(pos, 0, L - 1)
                 old = ids_buf[rowi, cur_c]
@@ -558,17 +569,17 @@ class ContinuousEngine:
                 done = done | jnp.any(is_eos & valid, axis=1) \
                     | (pos >= limits)
                 return (logits, caches, pos, done, seeds, ids_buf,
-                        excl, counts), (inputs, valid)
+                        excl, counts), (inputs, valid, lp1, lti, ltv)
 
             logits, caches, pos, done, seeds = carry
             (logits, caches, pos, done, seeds, ids_buf, excl, counts), \
-                (toks, valid) = jax.lax.scan(
+                (toks, valid, lps, ltis, ltvs) = jax.lax.scan(
                     step,
                     (logits, caches, pos, done, seeds, ids_buf, excl0,
                      counts0),
                     None, length=S)
             return (logits, caches, pos, done, seeds), ids_buf, \
-                toks, valid, excl, counts
+                toks, valid, excl, counts, lps, ltis, ltvs
 
         return spec_chunk
 
@@ -641,6 +652,19 @@ class ContinuousEngine:
             out[t] = v
         return out
 
+    def _check_logprobs(self, logprobs) -> int | None:
+        """None = off; 0..LOGPROB_TOPK = how many top alternatives to
+        keep per emitted token (the chosen token's lp always comes)."""
+        if logprobs is None:
+            return None
+        from ..models.generate import LOGPROB_TOPK
+
+        lp = int(logprobs)
+        if not 0 <= lp <= LOGPROB_TOPK:
+            raise ValueError(
+                f"logprobs must be in [0, {LOGPROB_TOPK}], got {lp}")
+        return lp
+
     def submit(self, prompt_ids, length: int, max_new: int,
                on_token: Callable | None = None,
                temperature: float | None = None,
@@ -648,6 +672,7 @@ class ContinuousEngine:
                frequency_penalty: float = 0.0,
                presence_penalty: float = 0.0,
                logit_bias: dict | None = None,
+               logprobs: int | None = None,
                seed: int | None = None) -> int:
         """Queue a request; returns its id. `on_token(rid, token_id)`
         fires per decoded token (streaming). `temperature` overrides
@@ -672,6 +697,7 @@ class ContinuousEngine:
         from ..tokenize.base import bucket_length
 
         logit_bias = self._check_bias(logit_bias)
+        logprobs = self._check_logprobs(logprobs)
 
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         length = min(int(length), len(ids))
@@ -698,7 +724,7 @@ class ContinuousEngine:
                              else int(seed) & 0xFFFFFFFF),
                        on_token=on_token, priority=int(priority),
                        submit_step=self.stats["steps"],
-                       logit_bias=logit_bias)
+                       logit_bias=logit_bias, want_logprobs=logprobs)
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
@@ -710,6 +736,7 @@ class ContinuousEngine:
                       frequency_penalty: float = 0.0,
                       presence_penalty: float = 0.0,
                       logit_bias: dict | None = None,
+                      logprobs: int | None = None,
                       seed: int | None = None) -> int:
         """Queue a MULTIMODAL request: `embeds` [S, H] (or [1, S, H])
         is the full prefix — prompt-token embeddings with projected
@@ -725,6 +752,7 @@ class ContinuousEngine:
         from ..tokenize.base import bucket_length
 
         logit_bias = self._check_bias(logit_bias)
+        logprobs = self._check_logprobs(logprobs)
         e = jnp.asarray(embeds)
         if e.ndim == 3:
             e = e[0]
@@ -755,7 +783,8 @@ class ContinuousEngine:
                              else int(seed) & 0xFFFFFFFF),
                        on_token=on_token, priority=int(priority),
                        submit_step=self.stats["steps"],
-                       logit_bias=logit_bias, embeds=e)
+                       logit_bias=logit_bias, want_logprobs=logprobs,
+                       embeds=e)
         self._queue.append(req)
         self._requests[req.rid] = req
         return req.rid
@@ -890,6 +919,8 @@ class ContinuousEngine:
         self._pp[slot] = req.presence_penalty
         self._fp_dev = jnp.asarray(self._fp)
         self._pp_dev = jnp.asarray(self._pp)
+        self._lpf[slot] = req.want_logprobs is not None
+        self._lpf_dev = jnp.asarray(self._lpf)
         # completion-token counts: zero for a fresh request; a
         # preemption-resumed one rebuilds from the tokens already baked
         # into ids (penalty state survives eviction exactly)
@@ -1153,7 +1184,7 @@ class ContinuousEngine:
             return 0
         if self.speculative and self._draft_fn is None:
             if self._spec_mode or not self.adaptive:
-                tokens = self._spec_chunk_advance()  # slot → token list
+                tokens, lpinfo = self._spec_chunk_advance()
                 self.stats["spec_dispatches"] += 1
                 if self.adaptive:
                     self._judge_speculation()
@@ -1164,7 +1195,7 @@ class ContinuousEngine:
                 # would wrongly suppress a token)
                 if getattr(self, "_excl", None) is not None:
                     self._excl[:] = -1
-                tokens = self._plain_advance()
+                tokens, lpinfo = self._plain_advance()
                 self.stats["plain_dispatches"] += 1
                 self._plain_left -= 1
                 if self._plain_left <= 0:         # probe speculation
@@ -1173,9 +1204,9 @@ class ContinuousEngine:
                     self._spec_seen = 0
                     self._accept_ema = None
         elif self.speculative:
-            tokens = self._spec_advance()         # [slots, ≤1+K] lists
+            tokens, lpinfo = self._spec_advance()  # [slots, ≤1+K] lists
         else:
-            tokens = self._plain_advance()        # [slots, chunk]
+            tokens, lpinfo = self._plain_advance()  # [slots, chunk]
         self.stats["steps"] += 1
         self.stats["occupancy_sum"] += len(self._active)
 
@@ -1183,7 +1214,7 @@ class ContinuousEngine:
         eos, pad = self.sampling.eos_id, self.sampling.pad_id
         for slot, req in list(self._active.items()):
             finished = False
-            for t in tokens[slot]:
+            for i, t in enumerate(tokens[slot]):
                 t = int(t)
                 if len(req.tokens) >= req.max_new:
                     finished = True
@@ -1195,6 +1226,13 @@ class ContinuousEngine:
                     finished = True
                     break
                 req.tokens.append(t)
+                if req.want_logprobs is not None and slot in lpinfo:
+                    lp, ti, tv = lpinfo[slot][i]
+                    k = req.want_logprobs
+                    req.logprobs.append(
+                        (float(lp),
+                         [(int(a), float(b))
+                          for a, b in zip(ti[:k], tv[:k])]))
                 emitted += 1
                 if req.on_token is not None:
                     try:
@@ -1243,14 +1281,29 @@ class ContinuousEngine:
         return self._bias
 
     def _plain_advance(self):
-        """One plain chunked-decode dispatch over the pool."""
+        """One plain chunked-decode dispatch over the pool. Returns
+        (tokens [slots, chunk], lpinfo) where lpinfo[slot] is a list of
+        (lp, top_ids, top_vals) aligned 1:1 with tokens[slot] — only
+        materialized for slots that asked for logprobs (the device
+        fetch of the [slots, chunk, 5] alternatives is skipped
+        entirely when nobody did)."""
         decode = self.gen._decode_chunk_mixed(
             self.slots, self.chunk, self.sampling)
-        self._carry, toks, self._counts = decode(
+        self._carry, toks, self._counts, lps, tis, tvs = decode(
             self._params, self._carry, self._temps_dev,
             self._counts_dev(), self._fp_dev, self._pp_dev,
             self._bias_dev())
-        return np.asarray(toks)                   # [slots, chunk]
+        lpinfo = {}
+        if any(r.want_logprobs is not None
+               for r in self._active.values()):
+            lps, tis, tvs = (np.asarray(lps), np.asarray(tis),
+                             np.asarray(tvs))
+            for slot, r in self._active.items():
+                if r.want_logprobs is not None:
+                    lpinfo[slot] = [(lps[slot, j], tis[slot, j],
+                                     tvs[slot, j])
+                                    for j in range(lps.shape[1])]
+        return np.asarray(toks), lpinfo           # [slots, chunk]
 
     def _judge_speculation(self):
         """After a probe window, keep speculating only while the EMA
@@ -1290,12 +1343,12 @@ class ContinuousEngine:
         slot is exactly its next emitted tokens (EOS included), so the
         ordinary harvest loop applies unchanged."""
         n_live = len(self._active)
-        self._carry, self._ids_buf, toks, valid, excl, self._counts = \
-            self._spec_chunk_jit(
+        (self._carry, self._ids_buf, toks, valid, excl, self._counts,
+         lps, tis, tvs) = self._spec_chunk_jit(
                 self._params, self._carry, self._ids_buf, self._limits,
                 self._temps_dev, jnp.asarray(self._excl),
                 self._counts_dev(), self._fp_dev, self._pp_dev,
-                self._bias_dev())
+                self._bias_dev(), self._lpf_dev)
         self._excl = np.array(excl)   # copy: jax views are read-only
         toks, valid = np.asarray(toks), np.asarray(valid)
         if self.adaptive and n_live:
@@ -1304,10 +1357,24 @@ class ContinuousEngine:
             a = float(valid.sum()) / (self.chunk * n_live)
             self._accept_ema = a if self._accept_ema is None \
                 else 0.5 * self._accept_ema + 0.5 * a
+        lpinfo = {}
+        if any(r.want_logprobs is not None
+               for r in self._active.values()):
+            lps, tis, tvs = (np.asarray(lps), np.asarray(tis),
+                             np.asarray(tvs))
+            for slot, r in self._active.items():
+                if r.want_logprobs is not None:
+                    # logprobs slots never accept drafts (gated into
+                    # the sequential lane), so each scan step emits at
+                    # most its position-0 token — the one `lps` covers
+                    lpinfo[slot] = [(lps[st, slot], tis[st, slot],
+                                     tvs[st, slot])
+                                    for st in range(toks.shape[0])
+                                    if valid[st, slot, 0]]
         return {slot: [int(t) for s in range(toks.shape[0])
                        for t, v in zip(toks[s, slot], valid[s, slot])
                        if v]
-                for slot in self._active}
+                for slot in self._active}, lpinfo
 
     def _spec_advance(self) -> dict[int, list[int]]:
         """One speculative pool step: host drafts per slot, one verify
@@ -1331,14 +1398,24 @@ class ContinuousEngine:
                 np.asarray(req.tokens[req.consumed:] + [int(t1g[slot])],
                            np.int32)])
             drafts[slot] = draft(hist, k, n, pad)
-        self._carry, n_acc, t1, self._counts = self._verify_jit(
+        (self._carry, n_acc, t1, self._counts, lp1, lti,
+         ltv) = self._verify_jit(
             self._params, self._carry, jnp.asarray(drafts),
             self._temps_dev, self._counts_dev(), self._fp_dev,
-            self._pp_dev, self._bias_dev())
+            self._pp_dev, self._bias_dev(), self._lpf_dev)
         n_acc, t1 = np.asarray(n_acc), np.asarray(t1)
+        lpinfo = {}
+        if any(r.want_logprobs is not None
+               for r in self._active.values()):
+            lp1, lti, ltv = (np.asarray(lp1), np.asarray(lti),
+                             np.asarray(ltv))
+            for slot, r in self._active.items():
+                if r.want_logprobs is not None:
+                    # gated to n_acc=1: the only emission is t1
+                    lpinfo[slot] = [(lp1[slot], lti[slot], ltv[slot])]
         return {slot: [int(t1[slot])]
                 + [int(t) for t in drafts[slot][:n_acc[slot] - 1]]
-                for slot in self._active}
+                for slot in self._active}, lpinfo
 
     @property
     def busy(self) -> bool:
@@ -1447,13 +1524,14 @@ class ContinuousDriver:
     def _submit(self, prompt_ids, length, max_new, on_token, temperature,
                 deadline_s=None, priority=0,
                 frequency_penalty=0.0, presence_penalty=0.0,
-                seed=None, logit_bias=None):
+                seed=None, logit_bias=None, logprobs=None):
         import threading
 
         evt = threading.Event()
         box: dict = {}
         ctl: dict = {"rid": None, "cancelled": False,
                      "seed": seed, "logit_bias": logit_bias,
+                     "logprobs": logprobs,
                      "penalties": (float(frequency_penalty),
                                    float(presence_penalty))}
         if deadline_s is not None:
@@ -1548,6 +1626,31 @@ class ContinuousDriver:
             priority=priority, frequency_penalty=frequency_penalty,
             presence_penalty=presence_penalty, logit_bias=logit_bias,
             seed=seed).result()
+
+    def generate_with_logprobs(self, prompt_ids, length: int,
+                               max_new: int, logprobs: int = 0,
+                               temperature: float | None = None,
+                               deadline_s: float | None = None,
+                               priority: int = 0,
+                               frequency_penalty: float = 0.0,
+                               presence_penalty: float = 0.0,
+                               logit_bias: dict | None = None,
+                               seed: int | None = None
+                               ) -> tuple[list[int], list]:
+        """`generate` that also returns per-token logprobs:
+        [(lp, [(token_id, lp), ...top]) ...] aligned with the tokens.
+        `logprobs` = how many top alternatives per token (0..5); the
+        chosen token's lp always comes. Logprobs requests decode
+        sequentially under speculation (lp extraction happens at the
+        position-0 draw), so neighbors keep speculating."""
+        evt, box, _ = self._submit(prompt_ids, length, max_new,
+                                   None, temperature, deadline_s,
+                                   priority, frequency_penalty,
+                                   presence_penalty, seed, logit_bias,
+                                   int(logprobs))
+        evt.wait()
+        toks = self._result(box)
+        return toks, box.get("logprobs") or []
 
     @staticmethod
     def _result(box: dict) -> list[int]:
@@ -1723,6 +1826,7 @@ class ContinuousDriver:
                               frequency_penalty=fp,
                               presence_penalty=pp,
                               logit_bias=ctl.get("logit_bias"),
+                              logprobs=ctl.get("logprobs"),
                               seed=ctl.get("seed"))
                     ctl["rid"] = rid
                     self._events[rid] = (evt, box)
@@ -1738,7 +1842,10 @@ class ContinuousDriver:
                 self.engine.cancel(rid)
                 evt, box = self._events.pop(rid)
                 box["cancelled"] = True
-                box["tokens"] = self.engine._requests[rid].tokens
+                req_done = self.engine._requests[rid]
+                box["tokens"] = req_done.tokens
+                if req_done.want_logprobs is not None:
+                    box["logprobs"] = req_done.logprobs
                 evt.set()
             if self._watch:
                 # deadline sweep: while any deadline'd request is live
@@ -1797,5 +1904,7 @@ class ContinuousDriver:
                         box["error"] = req.error
                     else:
                         box["tokens"] = req.tokens
+                    if req.want_logprobs is not None:
+                        box["logprobs"] = req.logprobs
                     evt.set()
                     del self._events[rid]
