@@ -121,10 +121,13 @@ def _parse_logit_bias(data: dict, llm) -> tuple[dict, str | None]:
     raw = data.get("logit_bias")
     if raw is None:
         return {}, None
-    if not isinstance(raw, dict) or not raw:
-        return {}, "logit_bias must be a non-empty object"
+    if not isinstance(raw, dict):
+        return {}, "logit_bias must be an object"
+    if not raw:                      # {} = explicit no-op (OpenAI)
+        return {}, None
     if len(raw) > 300:
         return {}, "logit_bias supports at most 300 entries"
+    vocab = getattr(getattr(llm, "config", None), "vocab_size", None)
     bias = {}
     for k, v in raw.items():
         try:
@@ -135,6 +138,9 @@ def _parse_logit_bias(data: dict, llm) -> tuple[dict, str | None]:
                         "numbers")
         if not -100.0 <= b <= 100.0:
             return {}, "logit_bias values must be in [-100, 100]"
+        if vocab is not None and not 0 <= t < vocab:
+            return {}, (f"logit_bias token id {t} outside the "
+                        f"provider vocab [0, {vocab})")
         bias[t] = b
     try:
         params = inspect.signature(llm.generate).parameters
@@ -752,6 +758,14 @@ def make_handler(system: dict):
                                      "model": resp.model,
                                      "error": resp.error})
                     return
+                # eager stream creation: input/capability errors from
+                # the provider (logit_bias off the pool, bad budgets)
+                # still 400 before any SSE byte
+                try:
+                    stream = llm.generate_stream(prompt, **gen_kwargs)
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
+                    return
                 self._raw_started = True
                 self._sse_started = True
                 self.send_response(200)
@@ -760,7 +774,6 @@ def make_handler(system: dict):
                 self.end_headers()
                 # close-on-disconnect cancels the decode request (see
                 # /query stream) — the slot frees at the next step
-                stream = llm.generate_stream(prompt, **gen_kwargs)
                 try:
                     for delta in stream:
                         payload = json.dumps({"delta": delta},
@@ -888,6 +901,16 @@ def make_handler(system: dict):
                     self._send(503, {"error": {"message":
                                                "no LLM loaded"}})
                     return
+                for legacy in ("logprobs", "echo", "best_of",
+                               "suffix", "n"):
+                    v = data.get(legacy)
+                    if v not in (None, False) and not (
+                            legacy == "n" and v == 1):
+                        self._send(400, {"error": {"message":
+                                         f"'{legacy}' is not supported "
+                                         "on /v1/completions — use "
+                                         "/v1/chat/completions"}})
+                        return
                 raw = data.get("prompt")
                 prompts = [raw] if isinstance(raw, str) else raw
                 if (not isinstance(prompts, list) or not prompts
@@ -945,7 +968,16 @@ def make_handler(system: dict):
                 created = int(_time.time())
                 if data.get("stream"):
                     gs = getattr(llm, "generate_stream", None)
-                    whole = None
+                    whole = stream = None
+                    if gs is not None:
+                        try:
+                            stream = gs(prompts[0],
+                                        temperature=temperature,
+                                        max_tokens=max_new, **pens)
+                        except ValueError as e:
+                            self._send(400, {"error":
+                                             {"message": str(e)}})
+                            return
                     if gs is None:
                         # provider without native token streaming:
                         # blocking decode BEFORE the SSE headers (so
@@ -985,9 +1017,6 @@ def make_handler(system: dict):
                         if whole:
                             cchunk(whole)
                     else:
-                        stream = gs(prompts[0],
-                                    temperature=temperature,
-                                    max_tokens=max_new, **pens)
                         _sse_pump(stream,
                                   lambda d, finish=None: cchunk(
                                       d.get("content", ""), finish),
@@ -1097,14 +1126,17 @@ def make_handler(system: dict):
                 want_lp = bool(data.get("logprobs"))
                 top_lp = data.get("top_logprobs")
                 if top_lp is not None:
+                    from ..models.generate import LOGPROB_TOPK
+
                     try:
                         top_lp = int(top_lp)
                     except (TypeError, ValueError):
                         top_lp = -1
-                    if not 0 <= top_lp <= 5:
+                    if not 0 <= top_lp <= LOGPROB_TOPK:
                         self._send(400, {"error": {"message":
                                          "top_logprobs must be an "
-                                         "integer in [0, 5]"}})
+                                         "integer in "
+                                         f"[0, {LOGPROB_TOPK}]"}})
                         return
                     if not want_lp:
                         self._send(400, {"error": {"message":
@@ -1130,8 +1162,9 @@ def make_handler(system: dict):
                                          "requests"}})
                         return
                     pens["logprobs"] = top_lp or 0
+                raw_n = data.get("n")
                 try:
-                    n_choices = int(data.get("n", 1))
+                    n_choices = 1 if raw_n is None else int(raw_n)
                 except (TypeError, ValueError):
                     n_choices = 0
                 if not 1 <= n_choices <= 8:
@@ -1320,6 +1353,18 @@ def make_handler(system: dict):
                             text = text[:min(cuts)]
                         texts.append(text)
                         if want_lp and r.logprobs is not None:
+                            # align with the stop-truncated content:
+                            # keep entries only while the accumulated
+                            # per-token text is stop-free, so
+                            # logprobs.content never leaks tokens past
+                            # the cut
+                            entries, acc2 = [], ""
+                            for e in r.logprobs:
+                                if cuts and any(st in acc2
+                                                for st in stops):
+                                    break
+                                entries.append(e)
+                                acc2 += e["token"]
                             lpblocks.append({"content": [
                                 {"token": e["token"],
                                  "logprob": e["logprob"],
@@ -1327,7 +1372,7 @@ def make_handler(system: dict):
                                      {"token": x["token"],
                                       "logprob": x["logprob"]}
                                      for x in e["top_logprobs"]]}
-                                for e in r.logprobs]})
+                                for e in entries]})
                         else:
                             lpblocks.append(None)
                     n_prompt = sum(len(str(m["content"]).split())
@@ -1348,6 +1393,17 @@ def make_handler(system: dict):
                             "total_tokens": n_prompt + n_out},
                     })
                     return
+                # create the stream BEFORE the SSE headers: eager
+                # providers (the TPU one) raise input/capability
+                # errors at call time, which still map to clean 4xx
+                try:
+                    stream = llm.chat_stream(messages,
+                                             temperature=temperature,
+                                             max_tokens=max_new,
+                                             **pens)
+                except ValueError as e:
+                    self._send(400, {"error": {"message": str(e)}})
+                    return
                 self._raw_started = True
                 self._sse_started = True
                 self.send_response(200)
@@ -1366,9 +1422,6 @@ def make_handler(system: dict):
                     self.wfile.flush()
 
                 chunk({"role": "assistant", "content": ""})
-                stream = llm.chat_stream(messages,
-                                         temperature=temperature,
-                                         max_tokens=max_new, **pens)
                 _sse_pump(stream, chunk, stops)
                 chunk({}, finish="stop")
                 self.wfile.write(b"data: [DONE]\n\n")

@@ -407,7 +407,12 @@ class TPULLMProvider(BaseLLMProvider):
         raises `DeadlineExceeded` from the stream AFTER the partial
         deltas were yielded — consumers that collected them have
         exactly the truncated answer (the RAG stream path records the
-        error in-band and keeps the pieces)."""
+        error in-band and keeps the pieces).
+
+        Input/capability errors raise EAGERLY — before the returned
+        iterator yields — so an HTTP caller can still answer 4xx
+        before committing to an event stream (same contract as
+        `generate_with_image_stream`)."""
         if logit_bias and self._driver is None:
             raise ValueError("logit_bias requires the continuous "
                              "scheduler")
@@ -418,8 +423,6 @@ class TPULLMProvider(BaseLLMProvider):
             max_tokens, spec=self._driver is not None)
         enc = self.tokenizer.encode_batch(
             [text], min(bucket_length(len(text) // 3 + 2), budget))
-        emitted: list[int] = []
-        prev = ""
         if self._driver is not None:
             # continuous scheduler: the stream joins the slot pool and
             # yields per decoded token — it never waits on long pool
@@ -439,16 +442,21 @@ class TPULLMProvider(BaseLLMProvider):
                 frequency_penalty=frequency_penalty,
                 presence_penalty=presence_penalty,
                 logit_bias=logit_bias, seed=seed)
-            try:
-                for t in stream:
-                    emitted.append(int(t))
-                    full = self._decode_text(emitted)
-                    delta, prev = full[len(prev):], full
-                    if delta:
-                        yield delta
-            finally:
-                stream.close()
-            return
+
+            def _pool_deltas():
+                emitted: list[int] = []
+                prev = ""
+                try:
+                    for t in stream:
+                        emitted.append(int(t))
+                        full = self._decode_text(emitted)
+                        delta, prev = full[len(prev):], full
+                        if delta:
+                            yield delta
+                finally:
+                    stream.close()
+
+            return _pool_deltas()
         sampling = SamplingConfig(
             top_p=self.top_p,
             temperature=temperature,
@@ -456,18 +464,24 @@ class TPULLMProvider(BaseLLMProvider):
             eos_id=self.tokenizer.sep_id,
             pad_id=self.tokenizer.pad_id,
         )
-        for block in self.generator.generate_stream(
-                np.asarray(enc.input_ids), np.asarray(enc.lengths),
-                sampling,
-                rng_seeds=np.full((len(enc.lengths),),
-                                  self._row_seed(temperature, seed),
-                                  np.uint32),
-                chunk=chunk):
-            emitted.extend(int(t) for t in block[0])
-            full = self._decode_text(emitted)
-            delta, prev = full[len(prev):], full
-            if delta:
-                yield delta
+
+        def _direct_deltas():
+            emitted: list[int] = []
+            prev = ""
+            for block in self.generator.generate_stream(
+                    np.asarray(enc.input_ids), np.asarray(enc.lengths),
+                    sampling,
+                    rng_seeds=np.full((len(enc.lengths),),
+                                      self._row_seed(temperature, seed),
+                                      np.uint32),
+                    chunk=chunk):
+                emitted.extend(int(t) for t in block[0])
+                full = self._decode_text(emitted)
+                delta, prev = full[len(prev):], full
+                if delta:
+                    yield delta
+
+        return _direct_deltas()
 
     def choose(self, prompt, choices, system=None,
                normalize: bool = True):
@@ -738,14 +752,16 @@ class TPULLMProvider(BaseLLMProvider):
                     priority: int | None = None, **gen_kwargs):
         """Native token-streamed chat: flatten messages the same way the
         base `chat()` does, then ride the decoder's chunked stream.
-        Extra `gen_kwargs` (penalties, timeout_s) forward through."""
+        Extra `gen_kwargs` (penalties, logit_bias, timeout_s) forward
+        through. NOT a generator function: input errors raise at CALL
+        time (before any SSE byte), like `generate_stream`."""
         system, parts = None, []
         for m in messages:
             if m["role"] == "system":
                 system = m["content"]
             else:
                 parts.append(f"{m['role']}: {m['content']}")
-        yield from self.generate_stream(
+        return self.generate_stream(
             "\n\n".join(parts), system=system, temperature=temperature,
             max_tokens=max_tokens, priority=priority, **gen_kwargs)
 

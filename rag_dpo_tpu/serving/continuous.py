@@ -706,9 +706,11 @@ class ContinuousEngine:
         room = self.cfg.max_seq_len - max_new \
             - (self.draft_len if self.speculative else 0)
         s = min(bucket_length(max(len(ids), 1)), room)
-        assert length <= s, (
-            f"prompt length {length} + max_new {max_new} exceeds "
-            f"max_seq_len {self.cfg.max_seq_len}")
+        if length > s:   # explicit: silent truncation would decode a
+            #              corrupted prompt (and -O strips asserts)
+            raise ValueError(
+                f"prompt length {length} + max_new {max_new} exceeds "
+                f"max_seq_len {self.cfg.max_seq_len}")
         padded = np.full((s,), self.sampling.pad_id, np.int32)
         padded[:min(len(ids), s)] = ids[:s]
         ids = padded
@@ -760,12 +762,14 @@ class ContinuousEngine:
             - (self.draft_len if self.speculative else 0)
         s = min(bucket_length(max(e.shape[0], 1)), room)
         length = min(int(length), e.shape[0])
-        assert length <= s, (
-            f"embeds length {length} + max_new {max_new} exceeds "
-            f"max_seq_len {self.cfg.max_seq_len}")
+        if length > s:   # explicit: slicing would chop real image/
+            #              prompt embeddings (and -O strips asserts)
+            raise ValueError(
+                f"embeds length {length} + max_new {max_new} exceeds "
+                f"max_seq_len {self.cfg.max_seq_len}")
         if e.shape[0] != s:   # re-bucket to the budgeted width
             if e.shape[0] > s:
-                e = e[:s]
+                e = e[:s]    # only padding past `length` is cut
             else:
                 e = jnp.pad(e, ((0, s - e.shape[0]), (0, 0)))
         temp = self.sampling.temperature if temperature is None \

@@ -191,3 +191,76 @@ def test_provider_and_http_surface(pool, tmp_path):
     _, bad = _parse_logit_bias({"logit_bias": {"3": 1}},
                                FakeLLMProvider())
     assert bad and "support" in bad
+
+
+def test_review_fixes_bias_http(pool, tmp_path):
+    """Round-3 self-review fixes: out-of-vocab bias ids are a 400 (not
+    a 502), empty {} is an accepted no-op, and stream+logit_bias on a
+    NON-pool provider 400s before any SSE byte."""
+    import json as _json
+    import os
+    import threading as th
+    import urllib.error
+    import urllib.request
+
+    from rag_dpo_tpu.app.server import build_system, serve
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path)
+    system = build_system(agent_too=False)
+    system["stream_llm"] = pool
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(path, body):
+        req = urllib.request.Request(
+            url + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    code, body = post("/generate",
+                      {"prompt": "x", "max_tokens": 4,
+                       "logit_bias": {"999999999": 5}})
+    assert code == 400 and "vocab" in body
+
+    code, body = post("/generate",
+                      {"prompt": "x", "max_tokens": 4,
+                       "logit_bias": {}})
+    assert code == 200
+    srv.shutdown()
+
+    # non-pool provider + stream + logit_bias: clean 400, no SSE bytes
+    direct = TPULLMProvider(DecoderConfig.tiny(), max_new_tokens=8)
+    system2 = dict(system)
+    system2["stream_llm"] = direct
+    srv2 = serve(port=0, system=system2)
+    th.Thread(target=srv2.serve_forever, daemon=True).start()
+    url2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+
+    def post2(path, body):
+        req = urllib.request.Request(
+            url2 + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    for path, body in (
+        ("/generate", {"prompt": "x", "stream": True,
+                       "logit_bias": {"3": 5}}),
+        ("/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "stream": True, "logit_bias": {"3": 5}}),
+        ("/v1/completions", {"prompt": "x", "stream": True,
+                             "logit_bias": {"3": 5}}),
+    ):
+        code, resp_body = post2(path, body)
+        assert code == 400, (path, code, resp_body[:200])
+        assert "continuous" in resp_body
+    srv2.shutdown()

@@ -212,3 +212,70 @@ def test_http_chat_logprobs(pool, tmp_path):
         code = e.code
     assert code == 400
     srv2.shutdown()
+
+
+def test_review_fixes_http_contracts(pool, tmp_path):
+    """Round-3 self-review fixes: logprobs.content trims at stop
+    sequences; /v1/completions rejects legacy logprobs/n/echo/best_of
+    explicitly; n:null means default-1."""
+    import json as _json
+    import os
+    import threading as th
+    import urllib.error
+    import urllib.request
+
+    from rag_dpo_tpu.app.server import build_system, serve
+
+    os.environ["RAGDPO_TPU_ROOT"] = str(tmp_path)
+    system = build_system(agent_too=False)
+    system["stream_llm"] = pool
+    srv = serve(port=0, system=system)
+    th.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(path, body):
+        req = urllib.request.Request(
+            url + path, data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    msgs = [{"role": "user", "content": PROMPT}]
+    code, full = post("/v1/chat/completions",
+                      {"messages": msgs, "max_tokens": 8,
+                       "logprobs": True})
+    assert code == 200
+    n_full = len(full["choices"][0]["logprobs"]["content"])
+    stop_tok = full["choices"][0]["message"]["content"].split()[1]
+    code, cut = post("/v1/chat/completions",
+                     {"messages": msgs, "max_tokens": 8,
+                      "logprobs": True, "stop": [stop_tok]})
+    assert code == 200
+    cut_content = cut["choices"][0]["message"]["content"]
+    lp = cut["choices"][0]["logprobs"]["content"]
+    assert len(lp) < n_full                 # trimmed at the stop
+    joined = "".join(e["token"] for e in lp[:-1])
+    assert stop_tok not in joined
+    assert stop_tok not in cut_content
+
+    # n: null = default 1 (OpenAI clients serialize optional as null)
+    code, d = post("/v1/chat/completions",
+                   {"messages": msgs, "max_tokens": 8, "n": None})
+    assert code == 200 and len(d["choices"]) == 1
+
+    # /v1/completions: legacy params rejected loudly, never dropped
+    for body, frag in (
+        ({"prompt": "x", "logprobs": 2}, "logprobs"),
+        ({"prompt": "x", "n": 3}, "'n'"),
+        ({"prompt": "x", "echo": True}, "echo"),
+        ({"prompt": "x", "best_of": 2}, "best_of"),
+    ):
+        code, d = post("/v1/completions", body)
+        assert code == 400 and frag in str(d), (frag, d)
+    code, d = post("/v1/completions",
+                   {"prompt": "x", "max_tokens": 4, "n": 1})
+    assert code == 200                      # n=1 is the default, fine
+    srv.shutdown()
