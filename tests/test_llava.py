@@ -410,23 +410,32 @@ def test_vision_streaming_pool_and_direct():
     assert isinstance(pen, str)
 
     # early close cancels: slot frees instead of decoding to max_new.
-    # Throttle the engine first or the tiny arch finishes all 8 tokens
-    # before the close lands (the request would already be done).
-    eng = pool._driver.engine
+    # Deterministic setup: a NON-speculative pool (each dispatch emits
+    # exactly `chunk` tokens — drafts could otherwise finish the whole
+    # budget in one dispatch under load) with a 24-token budget and a
+    # throttled step, so after the first delta ≥5 more dispatches
+    # remain and the queued cancel always lands mid-decode.
+    cpool = TPULLMProvider(cfg, params=params, max_new_tokens=24,
+                           continuous=True, max_batch=2)
+    lv_c = cpool.attach_vision(ViTConfig.tiny())
+    lv_c._params = vparams
+    cpool.generate_with_image(q, png)          # warm all programs
+    eng = cpool._driver.engine
     orig_step = eng.step
-    eng.step = lambda: (time.sleep(0.2), orig_step())[1]
+    eng.step = lambda: (time.sleep(0.3), orig_step())[1]
     try:
         before = eng.stats["cancelled"]
-        s = pool.generate_with_image_stream(q, png, max_tokens=8)
+        s = cpool.generate_with_image_stream(q, png, max_tokens=24)
         next(s)
         s.close()
-        deadline = time.time() + 5
+        deadline = time.time() + 10
         while (eng.stats["cancelled"] == before
                and time.time() < deadline):
             time.sleep(0.01)
         assert eng.stats["cancelled"] == before + 1
     finally:
         eng.step = orig_step
+        cpool._driver.close()
 
     # direct scheduler: single delta, equal to the one-shot text
     dref = direct.generate_with_image(q, png)
