@@ -39,7 +39,27 @@ from __future__ import annotations
 
 import json
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# shared bounded pool for the OpenAI fan-out paths (multi-prompt
+# /v1/completions, chat n>1): per-request thread spawning multiplied
+# threads under concurrent clients on a ThreadingHTTPServer — a fixed
+# pool bounds total fan-out concurrency server-wide while the
+# continuous scheduler still co-batches whatever lands together
+_FANOUT_LOCK = threading.Lock()
+_FANOUT_POOL: ThreadPoolExecutor | None = None
+
+
+def _fanout_map(fn, n: int) -> None:
+    """Run fn(0..n-1) on the shared bounded pool (created lazily,
+    16 workers). Callers pre-size a results list; fn writes into it."""
+    global _FANOUT_POOL
+    with _FANOUT_LOCK:
+        if _FANOUT_POOL is None:
+            _FANOUT_POOL = ThreadPoolExecutor(
+                max_workers=16, thread_name_prefix="oai-fanout")
+    list(_FANOUT_POOL.map(fn, range(n)))
 
 
 def _prometheus_lines(tree: dict, prefix: str = "ragdpo"):
@@ -1035,13 +1055,13 @@ def make_handler(system: dict):
                 if len(prompts) == 1:
                     _onep(0)
                 else:
-                    ths = [threading.Thread(target=_onep, args=(i,))
-                           for i in range(len(prompts))]
-                    [t.start() for t in ths]
-                    [t.join() for t in ths]
+                    _fanout_map(_onep, len(prompts))
                 bad_r = next((r for r in results if not r.ok), None)
                 if bad_r is not None:
-                    self._send(502, {"error": {"message": bad_r.error}})
+                    code = 400 if getattr(bad_r, "error_kind",
+                                          None) == "input" else 502
+                    self._send(code,
+                               {"error": {"message": bad_r.error}})
                     return
                 texts = []
                 for r in results:
@@ -1230,10 +1250,14 @@ def make_handler(system: dict):
                             vprompt, image, temperature=temperature,
                             **vkw)
                         if not resp.ok:
-                            err = resp.error or ""
-                            code = 400 if (
-                                "vision not supported" in err
-                                or "penalties" in err) else 502
+                            # structural classification: the provider
+                            # tags caller/capability errors with
+                            # error_kind="input" (bad image bytes, no
+                            # vision tower, no decode budget, penalties
+                            # off the pool) — no substring matching
+                            code = 400 if getattr(
+                                resp, "error_kind", None) == "input" \
+                                else 502
                             self._send(code, {"error":
                                               {"message": resp.error}})
                             return
@@ -1334,15 +1358,22 @@ def make_handler(system: dict):
 
                     if n_choices == 1:
                         _one(0)
+                    elif temperature <= 0:
+                        # greedy decoding is deterministic: n>1 at
+                        # temperature 0 would return n identical
+                        # choices — generate once, replicate (OpenAI
+                        # returns identical choices here too; we just
+                        # skip the redundant compute)
+                        _one(0)
+                        results = [results[0]] * n_choices
                     else:
-                        ths = [threading.Thread(target=_one, args=(i,))
-                               for i in range(n_choices)]
-                        [t.start() for t in ths]
-                        [t.join() for t in ths]
+                        _fanout_map(_one, n_choices)
                     bad_r = next((r for r in results if not r.ok), None)
                     if bad_r is not None:
-                        self._send(502, {"error":
-                                         {"message": bad_r.error}})
+                        code = 400 if getattr(bad_r, "error_kind",
+                                              None) == "input" else 502
+                        self._send(code, {"error":
+                                          {"message": bad_r.error}})
                         return
                     texts, lpblocks = [], []
                     for r in results:
@@ -1354,17 +1385,19 @@ def make_handler(system: dict):
                         texts.append(text)
                         if want_lp and r.logprobs is not None:
                             # align with the stop-truncated content:
-                            # keep entries only while the accumulated
-                            # per-token text is stop-free, so
-                            # logprobs.content never leaks tokens past
-                            # the cut
-                            entries, acc2 = [], ""
+                            # compare accumulated text length against
+                            # the cut index directly, so the entry
+                            # whose token completes (or straddles) the
+                            # stop sequence is dropped — logprobs.
+                            # content never leaks tokens past the cut
+                            cut = min(cuts) if cuts else None
+                            entries, pos = [], 0
                             for e in r.logprobs:
-                                if cuts and any(st in acc2
-                                                for st in stops):
+                                if cut is not None and \
+                                        pos + len(e["token"]) > cut:
                                     break
                                 entries.append(e)
-                                acc2 += e["token"]
+                                pos += len(e["token"])
                             lpblocks.append({"content": [
                                 {"token": e["token"],
                                  "logprob": e["logprob"],

@@ -25,6 +25,11 @@ class LLMResponse:
     # that support it): [{"id", "token", "logprob", "top_logprobs":
     # [{"id", "token", "logprob"}...]}, ...]; None otherwise
     logprobs: list | None = None
+    # structural error class so HTTP layers never classify by
+    # substring-matching error text (advisor r3): "input" = caller/
+    # capability error (maps to 400), None/anything else = server-side
+    # failure (maps to 502)
+    error_kind: str | None = None
 
     @property
     def ok(self) -> bool:
@@ -100,7 +105,8 @@ class BaseLLMProvider(abc.ABC):
     def generate_with_image(
         self, prompt: str, image_bytes: bytes, temperature: float = 0.0
     ) -> LLMResponse:
-        return LLMResponse(text="", error="vision not supported")
+        return LLMResponse(text="", error="vision not supported",
+                           error_kind="input")
 
     def is_available(self) -> bool:
         return True

@@ -386,7 +386,10 @@ class TPULLMProvider(BaseLLMProvider):
                                self.model_name, time.time() - t0)
         except Exception as e:
             return LLMResponse("", self.model_name, time.time() - t0,
-                               error=str(e))
+                               error=str(e),
+                               error_kind=("input"
+                                           if isinstance(e, ValueError)
+                                           else None))
 
     def generate_stream(self, prompt, system=None, temperature=0.0,
                         max_tokens=None, chunk: int = 8,
@@ -583,11 +586,29 @@ class TPULLMProvider(BaseLLMProvider):
 
         from PIL import Image
 
-        image = Image.open(io.BytesIO(image_bytes))
+        try:
+            image = Image.open(io.BytesIO(image_bytes))
+            image.load()
+        except Exception as e:
+            # PIL decode failures (UnidentifiedImageError is an OSError
+            # subclass) are CALLER errors — normalize to ValueError so
+            # every input-class failure in this path shares one type
+            # and the in-band error carries error_kind="input" (400,
+            # not 502, at the HTTP layer)
+            raise ValueError(f"bad image data: {e}") from e
         pre_text = "USER: "
         post_text = "\n" + prompt + "\nASSISTANT:"
         n_img = self._llava.config.num_image_tokens
-        budget, max_new = self._fit_budget(max_tokens)
+        # mirror the text paths (generate/generate_stream): on a
+        # speculative pool submit_embeds budgets
+        # room = max_seq_len - max_new - draft_len, so the draft
+        # reserve must come out of max_new here — otherwise a valid
+        # vision request whose composed prefix lands within draft_len
+        # of its bucket hard-fails ('embeds length ... exceeds
+        # max_seq_len') where the equivalent text request degrades
+        # max_new instead (advisor r3, medium).
+        budget, max_new = self._fit_budget(
+            max_tokens, spec=self._driver is not None)
         post_cap = max(budget - n_img - 8, 16)
         enc = self.tokenizer.encode_batch(
             [pre_text, post_text],
@@ -609,7 +630,10 @@ class TPULLMProvider(BaseLLMProvider):
             post_ids = post_ids[:-1]
         total = len(pre_ids) + n_img + len(post_ids)
         s = bucket_length(total)
-        max_new = min(max_new, self.config.max_seq_len - s)
+        pool_reserve = self._spec_reserve if self._driver is not None \
+            else 0
+        max_new = min(max_new,
+                      self.config.max_seq_len - s - pool_reserve)
         if max_new < 1:
             raise ValueError(
                 f"image prefix ({total} tokens, bucket {s}) leaves "
@@ -636,7 +660,8 @@ class TPULLMProvider(BaseLLMProvider):
         t0 = time.time()
         if getattr(self, "_llava", None) is None:
             return LLMResponse(text="", model=self.model_name,
-                               error="vision not supported")
+                               error="vision not supported",
+                               error_kind="input")
         try:
             from ..models.generate import SamplingConfig
 
@@ -681,7 +706,10 @@ class TPULLMProvider(BaseLLMProvider):
                                self.model_name, time.time() - t0)
         except Exception as e:  # noqa: BLE001 — in-band, like generate
             return LLMResponse("", self.model_name, time.time() - t0,
-                               error=str(e))
+                               error=str(e),
+                               error_kind=("input"
+                                           if isinstance(e, ValueError)
+                                           else None))
 
     def generate_with_image_stream(self, prompt, image_bytes,
                                    temperature: float = 0.0,
