@@ -69,31 +69,58 @@ def keyword_found(keyword: str, answer_norm: str) -> bool:
     return bool(words) and all(w in answer_norm for w in words)
 
 
+def _alts_found(item_str: str, answer_norm: str) -> bool:
+    """One keyword item, possibly with |-separated alternates
+    (reference `_match_item_or_alternates`, run_eval.py:173-228)."""
+    return any(keyword_found(alt, answer_norm)
+               for alt in item_str.split("|"))
+
+
 def keyword_score(item: dict, answer: str) -> tuple[float, list[str]]:
-    """→ (score 0-1, missing keywords). must_not_include is a veto."""
+    """→ (score 0-1, missing keywords). must_not_include is a veto.
+
+    `must_include` is AND (fraction found). `must_include_any` is the
+    dataset's N-of-M dict {"min_count": N, "items": [...]} — each item
+    may carry |-alternates; full credit at ≥N matches, n/N partial
+    credit below (reference run_eval.py:205-228). The two modes
+    average (run_eval.py:230-233). Legacy group forms (a list of
+    "a|b" strings or {"any": [...], "min": n} dicts) score as
+    one 0/1 check each."""
     answer_norm = _norm(answer)
     missing: list[str] = []
-    n_checks = 0
-    n_hit = 0
-    for kw in item.get("must_include") or []:
-        n_checks += 1
-        if keyword_found(kw, answer_norm):
-            n_hit += 1
-        else:
-            missing.append(kw)
-    for group in item.get("must_include_any") or []:
-        # group is "a|b|c" or {"any": [...], "min": n}
-        n_checks += 1
-        if isinstance(group, str):
-            alts, need = group.split("|"), 1
-        else:
-            alts, need = group.get("any", []), int(group.get("min", 1))
-        hits = sum(1 for alt in alts if keyword_found(alt, answer_norm))
-        if hits >= need:
-            n_hit += 1
-        else:
-            missing.append(str(group))
-    score = n_hit / n_checks if n_checks else 1.0
+    scores: list[float] = []
+    must = item.get("must_include") or []
+    if must:
+        n_hit = 0
+        for kw in must:
+            if _alts_found(kw, answer_norm):
+                n_hit += 1
+            else:
+                missing.append(kw)
+        scores.append(n_hit / len(must))
+    any_spec = item.get("must_include_any")
+    if isinstance(any_spec, dict):
+        alts = any_spec.get("items", [])
+        need = int(any_spec.get("min_count", 1))
+        hits = sum(1 for a in alts if _alts_found(a, answer_norm))
+        scores.append(1.0 if hits >= need else hits / max(need, 1))
+        if hits < need:
+            missing.append(f"[any: {hits}/{need} trouvés parmi "
+                           f"{len(alts)}]")
+    elif any_spec:
+        for group in any_spec:
+            # group is "a|b|c" or {"any": [...], "min": n}
+            if isinstance(group, str):
+                galts, need = group.split("|"), 1
+            else:
+                galts = group.get("any", [])
+                need = int(group.get("min", 1))
+            hits = sum(1 for alt in galts
+                       if keyword_found(alt, answer_norm))
+            scores.append(1.0 if hits >= need else 0.0)
+            if hits < need:
+                missing.append(str(group))
+    score = sum(scores) / len(scores) if scores else 1.0
     for kw in item.get("must_not_include") or []:
         if keyword_found(kw, answer_norm):
             score *= 0.3  # forbidden content veto

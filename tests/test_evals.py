@@ -83,6 +83,39 @@ def test_keyword_score_any_and_veto():
     assert s == pytest.approx(0.5)
 
 
+def test_keyword_score_dataset_n_of_m_schema():
+    """The vendored dataset's must_include_any is a top-level dict
+    {"min_count": N, "items": [...]} with |-alternates per item
+    (reference run_eval.py:205-228) — full credit at ≥N matches,
+    n/N partial credit below, averaged with the must_include
+    fraction. A dict must never be iterated as keyword groups
+    (regression: its keys 'min_count'/'items' scored as phantom
+    always-missing checks)."""
+    item = {
+        "must_include": ["risque élevé"],
+        "must_include_any": {
+            "min_count": 2,
+            "items": ["dpo", "évaluation des risques",
+                      "registre|liste des traitements"],
+        },
+    }
+    # must hit + 2 of 3 any-items (one via alternate) → 1.0
+    s, missing = keyword_score(
+        item, "En cas de risque élevé, le DPO tient la liste des "
+              "traitements.")
+    assert s == 1.0 and not missing
+    # must hit + only 1 of required 2 → (1.0 + 0.5) / 2
+    s, missing = keyword_score(
+        item, "En cas de risque élevé, consulter le DPO.")
+    assert s == pytest.approx(0.75)
+    assert any(m.startswith("[any:") for m in missing)
+    assert "min_count" not in str(missing)
+    # must miss + both any-items → (0 + 1) / 2
+    s, _ = keyword_score(
+        item, "Le DPO réalise l'évaluation des risques.")
+    assert s == pytest.approx(0.5)
+
+
 def test_source_quality():
     item = {"expected_sources_keywords": ["violation", "notification"]}
     sources = [{"title": "Guide violation de données", "url": ""}]
