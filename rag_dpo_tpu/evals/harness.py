@@ -122,7 +122,11 @@ def keyword_score(item: dict, answer: str) -> tuple[float, list[str]]:
                 missing.append(str(group))
     score = sum(scores) / len(scores) if scores else 1.0
     for kw in item.get("must_not_include") or []:
-        if keyword_found(kw, answer_norm):
+        # STRICT substring for forbidden content (reference
+        # run_eval.py:246-249): flexible word matching would veto an
+        # answer for containing "50 ans" and "autorisé" in two
+        # unrelated sentences — negations must match the exact phrase
+        if _norm(kw) in answer_norm:
             score *= 0.3  # forbidden content veto
             missing.append(f"INTERDIT:{kw}")
     return score, missing
@@ -242,6 +246,16 @@ class EvalConfig:
     weight_sources: float = 0.20
     n_runs: int = 1
     spread_flag_pct: float = 0.10
+    # calibrate the semantic axis against the dataset's null
+    # distribution: raw cosine is rescaled by how much it exceeds the
+    # answer's MEAN cosine to the other items' expected summaries.
+    # A discriminative encoder (real BGE-M3) is barely affected
+    # (small positive null, order preserved); a degenerate one
+    # (random-init: ~0.99 cosine to EVERYTHING) correctly scores ~0
+    # instead of inflating every answer. Without this, training a
+    # better encoder LOWERS the recorded quality — the axis must
+    # reward discrimination, not saturation.
+    semantic_calibrated: bool = True
 
 
 class EvalHarness:
@@ -263,11 +277,35 @@ class EvalHarness:
         )
         return float(np.clip(np.dot(vecs[0], vecs[1]), 0.0, 1.0))
 
-    def evaluate_single(self, item: dict, response) -> dict:
+    def _calibrated_semantics(self, dataset, responses) -> list[float]:
+        """Batch semantic scores: cosine(expected_i, answer_i) rescaled
+        by the null distribution (answer_i vs the OTHER items'
+        summaries). See EvalConfig.semantic_calibrated."""
+        import numpy as np
+
+        expected = [it.get("expected_answer_summary", "")
+                    for it in dataset]
+        answers = [r.answer[:4000] for r in responses]
+        s_mat = np.asarray(self.embedder.embed_queries(expected))
+        a_mat = np.asarray(self.embedder.embed_queries(answers))
+        sims = a_mat @ s_mat.T
+        n = len(dataset)
+        out = []
+        for i in range(n):
+            raw = float(np.clip(sims[i, i], 0.0, 1.0))
+            null = (float((sims[i].sum() - sims[i, i]) / (n - 1))
+                    if n > 1 else 0.0)
+            cal = (raw - null) / max(1.0 - null, 1e-6)
+            out.append(float(np.clip(cal, 0.0, 1.0)))
+        return out
+
+    def evaluate_single(self, item: dict, response,
+                        semantic: float | None = None) -> dict:
         cfg = self.config
         answer = response.answer
         kscore, missing = keyword_score(item, answer)
-        semantic = self._semantic(item, answer)
+        if semantic is None:
+            semantic = self._semantic(item, answer)
         judge = None
         if cfg.use_llm_judge and self.judge_llm is not None:
             judge = llm_judge_score(self.judge_llm, item, answer)
@@ -319,9 +357,13 @@ class EvalHarness:
             responses.append(self.pipeline.query(
                 item["question"], **(query_kwargs or {})
             ))
+        semantics: list[float | None] = [None] * len(responses)
+        if (self.embedder is not None and cfg.semantic_calibrated
+                and len(dataset) > 1):
+            semantics = self._calibrated_semantics(dataset, responses)
         results = [
-            self.evaluate_single(item, resp)
-            for item, resp in zip(dataset, responses)
+            self.evaluate_single(item, resp, semantic=sem)
+            for item, resp, sem in zip(dataset, responses, semantics)
         ]
         scores = [r["global_score"] for r in results]
         by_cat: dict[str, list[float]] = {}

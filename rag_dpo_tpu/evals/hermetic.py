@@ -11,15 +11,31 @@ nothing ever FAILS when scores drift. Here the replay is both:
   committed record by more than a small tolerance).
 
 Everything is hermetic and deterministic on CPU: synthetic corpus derived
-from the vendored qa_dataset, tiny random-init encoder, extractive fake
+from the vendored qa_dataset, a tiny encoder (random-init, or the
+checkpoint trained by scripts/train_eval_encoder.py), extractive fake
 LLM — so the scores track the retrieval + orchestration path, and any
 regression in the device path moves them.
+
+Records are versioned and gated LIKE-FOR-LIKE:
+
+* `eval_version` — bumps when the fixture or scoring definition changes
+  (v1: question-echo corpus, raw-cosine semantic, list-schema
+  must_include_any; v2: near-miss corpus from synthetic.CORPUS_VERSION=2,
+  null-calibrated semantic, dataset N-of-M schema, true-doc@5 gated).
+  A v2 score is not comparable to a v1 score; the gate only compares
+  records of the CURRENT version.
+* `encoder` — "random-init" or "trained". A trained encoder must beat
+  the random-init floors, but the random-init CI replay must not be
+  failed against trained-level floors — each kind gates against the
+  best committed record of its own kind.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+
+EVAL_VERSION = 2
 
 # metrics gated against the committed records, with the max allowed
 # regression per metric (scores are deterministic on CPU; the tolerance
@@ -30,15 +46,21 @@ GATED_METRICS = {
     "faithfulness": 0.02,
     "source_score": 0.02,
     "cited_source_hit_rate_at_5": 0.02,
+    "true_doc_hit_rate_at_5": 0.02,
 }
 
 RESULTS_DIR = pathlib.Path(__file__).resolve().parent / "results"
 
 
-def run_hermetic_replay(n_runs: int = 3) -> dict:
+def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
+                        encoder_label: str | None = None) -> dict:
     """Build the synthetic stack, replay the 48-question dataset, and
     return the regression record (shared by the script and the gate
-    test)."""
+    test).
+
+    `encoder_params`: a BGE-M3 param tree (e.g. loaded from the npz the
+    training recipe saves) — the index is rebuilt and all retrieval
+    runs with it; None replays the random-init baseline."""
     from ..ingest.indexer import CorpusIndexer
     from ..models import BgeM3Config, EncoderConfig
     from ..providers import Embedder, EmbedderConfig
@@ -46,18 +68,25 @@ def run_hermetic_replay(n_runs: int = 3) -> dict:
     from ..retrieval import HybridRetriever, RetrieverConfig
     from . import EvalHarness, load_qa_dataset
     from .harness import EvalConfig
-    from .retrieval_eval import cited_source_hit_rate
-    from .synthetic import ExtractiveFakeLLM, build_synthetic_corpus
+    from .retrieval_eval import cited_source_hit_rate, true_doc_hit_rate
+    from .synthetic import (
+        CORPUS_VERSION,
+        ExtractiveFakeLLM,
+        build_synthetic_corpus,
+    )
 
     dataset = load_qa_dataset()
     chunks = build_synthetic_corpus(dataset)
-    embedder = Embedder(EmbedderConfig(
-        model=BgeM3Config(
-            encoder=EncoderConfig.tiny(use_flash_attention=False),
-            colbert_dim=32,
+    embedder = Embedder(
+        EmbedderConfig(
+            model=BgeM3Config(
+                encoder=EncoderConfig.tiny(use_flash_attention=False),
+                colbert_dim=32,
+            ),
+            batch_size=64,
         ),
-        batch_size=64,
-    ))
+        params=encoder_params,
+    )
     index, stats, report = CorpusIndexer(
         embedder, ell_width=24).build(chunks, mode="reset")
     assert report.verification["self_retrieval_ok"]
@@ -74,11 +103,18 @@ def run_hermetic_replay(n_runs: int = 3) -> dict:
         config=RetrieverConfig(use_prefilter=False),
     )
     hits = cited_source_hit_rate(dataset, retriever, k=5)
+    true_hits = true_doc_hit_rate(dataset, retriever, k=5)
     return {
         "kind": "hermetic_replay",
-        "notes": "synthetic corpus from the vendored qa_dataset; tiny "
-                 "random-init encoder; extractive fake LLM — tracks the "
-                 "retrieval/orchestration path, not LLM quality",
+        "eval_version": EVAL_VERSION,
+        "corpus_version": CORPUS_VERSION,
+        "n_chunks": len(chunks),
+        "encoder": encoder_label or (
+            "trained" if encoder_params is not None else "random-init"),
+        "notes": "synthetic near-miss corpus from the vendored "
+                 "qa_dataset; tiny encoder; extractive fake LLM — "
+                 "tracks the retrieval/orchestration path, not LLM "
+                 "quality",
         "n_questions": len(dataset),
         "global_score": multi["global_score"],
         "high_spread_questions": multi["high_spread_questions"],
@@ -87,18 +123,22 @@ def run_hermetic_replay(n_runs: int = 3) -> dict:
         "faithfulness": multi["runs"][0]["faithfulness"],
         "source_score": multi["runs"][0]["source_score"],
         "cited_source_hit_rate_at_5": hits["mean_hit_rate"],
+        "true_doc_hit_rate_at_5": true_hits["hit_rate"],
         "total_time_seconds": multi["total_time_seconds"],
     }
 
 
 def gated_values(record: dict) -> dict:
-    return {
+    vals = {
         "global_score_mean": record["global_score"]["mean"],
         "faithfulness": record["faithfulness"],
         "source_score": record["source_score"],
         "cited_source_hit_rate_at_5":
             record["cited_source_hit_rate_at_5"],
     }
+    if record.get("eval_version", 1) >= 2:
+        vals["true_doc_hit_rate_at_5"] = record["true_doc_hit_rate_at_5"]
+    return vals
 
 
 def load_committed_records(results_dir=RESULTS_DIR) -> list[dict]:
@@ -107,6 +147,17 @@ def load_committed_records(results_dir=RESULTS_DIR) -> list[dict]:
             "results_hermetic_*.json")):
         records.append(json.loads(path.read_text()))
     return records
+
+
+def comparable_records(records, record) -> list[dict]:
+    """The committed records a new record may be gated against:
+    same eval_version, same encoder kind (random-init floors never
+    judge a trained run and vice versa)."""
+    version = record.get("eval_version", 1)
+    encoder = record.get("encoder", "random-init")
+    return [r for r in records
+            if r.get("eval_version", 1) == version
+            and r.get("encoder", "random-init") == encoder]
 
 
 def baseline_from_records(records) -> dict:
@@ -123,12 +174,20 @@ def baseline_from_records(records) -> dict:
 def check_against_baseline(record: dict, records=None) -> list[str]:
     """Return the list of regression messages (empty = gate passes)."""
     records = records if records is not None else load_committed_records()
+    records = comparable_records(records, record)
     if not records:
-        return ["no committed hermetic records found"]
+        return [
+            f"no committed hermetic records for eval_version="
+            f"{record.get('eval_version', 1)} encoder="
+            f"{record.get('encoder', 'random-init')} — commit one via "
+            "scripts/run_hermetic_replay.py"
+        ]
     base = baseline_from_records(records)
     got = gated_values(record)
     failures = []
     for metric, tol in GATED_METRICS.items():
+        if metric not in base or metric not in got:
+            continue
         if got[metric] < base[metric] - tol:
             failures.append(
                 f"{metric} regressed: {got[metric]:.4f} < committed "

@@ -72,6 +72,32 @@ def cited_source_hit_rate(dataset: Sequence[dict], retriever,
     }
 
 
+def true_doc_hit_rate(dataset: Sequence[dict], retriever,
+                      k: int = 5) -> dict:
+    """Strict doc-id retrieval metric over the synthetic corpus: is the
+    item's OWN ground-truth chunk (chunk_id `qa_<id>`) in the top-k?
+
+    Unlike `cited_source_hit_rate` (keyword presence — a same-topic
+    near-miss distractor counts as a hit), this is immune to topical
+    look-alikes: only ranking the true document in the top-k scores.
+    The metric the trained-vs-random-init encoder comparison gates on."""
+    hits, total = 0, 0
+    per_question = []
+    for item in dataset:
+        chunks = retriever.retrieve_candidates(item["question"],
+                                               n_candidates=k)
+        ids = {c.chunk_id for c in chunks}
+        hit = f"qa_{item['id']}" in ids
+        per_question.append({"id": item["id"], "hit": bool(hit)})
+        hits += hit
+        total += 1
+    return {
+        "hit_rate": round(hits / max(total, 1), 4),
+        "n_questions": total,
+        "per_question": per_question,
+    }
+
+
 def measure_qps(search_fn, queries, n_iters: int = 20,
                 warmup: int = 2) -> dict:
     """Throughput of a batched search callable (host-side timing; for

@@ -79,8 +79,11 @@ def test_full_replay_scores(replay_stack):
     harness = EvalHarness(pipe, embedder=embedder,
                           config=EvalConfig())
     report = harness.run(dataset[:16])
-    # extractive answers over the right documents → keyword floors
-    assert report["global_score"] >= 0.5, report["global_score"]
+    # sanity floors on the v2 NEAR-MISS corpus (synthetic.py v2: topic
+    # titles + archive twins/blends/nav traps — random-init retrieval
+    # is the bottleneck by design). The ratcheting per-metric gate is
+    # tests/test_hermetic_regression.py; these only catch collapse.
+    assert report["global_score"] >= 0.45, report["global_score"]
     assert report["faithfulness"] >= 0.9
-    assert report["source_score"] >= 0.7
+    assert report["source_score"] >= 0.5, report["source_score"]
     assert report["n_questions"] == 16
