@@ -75,6 +75,7 @@ def build_stack(
     llm=None,
     index=None,
     embedder=None,
+    reranker=None,
 ) -> Stack:
     """Load the saved index + summaries and wire everything per config.
     Components may be injected (tests); anything not injected is built."""
@@ -203,9 +204,9 @@ def build_stack(
     )
     # ONE cross-encoder shared by both pipelines: one param set in HBM,
     # and concurrent rerank pair-scoring can coalesce across both
-    # surfaces when rerank_batch is on
-    reranker = None
-    if r.use_reranker:
+    # surfaces when rerank_batch is on. Injectable like embedder/llm
+    # (converted-weights boots, tests).
+    if reranker is None and r.use_reranker:
         from .retrieval.reranker import default_reranker
 
         reranker = default_reranker(embedder,

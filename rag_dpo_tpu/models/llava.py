@@ -149,13 +149,24 @@ class LlavaGenerator:
             self._programs[key] = encode
         return self._programs[key]
 
-    def encode_image(self, pixel_values: np.ndarray) -> np.ndarray:
+    def encode_image(self, pixel_values: np.ndarray,
+                     fetch: bool = True):
         """[B, 3, S, S] CLIP-normalized pixels → [B, n_image_tokens,
-        text_hidden] projected patch embeddings."""
+        text_hidden] projected patch embeddings.
+
+        `fetch=False` returns the DEVICE array (a handle) instead of
+        copying to host — the output is [B, 576, text_hidden] f32
+        (~12 MB/image at 12B scale) and through the axon tunnel that
+        copy dominates the ViT forward itself (benchmarks/
+        bench_vision.py: batching made images/s WORSE fetch-bound).
+        Every in-framework consumer composes on device
+        (`encode_patches` → `_splice_program`) and never pays it;
+        pass fetch=False to keep that property when batch-encoding."""
         params = self.load()
         b = pixel_values.shape[0]
-        return np.asarray(self._encode_program(b)(
-            params, jnp.asarray(pixel_values, jnp.float32)))
+        out = self._encode_program(b)(
+            params, jnp.asarray(pixel_values, jnp.float32))
+        return np.asarray(out) if fetch else out
 
     def encode_patches(self, img_arr):
         """[3, S, S] CLIP-normalized pixels → [n_img, text_hidden]
