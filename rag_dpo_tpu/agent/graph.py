@@ -36,7 +36,9 @@ class AgentGraph:
     def run(self, state: AgentState) -> AgentState:
         c = self.c
         state = nodes.rewrite(c, state)
-        state = nodes.classify(c, state)
+        # classify ∥ decompose ∥ candidate prefetch (all read the
+        # post-rewrite question) — three serial stages become one
+        state = nodes.overlap_prepare(c, state)
 
         if state.intent.is_refusal:
             subtype = nodes.confirm_refusal_keyword(state.question)
@@ -47,7 +49,6 @@ class AgentGraph:
             state.intent.intent = "factuel"  # LLM refus unconfirmed
 
         state = nodes.enrich(c, state)
-        state = nodes.decompose(c, state)
         state = nodes.retrieve(c, state)
 
         while True:
@@ -209,7 +210,7 @@ def create_agent_pipeline(
     enable_expert_refinement: bool = False,
     enable_completeness: bool = True,
     generation_temperature: float = 0.1,
-    intent_fast: bool = False,
+    intent_fast: bool | None = None,
 ) -> RAGAgentPipeline:
     """Factory (reference `create_agent_pipeline` graph.py:336-471) —
     builds the same shared components as the sequential factory."""
@@ -233,7 +234,16 @@ def create_agent_pipeline(
         context_builder=ContextBuilder(
             llm=llm, max_context_chars=max_context_chars
         ),
-        intent_classifier=IntentClassifier(llm, fast=intent_fast),
+        # agent default: the constrained-choice intent path whenever
+        # the provider can score choices (12.3× faster classification
+        # at 12B — BENCHMARKS.md "Fast intent"; the agent graph is the
+        # reference's headline config, so its default gets the native
+        # path's serving economics). Pass intent_fast=False to force
+        # the JSON classifier.
+        intent_classifier=IntentClassifier(
+            llm,
+            fast=(hasattr(llm, "choose") if intent_fast is None
+                  else intent_fast)),
         grounding_validator=GroundingValidator(),
         reranker=reranker,
         n_candidates=n_candidates,

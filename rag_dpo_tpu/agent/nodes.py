@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
+import threading
 import time
 from typing import Any
 
@@ -97,6 +98,61 @@ def classify(c: NodeComponents, s: AgentState) -> AgentState:
     t0 = time.time()
     s.intent = c.intent_classifier.classify(s.question)
     s.record("classify", t0)
+    return s
+
+
+# --------------------------------------------------------- overlap prepare
+
+def overlap_prepare(c: NodeComponents, s: AgentState) -> AgentState:
+    """classify ∥ decompose ∥ candidate prefetch — the three
+    post-rewrite stages are independent reads of `s.question`, so they
+    run concurrently instead of serially (serving economics, VERDICT
+    r3 #3: the agent path is the reference's headline config and must
+    get the native path's treatment). On the continuous pool the
+    classify and decompose-gate choose() calls coalesce into one
+    batched dispatch (choose_batch), and the retrieval arms run on
+    device while the LLM decides. In the rare refusal route the
+    prefetch/decompose work is wasted — latency is unchanged (they ran
+    in parallel), only device occupancy is spent."""
+    t0 = time.time()
+    errors: list[BaseException] = []
+
+    def _classify():
+        tc = time.time()
+        try:
+            s.intent = c.intent_classifier.classify(s.question)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+        s.timings["classify"] = time.time() - tc
+
+    def _decompose():
+        tc = time.time()
+        try:
+            s.sub_questions = tools.decompose_question(c.llm, s.question)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        s.timings["decompose"] = time.time() - tc
+
+    def _prefetch():
+        tc = time.time()
+        try:
+            where = build_enterprise_where_filter(
+                s.enterprise_tags, s.where_filter)
+            s.prefetched_candidates = c.retriever.retrieve_candidates(
+                s.question, n_candidates=c.n_candidates, where=where)
+        except Exception:
+            # retrieval re-runs (and surfaces its error) in retrieve()
+            s.prefetched_candidates = None
+        s.timings["prefetch"] = time.time() - tc
+
+    threads = [threading.Thread(target=f)
+               for f in (_classify, _decompose, _prefetch)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    if errors:
+        raise errors[0]
+    s.node_trace.extend(["classify", "decompose"])
+    s.timings["overlap_prepare"] = time.time() - t0
     return s
 
 
@@ -231,10 +287,18 @@ def retrieve(c: NodeComponents, s: AgentState) -> AgentState:
         query = s.question + " " + " ".join(s.sub_questions)
     else:
         query = s.question
-    where = build_enterprise_where_filter(s.enterprise_tags, s.where_filter)
-    candidates = c.retriever.retrieve_candidates(
-        query, n_candidates=c.n_candidates, where=where
-    )
+    prefetched, s.prefetched_candidates = s.prefetched_candidates, None
+    if prefetched is not None and query == s.question:
+        # overlap_prepare already fetched this exact query's candidates
+        # concurrently with classify/decompose — reuse (the reranker
+        # still runs HERE: it needs the classified intent's topics)
+        candidates = prefetched
+    else:
+        where = build_enterprise_where_filter(s.enterprise_tags,
+                                              s.where_filter)
+        candidates = c.retriever.retrieve_candidates(
+            query, n_candidates=c.n_candidates, where=where
+        )
     s.n_candidates = len(candidates)
     if c.reranker is not None:
         ranked = c.reranker.rerank(
@@ -411,7 +475,9 @@ def should_retry_generation(c: NodeComponents, s: AgentState) -> bool:
 
 def check_completeness(c: NodeComponents, s: AgentState) -> AgentState:
     t0 = time.time()
-    result = tools.check_answer_completeness(c.llm, s.question, s.answer)
+    result = tools.check_answer_completeness(
+        c.llm, s.question, s.answer,
+        query_if_below=c.coverage_threshold)
     s.coverage_pct = result.coverage_pct
     if (result.coverage_pct < c.coverage_threshold
             and result.suggested_queries

@@ -42,6 +42,10 @@ class AgentState:
     documents: list = dataclasses.field(default_factory=list)
     n_candidates: int = 0
     retrieval_query: str | None = None   # targeted re-retrieval query
+    # candidates fetched concurrently with classify/decompose
+    # (nodes.overlap_prepare) — consumed by the first retrieve() when
+    # the retrieval query is still the plain question
+    prefetched_candidates: list | None = None
 
     # generate
     answer: str = ""

@@ -53,14 +53,18 @@ RESULTS_DIR = pathlib.Path(__file__).resolve().parent / "results"
 
 
 def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
-                        encoder_label: str | None = None) -> dict:
+                        encoder_label: str | None = None,
+                        reranker: str = "none") -> dict:
     """Build the synthetic stack, replay the 48-question dataset, and
     return the regression record (shared by the script and the gate
     test).
 
     `encoder_params`: a BGE-M3 param tree (e.g. loaded from the npz the
     training recipe saves) — the index is rebuilt and all retrieval
-    runs with it; None replays the random-init baseline."""
+    runs with it; None replays the random-init baseline.
+    `reranker`: "none" | "cross" (CrossEncoderReranker) | "maxsim"
+    (MaxSimReranker over the stored ColBERT vectors) — the quality A/B
+    the speed benches never settled (VERDICT r3 #5)."""
     from ..ingest.indexer import CorpusIndexer
     from ..models import BgeM3Config, EncoderConfig
     from ..providers import Embedder, EmbedderConfig
@@ -90,9 +94,19 @@ def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
     index, stats, report = CorpusIndexer(
         embedder, ell_width=24).build(chunks, mode="reset")
     assert report.verification["self_retrieval_ok"]
+    rr = None
+    if reranker == "cross":
+        from ..retrieval.reranker import default_reranker
+
+        rr = default_reranker(embedder)
+    elif reranker == "maxsim":
+        from ..retrieval.reranker import MaxSimReranker
+
+        rr = MaxSimReranker(index, embedder)
     pipe = create_pipeline(
         index, embedder, ExtractiveFakeLLM(), bm25_stats=stats,
-        use_reranker=False, use_expansion=False,
+        use_reranker=rr is not None, reranker=rr,
+        use_expansion=False,
     )
     harness = EvalHarness(pipe, embedder=embedder,
                           config=EvalConfig(n_runs=n_runs))
@@ -111,6 +125,7 @@ def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
         "n_chunks": len(chunks),
         "encoder": encoder_label or (
             "trained" if encoder_params is not None else "random-init"),
+        "reranker": reranker,
         "notes": "synthetic near-miss corpus from the vendored "
                  "qa_dataset; tiny encoder; extractive fake LLM — "
                  "tracks the retrieval/orchestration path, not LLM "
@@ -151,13 +166,16 @@ def load_committed_records(results_dir=RESULTS_DIR) -> list[dict]:
 
 def comparable_records(records, record) -> list[dict]:
     """The committed records a new record may be gated against:
-    same eval_version, same encoder kind (random-init floors never
-    judge a trained run and vice versa)."""
+    same eval_version, same encoder kind, same reranker config
+    (random-init floors never judge a trained run and vice versa;
+    reranker A/B records form their own series)."""
     version = record.get("eval_version", 1)
     encoder = record.get("encoder", "random-init")
+    rr = record.get("reranker", "none")
     return [r for r in records
             if r.get("eval_version", 1) == version
-            and r.get("encoder", "random-init") == encoder]
+            and r.get("encoder", "random-init") == encoder
+            and r.get("reranker", "none") == rr]
 
 
 def baseline_from_records(records) -> dict:

@@ -246,24 +246,32 @@ def test_fast_intent_path_skips_json_decode():
 
 
 class GatedAgentLLM(BrokenJSONLLM):
-    """choose() answers oui/non; counts generate() calls."""
+    """choose() answers oui/non (and a digit for the 11-way coverage
+    choose); counts generate() calls."""
 
-    def __init__(self, verdict: str):
+    def __init__(self, verdict: str, coverage: str = "40"):
         super().__init__(pick=None)
         self.verdict = verdict
+        self.coverage = coverage
         self.generate_calls = 0
 
     def generate(self, prompt, system=None, temperature=0.0,
                  json_mode=False, max_tokens=None) -> LLMResponse:
         self.generate_calls += 1
+        if "Requête :" in prompt:
+            return LLMResponse("sanctions délais notification",
+                               self.model_name)
         return LLMResponse('{"sub_questions": ["a ?", "b ?"], '
                            '"coverage_pct": 40, '
                            '"missing_aspects": ["x"]}', self.model_name)
 
     def choose(self, prompt, choices, system=None, normalize=True):
         self.choose_calls += 1
-        assert set(choices) == {"oui", "non"}
-        return self.verdict, [0.0, 0.0]
+        if set(choices) == {"oui", "non"}:
+            return self.verdict, [0.0, 0.0]
+        # 11-way coverage choose
+        assert choices == [str(p) for p in range(0, 101, 10)]
+        return self.coverage, [0.0] * len(choices)
 
 
 def test_decompose_gate_skips_json_call():
@@ -287,10 +295,20 @@ def test_completeness_gate_skips_json_call():
     assert r.coverage_pct == 100 and not r.missing_aspects
     assert llm.choose_calls == 1 and llm.generate_calls == 0
 
-    llm = GatedAgentLLM("non")          # incomplete: detailed call runs
+    # incomplete: the coverage % is an 11-way digit choose (one
+    # prefill + tiny extend), and the only free decode is the SHORT
+    # suggested-query generation (needed for re-retrieval)
+    llm = GatedAgentLLM("non", coverage="40")
     r = check_answer_completeness(llm, "q", "réponse partielle")
-    assert r.coverage_pct == 40 and r.missing_aspects == ["x"]
-    assert llm.choose_calls == 1 and llm.generate_calls == 1
+    assert r.coverage_pct == 40
+    assert r.suggested_queries == ["sanctions délais notification"]
+    assert llm.choose_calls == 2 and llm.generate_calls == 1
+
+    # incomplete but above the re-retrieval threshold: NO decode at all
+    llm = GatedAgentLLM("non", coverage="90")
+    r = check_answer_completeness(llm, "q", "réponse presque complète")
+    assert r.coverage_pct == 90 and not r.suggested_queries
+    assert llm.choose_calls == 2 and llm.generate_calls == 0
 
 
 def test_chunk_classifier_two_option_uses_choose():

@@ -13,6 +13,7 @@ import pytest
 from rag_dpo_tpu.evals.hermetic import (
     baseline_from_records,
     check_against_baseline,
+    comparable_records,
     gated_values,
     load_committed_records,
     run_hermetic_replay,
@@ -31,6 +32,37 @@ def test_committed_records_exist_and_are_wellformed():
 def test_replay_does_not_regress_vs_committed_records():
     record = run_hermetic_replay(n_runs=1)  # deterministic: 1 run gates
     failures = check_against_baseline(record)
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.slow
+def test_trained_encoder_beats_random_init_and_holds_its_floors():
+    """The learned-quality gate (VERDICT r3 #1): the COMMITTED trained
+    checkpoint (produced by scripts/train_eval_encoder.py through the
+    framework's own training stack) must (a) beat the best committed
+    random-init record on the strict true-doc retrieval metric — the
+    proof that training improves the product — and (b) not regress
+    below the best committed trained record (the raised floors)."""
+    from rag_dpo_tpu.evals.train_encoder import (
+        TRAINED_NPZ,
+        load_trained_params,
+    )
+
+    if not TRAINED_NPZ.exists():
+        pytest.skip("no committed trained checkpoint yet")
+    record = run_hermetic_replay(
+        n_runs=1, encoder_params=load_trained_params(TRAINED_NPZ))
+    records = load_committed_records()
+    rand = comparable_records(records,
+                              dict(record, encoder="random-init"))
+    assert rand, "need a committed random-init v2 record to compare"
+    rand_base = baseline_from_records(rand)
+    assert record["true_doc_hit_rate_at_5"] > \
+        rand_base["true_doc_hit_rate_at_5"], (
+            "trained encoder no longer beats random-init retrieval",
+            record["true_doc_hit_rate_at_5"],
+            rand_base["true_doc_hit_rate_at_5"])
+    failures = check_against_baseline(record, records)
     assert not failures, "\n".join(failures)
 
 
