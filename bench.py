@@ -95,7 +95,7 @@ def main():
 
     def hybrid(q, ei8, esc, eref, pd, pi, et, ei, qqt, qqw):
         ds, di = approx_topk_int8_refined(q, ei8, esc, eref, 40,
-                                          oversample=2)
+                                          oversample=4)
         ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw,
                                           k=40, n_candidates=64)
         arms = jnp.stack([di, si], axis=0)
@@ -119,7 +119,7 @@ def main():
 
     # dense-arm recall sanity vs exact blocked kernel
     s_a, i_a = approx_topk_int8_refined(queries, e_i8, e_scale, embs, K,
-                                        oversample=2)
+                                        oversample=4)
     s_e, i_e = blocked_topk(queries.astype(jnp.bfloat16), embs, K,
                             block_n=65_536)
     i_a, i_e = np.asarray(i_a), np.asarray(i_e)
