@@ -17,6 +17,19 @@ hybrid tracks the dense arm within ~7% through batch 2048
 (benchmarks/bench_hybrid_tuned.py; BENCHMARKS.md "Hybrid tracking
 dense").
 
+Round 5 sets the sweep knobs from a measured Pareto study
+(benchmarks/bench_oversample_study.py, table in BENCHMARKS.md):
+recipe recall@10 saturates at 0.9965 across EVERY knob setting — even
+oversample=2 + recall_target=0.999 at 6.5k qps — so the ceiling is the
+int8 quantization noise itself on this tight-margin Gaussian corpus,
+not candidate count; ≥0.998 is unreachable inside the int8 recipe at
+any throughput. The chosen Pareto point is oversample=2 @ the default
+bucketing: ≥70k qps with recall@40 0.9881 (the RRF/rerank candidate
+fidelity) and recipe recall@10 0.9957. The recall figure reported
+below is recipe-matched (head of the refined top-40, the candidates
+the fused top-10 actually draws on); round 4 reported a k=10-sweep
+recall instead, understating the recipe.
+
 Timing uses a dependent on-device chain (scan feeding results back into
 the query batch): host↔device round-trips through the axon tunnel are
 ~28 ms and `block_until_ready` is unreliable there.
@@ -36,6 +49,13 @@ ELL_W = 24
 N_TERMS = 16
 VOCAB = 50_000
 BASELINE_QPS = 10_000.0  # BASELINE.json: ">=10k queries/sec at 1M chunks"
+# int8-sweep knobs, set from the measured Pareto study (round 5,
+# benchmarks/bench_oversample_study.py → BENCHMARKS.md "Oversample /
+# recall_target study"): recall@10 saturates at 0.9965 at every
+# setting (int8 noise floor, not a candidate-budget problem), so the
+# pick is the ≥70k-qps point with the best top-40 candidate fidelity.
+OVERSAMPLE = 2
+RECALL_TARGET = 0.95
 
 
 def main():
@@ -95,7 +115,8 @@ def main():
 
     def hybrid(q, ei8, esc, eref, pd, pi, et, ei, qqt, qqw):
         ds, di = approx_topk_int8_refined(q, ei8, esc, eref, 40,
-                                          oversample=4)
+                                          oversample=OVERSAMPLE,
+                                          recall_target=RECALL_TARGET)
         ss, si = postings_candidates_topk(pd, pi, et, ei, qqt, qqw,
                                           k=40, n_candidates=64)
         arms = jnp.stack([di, si], axis=0)
@@ -117,12 +138,17 @@ def main():
     dt = (time.time() - t0) / steps
     qps = Q / dt
 
-    # dense-arm recall sanity vs exact blocked kernel
-    s_a, i_a = approx_topk_int8_refined(queries, e_i8, e_scale, embs, K,
-                                        oversample=4)
+    # dense-arm recall vs exact blocked kernel, RECIPE-MATCHED: the
+    # timed pipeline sweeps top-40 candidates per arm, so the fused
+    # top-10 draws on the head of the refined top-40 — measure THAT
+    # (round 4 measured a k=10 sweep instead, understating the recipe
+    # by ~0.5pt and motivating a blind oversample flip)
+    s_a, i_a = approx_topk_int8_refined(queries, e_i8, e_scale, embs, 40,
+                                        oversample=OVERSAMPLE,
+                                        recall_target=RECALL_TARGET)
     s_e, i_e = blocked_topk(queries.astype(jnp.bfloat16), embs, K,
                             block_n=65_536)
-    i_a, i_e = np.asarray(i_a), np.asarray(i_e)
+    i_a, i_e = np.asarray(i_a)[:, :K], np.asarray(i_e)
     recall = float(np.mean([
         len(set(i_a[r]) & set(i_e[r])) / K for r in range(Q)
     ]))
@@ -133,14 +159,16 @@ def main():
         "unit": "queries/sec",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "latency_ms_per_batch256": round(dt * 1e3, 3),
-        "dense_recall_at_10_vs_exact": round(recall, 4),
+        "dense_recall_at_10_recipe_vs_exact": round(recall, 4),
         "postings_invert_seconds": round(invert_s, 2),
         "pipeline": "int8 dense sweep + exact bf16 refine top-40 "
                     "+ postings sparse top-40 + device RRF to top-10",
         "corpus": {"n_chunks": N, "dim": D,
                    "dtype": "int8 sweep + bf16 refine",
                    "ell_width": ELL_W, "postings_cap": 256,
-                   "postings_candidates": 64},
+                   "postings_candidates": 64,
+                   "oversample": OVERSAMPLE,
+                   "recall_target": RECALL_TARGET},
     }
     # recorded-on-this-chip serving numbers (benchmarks/RESULTS.jsonl —
     # separate long-running runs, attached here so the round artifact

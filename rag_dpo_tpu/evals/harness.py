@@ -234,11 +234,72 @@ def llm_judge_score(llm, item: dict, answer: str) -> float | None:
     return max(0.0, min(1.0, score))
 
 
+JUDGE_CHOOSE_PROMPT = """Tu évalues la réponse d'un assistant RGPD.
+
+Question : {question}
+
+Réponse attendue (résumé) : {expected}
+
+Réponse de l'assistant :
+{answer}
+
+Note la justesse de 0 à 100 (100 = parfaitement correcte et complète).
+Note :"""
+
+JUDGE_VETO_PROMPT = """Tu évalues la réponse d'un assistant RGPD.
+
+Question : {question}
+
+Réponse attendue (résumé) : {expected}
+
+Réponse de l'assistant :
+{answer}
+
+La réponse contient-elle une erreur factuelle (chiffre, délai, numéro
+d'article faux par rapport à la réponse attendue) ? Réponds oui ou non.
+Erreur factuelle :"""
+
+JUDGE_SCORE_BUCKETS = ("0", "20", "40", "60", "80", "100")
+
+
+def llm_judge_score_choose(llm, item: dict, answer: str,
+                           trace: dict | None = None) -> float | None:
+    """TPU-native judge: constrained choice over score buckets plus a
+    separate erreur_factuelle veto choice — the same 0-100 scale and
+    veto semantics as the JSON judge, but the decoder can NEVER emit an
+    unparseable verdict: `choose()` ranks the candidate continuations
+    by teacher-forced log-likelihood in one prefill, so every call
+    yields a valid score (the reference free-decodes JSON and repairs
+    it, /root/reference/eval/run_eval.py:426-563,500-544; its repair
+    can still fail → judge None → keyword fallback)."""
+    fields = dict(question=item["question"],
+                  expected=item.get("expected_answer_summary", ""),
+                  answer=answer[:6000])
+    try:
+        bucket, _ = llm.choose(JUDGE_CHOOSE_PROMPT.format(**fields),
+                               list(JUDGE_SCORE_BUCKETS))
+        veto, _ = llm.choose(JUDGE_VETO_PROMPT.format(**fields),
+                             ["non", "oui"])
+    except Exception:
+        return None
+    score = float(bucket) / 100.0
+    if trace is not None:
+        trace["bucket"] = bucket
+        trace["veto"] = veto == "oui"
+    if veto == "oui":
+        score = min(score, 0.4)  # factual-error veto
+    return max(0.0, min(1.0, score))
+
+
 # ------------------------------------------------------------------ harness
 
 @dataclasses.dataclass
 class EvalConfig:
     use_llm_judge: bool = False
+    # "json": free decode + repair (reference parity); "choose":
+    # constrained score-bucket + veto choices (TPU-native — requires a
+    # provider with .choose(); always yields a valid score)
+    judge_mode: str = "json"
     weight_judge: float = 0.60
     weight_semantic: float = 0.40
     weight_correctness: float = 0.55
@@ -308,7 +369,12 @@ class EvalHarness:
             semantic = self._semantic(item, answer)
         judge = None
         if cfg.use_llm_judge and self.judge_llm is not None:
-            judge = llm_judge_score(self.judge_llm, item, answer)
+            if (cfg.judge_mode == "choose"
+                    and hasattr(self.judge_llm, "choose")):
+                judge = llm_judge_score_choose(
+                    self.judge_llm, item, answer)
+            else:
+                judge = llm_judge_score(self.judge_llm, item, answer)
         if judge is not None:
             correctness = (cfg.weight_judge * judge
                            + cfg.weight_semantic * semantic)

@@ -91,8 +91,14 @@ def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
         ),
         params=encoder_params,
     )
+    # the maxsim arm reranks against stored ColBERT multi-vectors —
+    # the index must carry them (colbert_len 96 covers the synthetic
+    # chunks' token counts at the tiny encoder's tokenizer)
     index, stats, report = CorpusIndexer(
-        embedder, ell_width=24).build(chunks, mode="reset")
+        embedder, ell_width=24,
+        with_colbert=(reranker == "maxsim"),
+        colbert_len=96 if reranker == "maxsim" else 0,
+    ).build(chunks, mode="reset")
     assert report.verification["self_retrieval_ok"]
     rr = None
     if reranker == "cross":

@@ -40,16 +40,33 @@ TRAINED_NPZ = (pathlib.Path(__file__).resolve().parent / "data"
 _KW_LINE = re.compile(r"Mots-clés\s*:\s*(.+?)(?:\.|$)")
 
 
-def build_training_pairs(chunks: list[dict]) -> list[tuple[str, str]]:
+def family_key(chunk_id: str) -> str:
+    """Near-miss family of a chunk: `qa_X`, `twin_X`, `blend_X` and
+    `nav_X` all map to `X`, so grouped batching puts an item and its
+    confusable variants in the SAME InfoNCE batch (hard in-batch
+    negatives — the blend rows share the item's title/keywords with a
+    different body, exactly the confusion the retriever must learn to
+    resolve)."""
+    for pre in ("qa_", "twin_", "blend_", "nav_"):
+        if chunk_id.startswith(pre):
+            return chunk_id[len(pre):]
+    return chunk_id
+
+
+def build_training_pairs(chunks: list[dict],
+                         return_groups: bool = False):
     """(query, passage) pairs from corpus content only.
 
     Per chunk: its title, its keyword footer, and a content-term subset
     of each body sentence each form a query whose positive is the
     chunk's full text. In-batch negatives (train/contrastive.py) then
     push different chunks apart — including the near-miss distractors,
-    which are their own rows."""
+    which are their own rows. With `return_groups`, also returns the
+    per-pair family key for grouped hard-negative batching."""
     pairs: list[tuple[str, str]] = []
+    groups: list[str] = []
     for c in chunks:
+        n_before = len(pairs)
         text = c["text"]
         title = c.get("title") or c.get("heading") or ""
         if title:
@@ -65,6 +82,10 @@ def build_training_pairs(chunks: list[dict]) -> list[tuple[str, str]]:
             # content-word subset, question-length: the query STYLE a
             # natural question shares (content terms, no syntax)
             pairs.append((" ".join(terms[:8]), text))
+        groups.extend([family_key(c.get("chunk_id", c.get("title", "")))]
+                      * (len(pairs) - n_before))
+    if return_groups:
+        return pairs, groups
     return pairs
 
 
@@ -88,7 +109,7 @@ def train_eval_encoder(out_npz=TRAINED_NPZ, steps: int = 800,
 
     dataset = load_qa_dataset()
     chunks = build_synthetic_corpus(dataset)
-    pairs = build_training_pairs(chunks)
+    pairs, groups = build_training_pairs(chunks, return_groups=True)
 
     model_cfg = BgeM3Config(
         encoder=EncoderConfig.tiny(use_flash_attention=False),
@@ -107,6 +128,7 @@ def train_eval_encoder(out_npz=TRAINED_NPZ, steps: int = 800,
                                    checkpoint_every=steps,
                                    log_every=log_every),
             metrics_path=metrics_path,
+            groups=groups,
         )
         params = jax.device_get(state.params)
     out_npz = pathlib.Path(out_npz)

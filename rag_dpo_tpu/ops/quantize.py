@@ -27,9 +27,11 @@ def quantize_rows(x: np.ndarray | jax.Array):
     return q, scale[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "oversample"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "oversample", "recall_target"))
 def approx_topk_int8_refined(q_f32, e_i8, e_scale, e_ref, k: int,
-                             oversample: int = 4, penalty=None):
+                             oversample: int = 4, penalty=None,
+                             recall_target: float = 0.95):
     """Int8 candidate generation + higher-precision refine.
 
     The int8 sweep reads HALF the HBM of bf16 (the whole cost of dense
@@ -37,7 +39,14 @@ def approx_topk_int8_refined(q_f32, e_i8, e_scale, e_ref, k: int,
     re-scored against `e_ref` (the bf16/f32 row store) with a tiny gather
     — so returned scores carry full precision and the ≲1% int8 ranking
     noise collapses to ties only. e_ref may be the same array as the
-    quantization source; its dtype sets refine precision."""
+    quantization source; its dtype sets refine precision.
+
+    `recall_target` is forwarded to `lax.approx_max_k` and is the
+    sweep's real recall lever past oversample≈2: the 1M-chunk study
+    (benchmarks/bench_oversample_study.py) shows recipe recall@10
+    saturating at 0.9961 from oversample 3 up under the default 0.95
+    bucketing — the misses are winners the approx reduction drops
+    entirely, which more candidates cannot recover."""
     q_i8, q_scale = quantize_rows(q_f32)
     raw = jax.lax.dot_general(
         q_i8, e_i8,
@@ -51,7 +60,8 @@ def approx_topk_int8_refined(q_f32, e_i8, e_scale, e_ref, k: int,
     # refine below restores full precision on everything returned
     scores = scores.astype(jnp.bfloat16)
     kk = min(k * oversample, scores.shape[1])
-    cvals, cids = jax.lax.approx_max_k(scores, kk)
+    cvals, cids = jax.lax.approx_max_k(scores, kk,
+                                       recall_target=recall_target)
     cvals = cvals.astype(jnp.float32)
     rows = e_ref[cids]                                  # [Q, C, D] gather
     exact = jnp.einsum(

@@ -21,6 +21,7 @@ Pipeline (semantics of `src/rag/retriever.py:156-470`, re-architected):
 from __future__ import annotations
 
 import dataclasses
+import re
 import time
 from typing import Any, Sequence
 
@@ -40,6 +41,25 @@ from .types import (
 )
 
 
+def _default_nature_weights() -> dict:
+    # archived/superseded content: the reference never indexes it at
+    # all (src/processing/organize_keep_archive.py moves it out of the
+    # corpus); an index that does carry it — incremental updates, or a
+    # corpus with deliberate archive twins — demotes it at fusion
+    return {"ARCHIVE": 0.5}
+
+
+# navigation-page markers, the retrieval-time analog of the reference's
+# phase-6c purge (src/processing/phase_6c_cleanup.py:36-41 NAV_PATTERNS
+# — it DELETES such pages from ChromaDB; we demote rows whose
+# title/heading still carry the markers, covering pages that slipped
+# the ingest filter)
+_NAV_MARKERS = re.compile(
+    r"(?i)navigation|informations? g[ée]n[ée]rales|en savoir plus|"
+    r"lire la suite|voir aussi|toutes les actualit[ée]s|rechercher|"
+    r"affiner la recherche|\d+ r[ée]sultat|page \d+ sur \d+")
+
+
 @dataclasses.dataclass
 class RetrieverConfig:
     n_expansions: int = 3
@@ -54,6 +74,18 @@ class RetrieverConfig:
     use_prefilter: bool = True
     max_query_terms: int = 32
     dense_exact: bool = False    # exact blocked kernel vs approx+refine
+    # multiplicative priors on the FUSED (rank-space) score, applied
+    # before the final candidate ordering: nature→factor (<1 demotes),
+    # plus a factor for rows whose title/heading match navigation
+    # markers. Multiplicative keeps the prior scale-free in RRF space.
+    nature_weights: dict = dataclasses.field(
+        default_factory=_default_nature_weights)
+    navigation_weight: float = 0.5
+    # fused-pool overfetch before the prior re-sort, so a demoted row
+    # frees its slot to the next-best row instead of merely sinking
+    # inside the returned pool (reference analog: fetch_multiplier=10,
+    # src/rag/retriever.py:117)
+    fetch_multiplier: int = 4
 
 
 class HybridRetriever:
@@ -143,11 +175,14 @@ class HybridRetriever:
                     else cfg.weight_bm25_expansion
                 )
 
-        # --- weighted RRF fusion on device
+        # --- weighted RRF fusion on device (overfetched: the content
+        # prior below may demote rows out of the final pool)
         ids = jnp.asarray(np.stack(arms)[:, None, :], jnp.int32)  # [A,1,L]
         w = jnp.asarray(np.asarray(weights, np.float32))
+        n_fetch = min(n_candidates * max(cfg.fetch_multiplier, 1),
+                      ids.shape[0] * ids.shape[2])
         fused_scores, fused_rows = rrf_fuse(
-            ids, w, k_rrf=cfg.rrf_k, topk=n_candidates
+            ids, w, k_rrf=cfg.rrf_k, topk=n_fetch
         )
         fused_scores = np.asarray(fused_scores)[0]
         fused_rows = np.asarray(fused_rows)[0]
@@ -175,12 +210,31 @@ class HybridRetriever:
                 chunk_id=self.index.ids[row],
                 text=self.chunk_text(row),
                 metadata=meta,
-                score=float(score),
+                score=float(score) * self._content_prior(meta),
                 dense_score=dense_by_row.get(row, 0.0),
                 sparse_score=sparse_by_row.get(row, 0.0),
                 row=row,
             ))
-        return out
+        # the prior can reorder: ≤n_fetch rows, host sort is free; cut
+        # back to the requested pool size after demotion
+        out.sort(key=lambda c: -c.score)
+        return out[:n_candidates]
+
+    def _content_prior(self, meta: dict) -> float:
+        """Multiplicative fused-score prior from row metadata: demotes
+        archived natures and navigation-marker titles (the retrieval-
+        time analog of the reference's corpus-level exclusions — see
+        RetrieverConfig.nature_weights)."""
+        cfg = self.config
+        factor = 1.0
+        if cfg.nature_weights:
+            factor *= float(cfg.nature_weights.get(
+                str(meta.get("nature", "")), 1.0))
+        if cfg.navigation_weight != 1.0:
+            blob = f"{meta.get('title', '')} {meta.get('heading', '')}"
+            if _NAV_MARKERS.search(blob):
+                factor *= cfg.navigation_weight
+        return factor
 
     def retrieve(
         self,

@@ -40,23 +40,54 @@ class LoopConfig:
 
 
 class PairBatcher:
-    """Deterministic epoch shuffling over (query, passage) text pairs."""
+    """Deterministic epoch shuffling over (query, passage) text pairs.
+
+    `groups` (optional, parallel to `pairs`) turns on HARD in-batch
+    negatives: the epoch permutation shuffles whole groups and lays
+    their member pairs out contiguously, so pairs sharing a group key
+    (e.g. a document and its near-duplicate / archived / related-topic
+    variants) land in the same batch and InfoNCE's in-batch negatives
+    include exactly the confusable rows. With plain shuffling a
+    family member co-occurs only by chance (batch_size/n); grouped
+    batching makes the hardest negative pressure deterministic — the
+    standard hard-negative batching of DPR/BGE-style retriever
+    training, done at the batcher instead of a mining pass."""
 
     def __init__(self, pairs: Sequence[tuple[str, str]],
                  tokenizer: Tokenizer, batch_size: int, seq_len: int,
-                 seed: int = 0):
+                 seed: int = 0, groups: Sequence | None = None):
         assert len(pairs) >= batch_size, "dataset smaller than batch"
         self.pairs = list(pairs)
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.seq_len = seq_len
         self.seed = seed
+        self.groups = list(groups) if groups is not None else None
+        if self.groups is not None:
+            assert len(self.groups) == len(self.pairs), \
+                "groups must parallel pairs"
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.pairs)
+        rng = np.random.default_rng(self.seed + epoch)
+        if self.groups is None:
+            return rng.permutation(n)
+        by_group: dict = {}
+        for i, g in enumerate(self.groups):
+            by_group.setdefault(g, []).append(i)
+        keys = list(by_group)
+        order = []
+        for k in rng.permutation(len(keys)):
+            members = by_group[keys[k]]
+            order.extend(np.asarray(members)[
+                rng.permutation(len(members))])
+        return np.asarray(order)
 
     def batch_at(self, step: int) -> dict:
         n = len(self.pairs)
         per_epoch = n // self.batch_size
         epoch, slot = divmod(step, per_epoch)
-        order = np.random.default_rng(self.seed + epoch).permutation(n)
+        order = self._epoch_order(epoch)
         idx = order[slot * self.batch_size:(slot + 1) * self.batch_size]
         queries = [self.pairs[i][0] for i in idx]
         passages = [self.pairs[i][1] for i in idx]
@@ -78,13 +109,18 @@ def train_retriever(
     loop_config: LoopConfig | None = None,
     tokenizer: Tokenizer | None = None,
     metrics_path=None,
+    groups: Sequence | None = None,
 ):
-    """Run (or resume) contrastive fine-tuning. → final TrainState."""
+    """Run (or resume) contrastive fine-tuning. → final TrainState.
+
+    `groups` (parallel to `pairs`) enables hard in-batch negatives via
+    group-contiguous batching — see PairBatcher."""
     loop = loop_config or LoopConfig()
     tokenizer = tokenizer or HashedTokenizer(
         vocab_size=train_config.model.encoder.vocab_size)
     batcher = PairBatcher(pairs, tokenizer, loop.batch_size,
-                          loop.seq_len, loop.shuffle_seed)
+                          loop.seq_len, loop.shuffle_seed,
+                          groups=groups)
 
     state = create_train_state(train_config)
     step_fn, state = make_sharded_train_step(train_config, mesh, state)
