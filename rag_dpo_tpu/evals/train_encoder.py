@@ -89,10 +89,54 @@ def build_training_pairs(chunks: list[dict],
     return pairs
 
 
+def mine_hard_negatives(pairs: list[tuple[str, str]],
+                        families: list[str],
+                        chunks: list[dict]) -> list:
+    """Per-pair hardest CROSS-FAMILY negative passage, or None.
+
+    For each (query, positive) pair, scores every chunk from a
+    DIFFERENT near-miss family by idf-weighted token overlap with the
+    query and returns the top scorer's text. Cross-family only: the
+    measured intrusion classes in the per-category mining
+    (scripts/mine_categories.py) are `other_qa` and foreign `blend`
+    chunks — and restricting to other families avoids the
+    contradictory-label failure of grouped batching (same-family
+    variants are other pairs' POSITIVES for near-identical queries;
+    forcing them in as negatives cost −2pt true-doc@5, measured
+    results_hermetic_20260820_115917.json vs ..._105608.json)."""
+    import math
+
+    chunk_tokens = [set(tokenize_french_text(c["text"]))
+                    for c in chunks]
+    chunk_fams = [family_key(c.get("chunk_id", c.get("title", "")))
+                  for c in chunks]
+    df: dict[str, int] = {}
+    for toks in chunk_tokens:
+        for t in toks:
+            df[t] = df.get(t, 0) + 1
+    n_chunks = max(1, len(chunks))
+    idf = {t: math.log(n_chunks / (1 + d)) for t, d in df.items()}
+
+    negatives: list = []
+    for (query, positive), fam in zip(pairs, families):
+        q_toks = set(tokenize_french_text(query))
+        best, best_score = None, 0.0
+        for toks, cfam, c in zip(chunk_tokens, chunk_fams, chunks):
+            if cfam == fam:
+                continue
+            score = sum(idf.get(t, 0.0) for t in q_toks & toks)
+            if score > best_score:
+                best, best_score = c["text"], score
+        negatives.append(best)
+    return negatives
+
+
 def train_eval_encoder(out_npz=TRAINED_NPZ, steps: int = 800,
                        batch_size: int = 32, seq_len: int = 96,
                        learning_rate: float = 3e-4,
-                       log_every: int = 50) -> dict:
+                       log_every: int = 50,
+                       hard_negatives: bool = True,
+                       grouped: bool = False) -> dict:
     """Train on the v2 corpus and save the checkpoint through the
     production npz path. → {"loss_first", "loss_last", "n_pairs"}."""
     import tempfile
@@ -110,6 +154,8 @@ def train_eval_encoder(out_npz=TRAINED_NPZ, steps: int = 800,
     dataset = load_qa_dataset()
     chunks = build_synthetic_corpus(dataset)
     pairs, groups = build_training_pairs(chunks, return_groups=True)
+    negatives = (mine_hard_negatives(pairs, groups, chunks)
+                 if hard_negatives else None)
 
     model_cfg = BgeM3Config(
         encoder=EncoderConfig.tiny(use_flash_attention=False),
@@ -128,7 +174,8 @@ def train_eval_encoder(out_npz=TRAINED_NPZ, steps: int = 800,
                                    checkpoint_every=steps,
                                    log_every=log_every),
             metrics_path=metrics_path,
-            groups=groups,
+            groups=groups if grouped else None,
+            negatives=negatives,
         )
         params = jax.device_get(state.params)
     out_npz = pathlib.Path(out_npz)
@@ -143,6 +190,8 @@ def train_eval_encoder(out_npz=TRAINED_NPZ, steps: int = 800,
              metrics_path.read_text().splitlines()]
     return {
         "n_pairs": len(pairs),
+        "n_hard_negatives": (sum(x is not None for x in negatives)
+                             if negatives else 0),
         "steps": steps,
         "loss_first": lines[0]["loss"] if lines else None,
         "loss_last": lines[-1]["loss"] if lines else None,

@@ -46,6 +46,8 @@ class BatcherStats:
     n_device_calls: int = 0
     max_batch_seen: int = 0
     rows_total: int = 0
+    n_fallbacks: int = 0             # stacked-call failures degraded
+    #                                  to per-caller execution
 
     @property
     def mean_batch(self) -> float:
@@ -172,8 +174,25 @@ class MicroBatcher:
                     p.result = tuple(o[off:off + q] for o in outs)
                     off += q
             except BaseException as e:  # noqa: BLE001 — propagate to callers
-                for p in batch:
-                    p.error = e
+                if len(batch) > 1:
+                    # degrade before failing: a stacked batch can exhaust
+                    # device memory where the individual requests fit
+                    # (measured: 15/32 queries RESOURCE_EXHAUSTED when the
+                    # coalesced encode programs landed on a chip already
+                    # carrying the 12B pool — bench_e2e_concurrent.py
+                    # batched arm, 2026-08-20). Rerun each caller's rows
+                    # alone; only rows that fail solo fail their caller.
+                    self.stats.n_fallbacks += 1
+                    for p in batch:
+                        try:
+                            outs = tuple(np.asarray(o) for o in
+                                         self.fn(p.rows, p.key))
+                            p.result = outs
+                        except BaseException as se:  # noqa: BLE001
+                            p.error = se
+                else:
+                    for p in batch:
+                        p.error = e
             finally:
                 for p in batch:
                     p.event.set()
@@ -187,6 +206,7 @@ def batcher_stats(batcher) -> dict:
         "n_device_calls": s.n_device_calls,
         "max_batch_seen": s.max_batch_seen,
         "mean_batch": round(s.mean_batch, 2),
+        "n_fallbacks": s.n_fallbacks,
     }
 
 

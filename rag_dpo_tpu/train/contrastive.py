@@ -75,13 +75,26 @@ def create_train_state(cfg: TrainConfig, rng_seed: int = 0) -> TrainState:
     return TrainState.create(params, opt_state)
 
 
-def info_nce_loss(q_emb, p_emb, temperature: float, axis_name: str | None):
-    """Bidirectional InfoNCE with global in-batch negatives.
+def info_nce_loss(q_emb, p_emb, temperature: float, axis_name: str | None,
+                  n_emb=None, n_valid=None):
+    """Bidirectional InfoNCE with global in-batch negatives, plus
+    optional EXPLICIT hard negatives (BGE/DPR-style triplets).
 
     q_emb/p_emb: [B_local, H] L2-normalized. With `axis_name`, positives
     and queries are all-gathered so every device scores against the global
     batch; labels are offset by the device's position along the axis.
-    """
+
+    n_emb: optional [B_local, H] — one mined hard-negative passage per
+    query, appended as a SHARED pool of extra columns in the
+    query→passage softmax only (never the reverse direction: a hard
+    negative is not anyone's positive, so it must not receive a
+    positive gradient). n_valid: [B_local] bool — rows without a mined
+    negative mask their column to -inf for every query. Explicit
+    negatives avoid the contradictory-label failure of forcing near-
+    duplicate variants into the same batch as each other's POSITIVES
+    (measured: grouped batching over archive twins cost −2pt true-doc@5
+    — the twin text is a near-copy, so twin-derived and true-derived
+    queries assign the same content two different labels)."""
     if axis_name is not None:
         q_all = jax.lax.all_gather(q_emb, axis_name, axis=0, tiled=True)
         p_all = jax.lax.all_gather(p_emb, axis_name, axis=0, tiled=True)
@@ -91,6 +104,19 @@ def info_nce_loss(q_emb, p_emb, temperature: float, axis_name: str | None):
 
     logits = jnp.dot(q_emb, p_all.T) / temperature  # [B_local, B_global]
     labels = jnp.arange(q_emb.shape[0]) + offset
+    if n_emb is not None:
+        if axis_name is not None:
+            n_all = jax.lax.all_gather(n_emb, axis_name, axis=0,
+                                       tiled=True)
+            v_all = (jax.lax.all_gather(n_valid, axis_name, axis=0,
+                                        tiled=True)
+                     if n_valid is not None else None)
+        else:
+            n_all, v_all = n_emb, n_valid
+        neg = jnp.dot(q_emb, n_all.T) / temperature  # [B_local, B_neg]
+        if v_all is not None:
+            neg = jnp.where(v_all[None, :], neg, -1e30)
+        logits = jnp.concatenate([logits, neg], axis=1)
     loss_q = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
 
     logits_p = jnp.dot(p_emb, q_all.T) / temperature
@@ -138,11 +164,18 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, state: TrainState):
                             batch["query_lengths"])
         p_out = model.apply(params, batch["passage_ids"],
                             batch["passage_lengths"])
+        n_emb = n_valid = None
+        if "negative_ids" in batch:
+            n_out = model.apply(params, batch["negative_ids"],
+                                batch["negative_lengths"])
+            n_emb = n_out.dense.astype(jnp.float32)
+            n_valid = batch["negative_valid"]
         return info_nce_loss(
             q_out.dense.astype(jnp.float32),
             p_out.dense.astype(jnp.float32),
             cfg.temperature,
             axis_name=None,  # global negatives arise from sharded jit
+            n_emb=n_emb, n_valid=n_valid,
         )
 
     def step_fn(state: TrainState, batch):
@@ -159,14 +192,11 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, state: TrainState):
             {"loss": loss, "accuracy": acc},
         )
 
+    # batch_sharding is a PREFIX pytree: every batch entry (including
+    # the optional negative_* keys) is leading-axis sharded over `data`
     sharded_step = jax.jit(
         step_fn,
-        in_shardings=(state_shardings, {
-            "query_ids": batch_sharding,
-            "query_lengths": batch_sharding,
-            "passage_ids": batch_sharding,
-            "passage_lengths": batch_sharding,
-        }),
+        in_shardings=(state_shardings, batch_sharding),
         out_shardings=(state_shardings, None),
         donate_argnums=(0,),
     )

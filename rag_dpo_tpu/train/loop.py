@@ -55,7 +55,8 @@ class PairBatcher:
 
     def __init__(self, pairs: Sequence[tuple[str, str]],
                  tokenizer: Tokenizer, batch_size: int, seq_len: int,
-                 seed: int = 0, groups: Sequence | None = None):
+                 seed: int = 0, groups: Sequence | None = None,
+                 negatives: Sequence | None = None):
         assert len(pairs) >= batch_size, "dataset smaller than batch"
         self.pairs = list(pairs)
         self.tokenizer = tokenizer
@@ -66,6 +67,12 @@ class PairBatcher:
         if self.groups is not None:
             assert len(self.groups) == len(self.pairs), \
                 "groups must parallel pairs"
+        # per-pair mined hard-negative passage text (None where absent)
+        self.negatives = (list(negatives) if negatives is not None
+                          else None)
+        if self.negatives is not None:
+            assert len(self.negatives) == len(self.pairs), \
+                "negatives must parallel pairs"
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         n = len(self.pairs)
@@ -93,12 +100,23 @@ class PairBatcher:
         passages = [self.pairs[i][1] for i in idx]
         qe = self.tokenizer.encode_batch(queries, self.seq_len)
         pe = self.tokenizer.encode_batch(passages, self.seq_len)
-        return {
+        batch = {
             "query_ids": jnp.asarray(qe.input_ids),
             "query_lengths": jnp.asarray(qe.lengths),
             "passage_ids": jnp.asarray(pe.input_ids),
             "passage_lengths": jnp.asarray(pe.lengths),
         }
+        if self.negatives is not None:
+            # rows without a mined negative encode a placeholder and
+            # mask it via negative_valid (the loss -infs its column)
+            neg_texts = [self.negatives[i] or "" for i in idx]
+            ne = self.tokenizer.encode_batch(neg_texts, self.seq_len)
+            batch["negative_ids"] = jnp.asarray(ne.input_ids)
+            batch["negative_lengths"] = jnp.asarray(
+                np.maximum(ne.lengths, 1))
+            batch["negative_valid"] = jnp.asarray(
+                [self.negatives[i] is not None for i in idx])
+        return batch
 
 
 def train_retriever(
@@ -110,17 +128,20 @@ def train_retriever(
     tokenizer: Tokenizer | None = None,
     metrics_path=None,
     groups: Sequence | None = None,
+    negatives: Sequence | None = None,
 ):
     """Run (or resume) contrastive fine-tuning. → final TrainState.
 
     `groups` (parallel to `pairs`) enables hard in-batch negatives via
-    group-contiguous batching — see PairBatcher."""
+    group-contiguous batching; `negatives` (parallel to `pairs`,
+    entries may be None) supplies explicit mined hard-negative passage
+    texts — see PairBatcher and contrastive.info_nce_loss."""
     loop = loop_config or LoopConfig()
     tokenizer = tokenizer or HashedTokenizer(
         vocab_size=train_config.model.encoder.vocab_size)
     batcher = PairBatcher(pairs, tokenizer, loop.batch_size,
                           loop.seq_len, loop.shuffle_seed,
-                          groups=groups)
+                          groups=groups, negatives=negatives)
 
     state = create_train_state(train_config)
     step_fn, state = make_sharded_train_step(train_config, mesh, state)

@@ -158,3 +158,40 @@ def test_index_warm_compiles_search_programs():
     s, i = idx.search_dense(dense[[5]], 3)
     assert i[0, 0] == 5
     DeviceIndex(IndexConfig(dim=d)).warm()  # empty index: no-op
+
+
+def test_batcher_degrades_stacked_failure_to_per_caller_calls():
+    """A stacked batch that exhausts device memory must not fail its
+    callers if their individual requests fit: the worker retries each
+    pending alone (measured failure: 15/32 queries RESOURCE_EXHAUSTED
+    in the coalesced-encode arm, bench_e2e_concurrent.py 2026-08-20)."""
+    import threading
+
+    def fn(stacked, key):
+        if stacked.shape[0] > 2:  # "OOM" only on the aggregated call
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return (stacked + 1.0,)
+
+    b = MicroBatcher(fn, max_batch=64, max_wait_ms=50.0)
+    outs, errs = [None] * 4, [None] * 4
+
+    def call(i):
+        try:
+            (outs[i],) = b(np.full((2, 3), i, np.float32), key=None)
+        except Exception as e:  # noqa: BLE001
+            errs[i] = e
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == [None] * 4
+    for i, out in enumerate(outs):
+        assert (out == i + 1.0).all()
+    assert b.stats.n_fallbacks >= 1
+    # a request that fails even ALONE still errors its own caller
+    with pytest.raises(RuntimeError, match="micro-batched call failed"):
+        b(np.zeros((3, 3), np.float32), key=None)
+    b.close()
