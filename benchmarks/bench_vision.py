@@ -100,6 +100,24 @@ def main():
             "images_per_s": round(b / dt, 1)}
         print(f"encode b={b} (device-resident): "
               f"{res[f'encode_b{b}']}", flush=True)
+        # raw-uint8 arm (the production ingest path: resize on host,
+        # upload RAW bytes — 4x smaller than normalized f32 — and
+        # normalize on device inside the encode program). The upload,
+        # not the ViT forward, is the measured bound: pixels resident
+        # on device encode at 7.4 ms b=1 / 41.7 ms b=8.
+        raw = rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8)
+        np.asarray(jnp.sum(lg.encode_image(raw, fetch=False)))  # compile
+        t0 = time.time()
+        for _ in range(reps * 4):
+            out_u = lg.encode_image(raw, fetch=False)
+            np.asarray(jnp.sum(out_u))
+        dt = (time.time() - t0) / (reps * 4)
+        res[f"encode_u8_b{b}"] = {
+            "ms": round(1e3 * dt, 1),
+            "images_per_s": round(b / dt, 1)}
+        print(f"encode b={b} (raw uint8, device-normalize): "
+              f"{res[f'encode_u8_b{b}']}", flush=True)
+        del out_u
         # host-fetch arm: the old numbers — kept to document the
         # tunnel-fetch bound for callers that insist on np.ndarray
         t0 = time.time()

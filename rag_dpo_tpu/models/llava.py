@@ -29,7 +29,8 @@ import numpy as np
 
 from .decoder import DecoderConfig
 from .generate import SamplingConfig, TextGenerator
-from .vit import ViTConfig, ViTModel, preprocess_image
+from .vit import ViTConfig, ViTModel, preprocess_image, \
+    preprocess_image_raw
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,8 +128,8 @@ class LlavaGenerator:
         self.generator.load_converted_tree(tree["decoder"])
         return self._params
 
-    def _encode_program(self, b: int):
-        key = ("encode_image", b)
+    def _encode_program(self, b: int, u8: bool = False):
+        key = ("encode_image_u8" if u8 else "encode_image", b)
         if key not in self._programs:
             cfg = self.config
             n_layers = cfg.vision.num_layers
@@ -138,6 +139,10 @@ class LlavaGenerator:
 
             @jax.jit
             def encode(params, pixels):
+                if u8:
+                    from .vit import normalize_uint8_pixels
+
+                    pixels = normalize_uint8_pixels(pixels)
                 feats = self.vision.apply(
                     {"params": params["vision"]}, pixels,
                     output_layer=out_layer)
@@ -151,8 +156,15 @@ class LlavaGenerator:
 
     def encode_image(self, pixel_values: np.ndarray,
                      fetch: bool = True):
-        """[B, 3, S, S] CLIP-normalized pixels → [B, n_image_tokens,
-        text_hidden] projected patch embeddings.
+        """[B, 3, S, S] CLIP-normalized f32 pixels — or [B, S, S, 3]
+        RAW uint8 (from `vit.preprocess_image_raw`) — → [B,
+        n_image_tokens, text_hidden] projected patch embeddings.
+
+        uint8 input normalizes ON DEVICE (`normalize_uint8_pixels`
+        traced into the encode program): raw bytes are 4x smaller than
+        normalized f32 and the tunnel UPLOAD dominates the ViT forward
+        (measured 2026-08-20: b=8 host f32 310 ms vs 41.7 ms once
+        resident — see BENCHMARKS.md vision table).
 
         `fetch=False` returns the DEVICE array (a handle) instead of
         copying to host — the output is [B, 576, text_hidden] f32
@@ -164,8 +176,10 @@ class LlavaGenerator:
         pass fetch=False to keep that property when batch-encoding."""
         params = self.load()
         b = pixel_values.shape[0]
-        out = self._encode_program(b)(
-            params, jnp.asarray(pixel_values, jnp.float32))
+        u8 = (getattr(pixel_values, "dtype", None) == np.uint8)
+        pix = (jnp.asarray(pixel_values) if u8
+               else jnp.asarray(pixel_values, jnp.float32))
+        out = self._encode_program(b, u8=u8)(params, pix)
         return np.asarray(out) if fetch else out
 
     def encode_patches(self, img_arr):
@@ -175,8 +189,18 @@ class LlavaGenerator:
         chat about one picture) skips the whole ViT+projector forward.
         The digest keys the post-preprocess pixel bytes, so every
         input form (PIL / uint8 HWC / pre-normalized CHW) that renders
-        the same pixels hits the same entry."""
-        arr = np.ascontiguousarray(np.asarray(img_arr, np.float32))
+        the same pixels hits the same entry.
+
+        [S, S, 3] RAW uint8 input (from `preprocess_image_raw`) skips
+        host normalization: the bytes upload 4x smaller and normalize
+        on device inside the encode program — the tunnel upload, not
+        the ViT forward, is the measured bound (BENCHMARKS.md vision
+        table, 2026-08-20)."""
+        arr = np.asarray(img_arr)
+        u8 = arr.dtype == np.uint8 and arr.ndim == 3 \
+            and arr.shape[-1] == 3
+        arr = np.ascontiguousarray(
+            arr if u8 else np.asarray(arr, np.float32))
         digest = None
         if self.image_cache > 0:
             import hashlib
@@ -188,7 +212,7 @@ class LlavaGenerator:
                     self._patch_cache.move_to_end(digest)
                     self.cache_stats["hits"] += 1
                     return hit
-        patches = self._encode_program(1)(
+        patches = self._encode_program(1, u8=u8)(
             self.load(), jnp.asarray(arr[None]))[0]
         if digest is not None:
             with self._patch_lock:
@@ -247,14 +271,19 @@ class LlavaGenerator:
         (`ContinuousDriver.submit_embeds`).
 
         `image`: PIL image / [H, W, 3] uint8 array / pre-processed
-        [3, S, S] f32 CLIP-normalized array.
+        [3, S, S] f32 CLIP-normalized array. PIL and raw-uint8 inputs
+        resize on host (`preprocess_image_raw`) but normalize ON
+        DEVICE — raw bytes ride the tunnel 4x smaller than f32 (the
+        measured upload bound, BENCHMARKS.md vision table).
         """
         cfg = self.config
         img = np.asarray(image) if not hasattr(image, "convert") \
             else image
-        if getattr(img, "ndim", 0) != 3 or (
-                hasattr(img, "shape") and img.shape[0] != 3):
-            img = preprocess_image(image, cfg.vision.image_size)
+        if getattr(img, "ndim", 0) == 3 and hasattr(img, "shape") \
+                and img.shape[0] == 3 and img.dtype != np.uint8:
+            pass  # pre-normalized [3, S, S] f32: upload as-is
+        else:
+            img = preprocess_image_raw(image, cfg.vision.image_size)
 
         from ..tokenize.base import bucket_length
 

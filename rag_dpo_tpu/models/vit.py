@@ -169,6 +169,54 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def preprocess_image_raw(image, image_size: int):
+    """PIL.Image (or [H, W, 3] uint8 array) → [S, S, 3] uint8, bicubic
+    resize only — NO normalization. The companion of
+    `LlavaGenerator.encode_image` on uint8 input, which normalizes ON
+    DEVICE: the axon tunnel upload dominates the ViT forward
+    (measured 2026-08-20: b=8 host-input 310 ms vs device-input
+    41.7 ms), and uint8 HWC is 4x smaller than normalized f32."""
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except Exception:  # pragma: no cover - PIL is in the image
+        Image = None
+    if Image is not None and isinstance(image, np.ndarray) \
+            and image.dtype == np.uint8 \
+            and image.shape[:2] != (image_size, image_size):
+        image = Image.fromarray(image)
+    if Image is not None and not isinstance(image, np.ndarray):
+        img = image.convert("RGB").resize(
+            (image_size, image_size), Image.BICUBIC)
+        return np.asarray(img, np.uint8)
+    arr = np.asarray(image)
+    if arr.shape[:2] != (image_size, image_size):
+        ys = (np.arange(image_size) * arr.shape[0]
+              // image_size).astype(int)
+        xs = (np.arange(image_size) * arr.shape[1]
+              // image_size).astype(int)
+        arr = arr[ys][:, xs]
+    if arr.dtype != np.uint8:
+        arr = np.clip(np.asarray(arr, np.float32)
+                      * (255.0 if arr.max() <= 1.5 else 1.0),
+                      0, 255).astype(np.uint8)
+    return arr
+
+
+def normalize_uint8_pixels(pixels):
+    """[B, S, S, 3] uint8 → [B, 3, S, S] f32 CLIP-normalized, in jnp —
+    traced INSIDE the encode program so raw bytes ride the tunnel and
+    the scale/shift/transpose fuse into the first ViT conv."""
+    import jax.numpy as jnp
+
+    x = pixels.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_STD, jnp.float32)
+    x = (x - mean) / std
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
 def preprocess_image(image, image_size: int):
     """PIL.Image (or [H, W, 3] uint8 array) → [3, S, S] f32,
     CLIP-normalized, bicubic resize — matches HF CLIPImageProcessor

@@ -499,3 +499,29 @@ def test_image_patch_cache_hits_and_parity():
     off.compose(pre, post, img_a)
     assert off.cache_stats == {"hits": 0, "misses": 0}
     np.testing.assert_array_equal(np.asarray(eo), np.asarray(e1))
+
+
+def test_encode_image_uint8_matches_host_normalized_f32():
+    """Raw uint8 HWC input (device-side normalize — the 4x-smaller
+    tunnel upload, BENCHMARKS.md vision table) must produce the same
+    patches as the host-normalized f32 CHW path, and encode_patches
+    must serve it through the LRU."""
+    from rag_dpo_tpu.models.vit import preprocess_image, \
+        preprocess_image_raw
+
+    cfg = LlavaConfig.tiny()
+    lg = LlavaGenerator(cfg)
+    lg.load()
+    s = cfg.vision.image_size
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
+    f32 = preprocess_image(raw, s)
+    u8 = preprocess_image_raw(raw, s)
+    assert u8.dtype == np.uint8 and u8.shape == (s, s, 3)
+    a = lg.encode_image(np.asarray([f32], np.float32))
+    b = lg.encode_image(u8[None])
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    p1 = np.asarray(lg.encode_patches(u8))
+    np.asarray(lg.encode_patches(u8))
+    np.testing.assert_allclose(p1, a[0], atol=2e-4)
+    assert lg.cache_stats["hits"] == 1
