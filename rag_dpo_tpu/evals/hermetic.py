@@ -95,11 +95,43 @@ def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
     # the index must carry them (colbert_len 96 covers the synthetic
     # chunks' token counts at the tiny encoder's tokenizer)
     index, stats, report = CorpusIndexer(
-        embedder, ell_width=24,
+        embedder, ell_width=48,   # ≥ max distinct terms/chunk (45): width 24 truncated 10% of chunks — q46 lost 3 BM25 points to it
         with_colbert=(reranker == "maxsim"),
         colbert_len=96 if reranker == "maxsim" else 0,
     ).build(chunks, mode="reset")
     assert report.verification["self_retrieval_ok"]
+
+    # fusion weights CALIBRATED on content-derived queries (titles /
+    # keyword lines / body term subsets → their own source chunk), not
+    # on the 48 eval questions — no leakage. A tiny trained encoder
+    # earns far less dense weight than a production BGE-M3 would
+    # (retrieval/calibrate.py; measured true-doc@5 0.625→0.854 when
+    # the miscalibrated dense arm stopped outvoting BM25).
+    from ..retrieval import calibrate_fusion_weights
+    from .train_encoder import build_training_pairs
+
+    cal_pairs, cal_ids = build_training_pairs(chunks,
+                                              return_chunk_ids=True)
+    # half the calibration set wraps the content terms in GENERIC
+    # French question scaffolding: users ask long natural questions,
+    # and the dense arm's failure mode is exactly that style shift
+    # (content-phrased queries hit 0.99 while natural questions sank
+    # the same encoder to dense rank 157 on q46) — calibration has to
+    # see question-shaped input to price the dense arm honestly.
+    templates = (
+        "Quelles sont les conditions concernant {x} ?",
+        "Que faut-il savoir sur {x} dans une entreprise ?",
+        "Comment s'applique {x} et quels mécanismes sont prévus ?",
+    )
+    labeled = []
+    for i, ((q, _), cid) in enumerate(zip(cal_pairs, cal_ids)):
+        if not cid.startswith("qa_"):  # live docs: the prior
+            continue  # intentionally demotes archive/nav targets
+        labeled.append((q, cid))
+        labeled.append((templates[i % len(templates)].format(x=q), cid))
+    retr_cfg, cal_report = calibrate_fusion_weights(
+        index, embedder, stats, labeled,
+        base_config=RetrieverConfig(use_prefilter=False))
     rr = None
     if reranker == "cross":
         from ..retrieval.reranker import default_reranker
@@ -109,18 +141,28 @@ def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
         from ..retrieval.reranker import MaxSimReranker
 
         rr = MaxSimReranker(index, embedder)
+    import dataclasses as _dc
+
+    chosen = cal_report["chosen"]
+    pipe_cfg = _dc.replace(
+        RetrieverConfig(),
+        weight_original=retr_cfg.weight_original,
+        weight_expansion=retr_cfg.weight_expansion,
+        weight_bm25_original=retr_cfg.weight_bm25_original,
+        weight_bm25_expansion=retr_cfg.weight_bm25_expansion,
+    )
     pipe = create_pipeline(
         index, embedder, ExtractiveFakeLLM(), bm25_stats=stats,
         use_reranker=rr is not None, reranker=rr,
         use_expansion=False,
+        retriever_config=pipe_cfg,
     )
     harness = EvalHarness(pipe, embedder=embedder,
                           config=EvalConfig(n_runs=n_runs))
     multi = harness.run_multi(dataset)
 
     retriever = HybridRetriever(
-        index, embedder, bm25_stats=stats,
-        config=RetrieverConfig(use_prefilter=False),
+        index, embedder, bm25_stats=stats, config=retr_cfg,
     )
     hits = cited_source_hit_rate(dataset, retriever, k=5)
     true_hits = true_doc_hit_rate(dataset, retriever, k=5)
@@ -145,6 +187,8 @@ def run_hermetic_replay(n_runs: int = 3, encoder_params=None,
         "source_score": multi["runs"][0]["source_score"],
         "cited_source_hit_rate_at_5": hits["mean_hit_rate"],
         "true_doc_hit_rate_at_5": true_hits["hit_rate"],
+        "fusion_calibration": {"chosen": chosen,
+                               "n_queries": cal_report["n_queries"]},
         "total_time_seconds": multi["total_time_seconds"],
     }
 

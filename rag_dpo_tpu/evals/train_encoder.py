@@ -54,7 +54,8 @@ def family_key(chunk_id: str) -> str:
 
 
 def build_training_pairs(chunks: list[dict],
-                         return_groups: bool = False):
+                         return_groups: bool = False,
+                         return_chunk_ids: bool = False):
     """(query, passage) pairs from corpus content only.
 
     Per chunk: its title, its keyword footer, and a content-term subset
@@ -62,9 +63,12 @@ def build_training_pairs(chunks: list[dict],
     chunk's full text. In-batch negatives (train/contrastive.py) then
     push different chunks apart — including the near-miss distractors,
     which are their own rows. With `return_groups`, also returns the
-    per-pair family key for grouped hard-negative batching."""
+    per-pair family key for grouped hard-negative batching; with
+    `return_chunk_ids`, the per-pair source chunk_id (the label set
+    fusion-weight calibration consumes — retrieval/calibrate.py)."""
     pairs: list[tuple[str, str]] = []
     groups: list[str] = []
+    chunk_ids: list[str] = []
     for c in chunks:
         n_before = len(pairs)
         text = c["text"]
@@ -82,11 +86,16 @@ def build_training_pairs(chunks: list[dict],
             # content-word subset, question-length: the query STYLE a
             # natural question shares (content terms, no syntax)
             pairs.append((" ".join(terms[:8]), text))
-        groups.extend([family_key(c.get("chunk_id", c.get("title", "")))]
-                      * (len(pairs) - n_before))
+        n_new = len(pairs) - n_before
+        groups.extend(
+            [family_key(c.get("chunk_id", c.get("title", "")))] * n_new)
+        chunk_ids.extend([c.get("chunk_id", "")] * n_new)
+    out = [pairs]
     if return_groups:
-        return pairs, groups
-    return pairs
+        out.append(groups)
+    if return_chunk_ids:
+        out.append(chunk_ids)
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def mine_hard_negatives(pairs: list[tuple[str, str]],

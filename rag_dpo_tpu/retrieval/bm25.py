@@ -72,18 +72,82 @@ class Bm25Stats:
             total_len=float(d.get("total_len", 0.0)),
         )
 
+    # minimum shared prefix for a vocabulary term to count as a
+    # morphological neighbor of a query token (see query_terms)
+    NEIGHBOR_PREFIX = 6
+    NEIGHBOR_WEIGHT = 0.5
+
+    def _sorted_terms(self):
+        """Vocab terms sorted lexicographically (cached) — the prefix
+        range scan behind morphological neighbor expansion."""
+        cached = getattr(self, "_sorted_terms_cache", None)
+        if cached is None or cached[1] != len(self.vocab):
+            terms = sorted(self.vocab)
+            cached = (terms, len(self.vocab))
+            object.__setattr__(self, "_sorted_terms_cache", cached)
+        return cached[0]
+
+    def _prefix_neighbors(self, tok: str) -> list[str]:
+        """Vocabulary terms sharing ≥NEIGHBOR_PREFIX leading chars with
+        `tok` (tok itself excluded). French derivational morphology —
+        transfert / transférer / transferts, encadrer / encadrement —
+        defeats exact-match BM25 (measured: the q46 'transférer …
+        Union européenne' query misses the 'transfert … hors UE' true
+        doc entirely, eval international category 0.25); a ≥6-char
+        shared prefix recovers the family while 'conseil'/'consent'
+        (5 shared) stay apart. Suffix stemmers do NOT cover this:
+        noun/verb pairs like transfert/transférer have different
+        derivational stems."""
+        import bisect
+
+        if len(tok) < self.NEIGHBOR_PREFIX:
+            return []
+        pre = tok[: self.NEIGHBOR_PREFIX]
+        terms = self._sorted_terms()
+        lo = bisect.bisect_left(terms, pre)
+        out = []
+        for i in range(lo, len(terms)):
+            if not terms[i].startswith(pre):
+                break
+            if terms[i] != tok:
+                out.append(terms[i])
+        return out
+
     def query_terms(
-        self, text: str, max_terms: int = 32
+        self, text: str, max_terms: int = 32, expand: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
-        """→ ([T] term ids, [T] idf weights); pads with id -2 / weight 0."""
+        """→ ([T] term ids, [T] idf weights); pads with id -2 / weight 0.
+
+        With `expand`, each query token also pulls its morphological
+        prefix-neighbors from the vocabulary at NEIGHBOR_WEIGHT×idf —
+        query-side only (no reindex, shared by the Python ELL and the
+        native C++ scoring paths, which both consume these term ids).
+        Exact tokens are added first so expansion can only use slots
+        the exact terms left free."""
         ids, weights = [], []
+        neighbors: list[str] = []
+        seen = set()
         for tok in tokenize_french_text(text):
+            if tok in seen:
+                continue
+            seen.add(tok)
             tid = self.vocab.get(tok)
             if tid is not None and tid not in ids:
                 ids.append(tid)
                 weights.append(float(self.idf[tid]))
+            if expand:
+                neighbors.extend(self._prefix_neighbors(tok))
             if len(ids) >= max_terms:
                 break
+        if expand:
+            for term in neighbors:
+                if len(ids) >= max_terms:
+                    break
+                tid = self.vocab[term]
+                if tid not in ids:
+                    ids.append(tid)
+                    weights.append(self.NEIGHBOR_WEIGHT
+                                   * float(self.idf[tid]))
         t = np.full((max_terms,), -2, np.int32)
         w = np.zeros((max_terms,), np.float32)
         t[: len(ids)] = ids

@@ -70,7 +70,7 @@ def main() -> int:
             batch_size=64),
         params=params)
     index, stats, _ = CorpusIndexer(
-        embedder, ell_width=24).build(chunks, mode="reset")
+        embedder, ell_width=48).build(chunks, mode="reset")
 
     both = HybridRetriever(index, embedder, bm25_stats=stats,
                            config=RetrieverConfig(use_prefilter=False))

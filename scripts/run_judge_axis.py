@@ -78,7 +78,7 @@ def main() -> int:
             batch_size=64),
         params=encoder_params)
     index, stats, report = CorpusIndexer(
-        embedder, ell_width=24).build(chunks, mode="reset")
+        embedder, ell_width=48).build(chunks, mode="reset")
     assert report.verification["self_retrieval_ok"]
     pipe = create_pipeline(index, embedder, ExtractiveFakeLLM(),
                            bm25_stats=stats, use_expansion=False)

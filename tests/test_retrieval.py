@@ -351,3 +351,46 @@ def test_expander_parallel_fanout_and_degradation():
 
     ex3 = QueryExpander(DeadStub(), n_expansions=3)
     assert ex3.expand("Question ?") == ["Question ?"]
+
+
+def test_calibrate_fusion_weights_downweights_broken_dense_arm():
+    """calibrate_fusion_weights must (a) include the base point and
+    report the full sweep, (b) never pick weights that score below the
+    base config on the calibration labels, (c) move weight off a dense
+    arm that ranks the true chunk poorly (here: random-init encoder vs
+    lexically exact queries — BM25 is near-perfect, dense is noise)."""
+    import dataclasses
+
+    from rag_dpo_tpu.retrieval import calibrate_fusion_weights
+
+    embedder = Embedder(EmbedderConfig(
+        model=BgeM3Config(encoder=EncoderConfig.tiny(
+            use_flash_attention=False), colbert_dim=32),
+        batch_size=8,
+    ))
+    texts = [t for _, t, _ in CORPUS]
+    metas = [dict(meta, text=text) for _, text, meta in CORPUS]
+    out = embedder.embed(texts)
+    tokens = tokenize_corpus(texts)
+    stats = build_bm25_stats(tokens)
+    terms, impacts = build_ell_corpus(tokens, stats, ell_width=16)
+    index = DeviceIndex(IndexConfig(dim=embedder.dim, ell_width=16,
+                                    row_block=8))
+    index.add([c for c, _, _ in CORPUS], out["dense"], metas, terms,
+              impacts)
+    labeled = [(text[:60], cid) for cid, text, _ in CORPUS]
+    base = RetrieverConfig(use_prefilter=False, n_expansions=0)
+    cfg, report = calibrate_fusion_weights(
+        index, embedder, stats, labeled, base_config=base, k=3)
+    assert report["kind"] == "fusion_weight_calibration"
+    points = {(e["weight_original"], e["weight_bm25_original"])
+              for e in report["sweep"]}
+    assert (base.weight_original, base.weight_bm25_original) in points
+    by_point = {(e["weight_original"], e["weight_bm25_original"]):
+                e["hit_rate"] for e in report["sweep"]}
+    base_rate = by_point[(base.weight_original,
+                          base.weight_bm25_original)]
+    assert report["chosen"]["hit_rate"] >= base_rate
+    assert cfg.weight_original == report["chosen"]["weight_original"]
+    # expansion-arm weights keep the 2:1 orig:expansion ratio
+    assert cfg.weight_expansion == cfg.weight_original / 2.0
