@@ -211,6 +211,8 @@ def _latest_serving_records():
                 "agent_sequential", {}).get("mean_latency_s"),
             "agent_concurrent_qpm": e2e.get(
                 "agent_concurrent", {}).get("qpm"),
+            "agent_concurrent_intent_fast_qpm": e2e.get(
+                "agent_concurrent_intent_fast", {}).get("qpm"),
             "reference_s_per_query": 39.1,
             "ts": e2e.get("ts"),
         }
